@@ -1,0 +1,33 @@
+"""bloomfilter_spark — a PySpark-native distributed sketch library.
+
+A from-scratch re-expression of the semantics of the shaia/BloomFilter
+reference library (a single-node Go Bloom filter, see /root/reference) as
+mergeable, associative, treeAggregate-style aggregations over Spark
+DataFrames, plus the companion sketches a web-scale approximate-analytics
+engine needs: HyperLogLog, count-min, KLL quantiles, and t-digest.
+
+Design (see SURVEY.md §7):
+  - sketches/   pure-numpy mergeable sketch monoids (zero/update/merge/finalize)
+  - functions/  vectorized primitives: murmur3 hashing, text extraction,
+                tokenization, language id, quality scoring
+  - operators/  Spark-side distributed build/merge/membership/dedup/ann
+  - sources/    fixture loaders + the deterministic `pages` synthesizer
+  - plans/      partitioning/skew/explain helpers
+  - streaming/  Structured Streaming sketch aggregation
+"""
+
+__version__ = "0.1.0"
+
+from bloomfilter_spark.sketches.bloom import BloomFilter
+from bloomfilter_spark.sketches.hll import HyperLogLog
+from bloomfilter_spark.sketches.cms import CountMinSketch
+from bloomfilter_spark.sketches.kll import KLLSketch
+from bloomfilter_spark.sketches.tdigest import TDigest
+
+__all__ = [
+    "BloomFilter",
+    "HyperLogLog",
+    "CountMinSketch",
+    "KLLSketch",
+    "TDigest",
+]

@@ -1,0 +1,259 @@
+"""Vectorized MurmurHash3 x64-128 over batches of variable-length byte strings.
+
+The reference library derives two independent 64-bit hashes per element
+(FNV-1a variant + murmur-style mix, /root/reference/internal/hash/hash.go:7-108)
+and expands them to k bit positions via Kirsch–Mitzenmacher double hashing
+``pos_i = (h1 + i*h2) mod m`` (/root/reference/bloomfilter.go:124-126).
+
+We keep the exact same double-hashing contract but use the hash family the
+north rule names: murmur3 (x64-128), whose two 64-bit output halves serve as
+(h1, h2).  The contract is determinism + distribution quality, not
+bit-equality with the Go implementation.
+
+Everything here is batch-vectorized numpy: a batch of N strings becomes a
+flat uint8 buffer + offsets (zero-copy from Arrow where possible), rows are
+bucketed by their number of full 16-byte murmur blocks, and each bucket is
+hashed with pure ndarray arithmetic — no per-row Python, per the input_hint
+mandate (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+U64 = np.uint64
+_MASK64 = U64(0xFFFFFFFFFFFFFFFF)
+
+_C1 = U64(0x87C37B91114253D5)
+_C2 = U64(0x4CF5AD432745937F)
+_F1 = U64(0xFF51AFD7ED558CCD)
+_F2 = U64(0xC4CEB9FE1A85EC53)
+_N1 = U64(0x52DCE729)
+_N2 = U64(0x38495AB5)
+_FIVE = U64(5)
+
+DEFAULT_SEED = 0x5EED_1EAF  # fixed default; part of every sketch's header
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    r = U64(r)
+    return (x << r) | (x >> (U64(64) - r))
+
+
+def _fmix64(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> U64(33))
+    k = k * _F1
+    k = k ^ (k >> U64(33))
+    k = k * _F2
+    k = k ^ (k >> U64(33))
+    return k
+
+
+def murmur3_x64_128(
+    flat: np.ndarray, offsets: np.ndarray, seed: int = DEFAULT_SEED
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hash N variable-length byte strings; returns (h1, h2) uint64 arrays.
+
+    flat:    uint8 buffer holding all rows' bytes (rows need not be adjacent)
+    offsets: int64 array of length N+1; row i's bytes are
+             flat[offsets[i]:offsets[i+1]]
+
+    Matches the canonical MurmurHash3_x64_128 byte-for-byte (verified against
+    a scalar port in tests/test_hashing.py).  The tail switch of the scalar
+    algorithm is equivalent to a zero-padded little-endian load, which is what
+    lets the whole thing vectorize.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    h1 = np.full(n, U64(seed), dtype=U64)
+    h2 = np.full(n, U64(seed), dtype=U64)
+    if n == 0:
+        return h1, h2
+    lengths = offsets[1:] - offsets[:-1]
+    starts = offsets[:-1]
+    nblocks = lengths // 16
+
+    with np.errstate(over="ignore"):
+        for b in np.unique(nblocks):
+            idx = np.nonzero(nblocks == b)[0]
+            _murmur_group(flat, starts[idx], lengths[idx], int(b), h1, h2, idx)
+    return h1, h2
+
+
+def _murmur_group(
+    flat: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    b: int,
+    h1_out: np.ndarray,
+    h2_out: np.ndarray,
+    idx: np.ndarray,
+) -> None:
+    """Hash one bucket of rows that all contain exactly ``b`` full 16B blocks."""
+    g = len(starts)
+    width = (b + 1) * 16
+    padded = np.zeros((g, width), dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        row_ids = np.repeat(np.arange(g, dtype=np.int64), lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        src = np.repeat(starts, lens) + within
+        padded[row_ids, within] = flat[src]
+    words = padded.view("<u8")  # (g, 2*(b+1)) little-endian lanes
+
+    gh1 = h1_out[idx].copy()
+    gh2 = h2_out[idx].copy()
+    for j in range(b):
+        k1 = words[:, 2 * j].copy()
+        k2 = words[:, 2 * j + 1].copy()
+        k1 *= _C1
+        k1 = _rotl64(k1, 31)
+        k1 *= _C2
+        gh1 ^= k1
+        gh1 = _rotl64(gh1, 27)
+        gh1 += gh2
+        gh1 = gh1 * _FIVE + _N1
+        k2 *= _C2
+        k2 = _rotl64(k2, 33)
+        k2 *= _C1
+        gh2 ^= k2
+        gh2 = _rotl64(gh2, 31)
+        gh2 += gh1
+        gh2 = gh2 * _FIVE + _N2
+    # Tail: zero-padded LE load == the scalar switch's byte assembly; a zero
+    # k-lane mixes to zero, so applying unconditionally matches the scalar
+    # algorithm's "only if tail bytes exist" behavior exactly.
+    k1 = words[:, 2 * b].copy()
+    k2 = words[:, 2 * b + 1].copy()
+    k2 *= _C2
+    k2 = _rotl64(k2, 33)
+    k2 *= _C1
+    gh2 ^= k2
+    k1 *= _C1
+    k1 = _rotl64(k1, 31)
+    k1 *= _C2
+    gh1 ^= k1
+    # Finalize
+    ln = lens.astype(U64)
+    gh1 ^= ln
+    gh2 ^= ln
+    gh1 += gh2
+    gh2 += gh1
+    gh1 = _fmix64(gh1)
+    gh2 = _fmix64(gh2)
+    gh1 += gh2
+    gh2 += gh1
+    h1_out[idx] = gh1
+    h2_out[idx] = gh2
+
+
+# ---------------------------------------------------------------------------
+# Batch input adapters: pandas/Arrow/numpy -> (flat uint8, offsets int64)
+# ---------------------------------------------------------------------------
+
+
+def bytes_view_of_strings(values) -> tuple[np.ndarray, np.ndarray]:
+    """(flat, offsets) view of a batch of strings, zero-copy via Arrow.
+
+    Accepts a pandas Series, pyarrow Array/ChunkedArray, numpy object array,
+    or list of str.  Nulls hash as empty strings (callers that need to skip
+    nulls should drop them first).
+    """
+    import pyarrow as pa
+
+    if isinstance(values, pd.Series):
+        arr = pa.Array.from_pandas(values, type=pa.string())
+    elif isinstance(values, pa.ChunkedArray):
+        arr = values.combine_chunks()
+        if not pa.types.is_string(arr.type):
+            arr = arr.cast(pa.string())
+    elif isinstance(values, pa.Array):
+        arr = values if pa.types.is_string(values.type) else values.cast(pa.string())
+    else:
+        arr = pa.array(list(values), type=pa.string())
+    if arr.null_count:
+        arr = arr.fill_null("")
+    raw_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offsets = raw_offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    flat = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return flat, offsets
+
+
+def bytes_view_of_binary(values) -> tuple[np.ndarray, np.ndarray]:
+    """(flat, offsets) for a batch of bytes objects (binary column)."""
+    import pyarrow as pa
+
+    if isinstance(values, pd.Series):
+        arr = pa.Array.from_pandas(values, type=pa.binary())
+    elif isinstance(values, pa.ChunkedArray):
+        arr = values.combine_chunks()
+    elif isinstance(values, pa.Array):
+        arr = values
+    else:
+        arr = pa.array(list(values), type=pa.binary())
+    if not pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.binary())
+    if arr.null_count:
+        arr = arr.fill_null(b"")
+    raw_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offsets = raw_offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    flat = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return flat, offsets
+
+
+def bytes_view_of_int64(values) -> tuple[np.ndarray, np.ndarray]:
+    """(flat, offsets) for int64/uint64 values as fixed 8-byte little-endian.
+
+    The reference hashes uint64 as its native-endian 8-byte view
+    (/root/reference/bloomfilter.go:171-174); we standardize little-endian
+    so sketches are portable across nodes.
+    """
+    arr = np.ascontiguousarray(np.asarray(values)).astype("<u8", copy=False)
+    flat = arr.view(np.uint8)
+    offsets = np.arange(len(arr) + 1, dtype=np.int64) * 8
+    return flat, offsets
+
+
+def hash_any(values, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
+    """Dispatch on batch dtype and return (h1, h2) — the reference's
+    byte-collapse rule (string→utf8, int→8 bytes, bytes→bytes)."""
+    import pyarrow as pa
+
+    if isinstance(values, pd.Series):
+        if pd.api.types.is_integer_dtype(values.dtype):
+            return murmur3_x64_128(*bytes_view_of_int64(values.to_numpy()), seed)
+        if len(values) and isinstance(values.iloc[0], (bytes, bytearray)):
+            return murmur3_x64_128(*bytes_view_of_binary(values), seed)
+        return murmur3_x64_128(*bytes_view_of_strings(values), seed)
+    if isinstance(values, np.ndarray) and values.dtype.kind in ("i", "u"):
+        return murmur3_x64_128(*bytes_view_of_int64(values), seed)
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        t = values.type
+        if pa.types.is_integer(t):
+            return murmur3_x64_128(
+                *bytes_view_of_int64(values.to_numpy(zero_copy_only=False)), seed
+            )
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return murmur3_x64_128(*bytes_view_of_binary(values), seed)
+        return murmur3_x64_128(*bytes_view_of_strings(values), seed)
+    values = list(values)
+    if values and isinstance(values[0], (int, np.integer)):
+        return murmur3_x64_128(
+            *bytes_view_of_int64(np.array(values, dtype=np.uint64)), seed
+        )
+    if values and isinstance(values[0], (bytes, bytearray)):
+        return murmur3_x64_128(*bytes_view_of_binary(values), seed)
+    return murmur3_x64_128(*bytes_view_of_strings(values), seed)

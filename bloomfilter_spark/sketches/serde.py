@@ -1,0 +1,73 @@
+"""Binary blob format shared by all sketches.
+
+A sketch crossing the JVM boundary (mapInPandas output, treeAggregate
+partials, broadcast variables, checkpoint files) is a self-describing blob:
+
+    header:  magic 4s = b"SKB1" | version u8 | kind u8 | flags u16
+             seed u64 | n_added u64 | param_len u32
+    params:  param_len bytes of sketch-specific packed parameters
+    payload: the sketch state (numpy array bytes)
+
+The header carries everything needed for the merge-compatibility check the
+reference enforces (geometry equality before Union/Intersection,
+/root/reference/bloomfilter.go:197-199): two blobs merge only if
+(kind, seed, params) match exactly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAGIC = b"SKB1"
+VERSION = 1
+
+KIND_BLOOM = 1
+KIND_HLL = 2
+KIND_CMS = 3
+KIND_KLL = 4
+KIND_TDIGEST = 5
+
+_HEADER = struct.Struct("<4sBBHQQI")  # magic, version, kind, flags, seed, n_added, param_len
+
+_REGISTRY: dict[int, type] = {}
+
+
+def register(kind: int):
+    def deco(cls):
+        _REGISTRY[kind] = cls
+        cls.KIND = kind
+        return cls
+
+    return deco
+
+
+def pack(kind: int, seed: int, n_added: int, params: bytes, payload: bytes) -> bytes:
+    return (
+        _HEADER.pack(MAGIC, VERSION, kind, 0, seed & (2**64 - 1), n_added, len(params))
+        + params
+        + payload
+    )
+
+
+def unpack(blob: bytes | bytearray | memoryview):
+    """-> (kind, seed, n_added, params bytes, payload memoryview)."""
+    blob = memoryview(blob)
+    magic, version, kind, _flags, seed, n_added, param_len = _HEADER.unpack(
+        blob[: _HEADER.size]
+    )
+    if magic != MAGIC:
+        raise ValueError("sketch blob: bad magic (not a SKB1 sketch)")
+    if version != VERSION:
+        raise ValueError(f"sketch blob: unsupported version {version}")
+    params = bytes(blob[_HEADER.size : _HEADER.size + param_len])
+    payload = blob[_HEADER.size + param_len :]
+    return kind, seed, n_added, params, payload
+
+
+def deserialize(blob: bytes):
+    """Reconstruct any registered sketch from its blob."""
+    kind = unpack(blob)[0]
+    cls = _REGISTRY.get(kind)
+    if cls is None:
+        raise ValueError(f"sketch blob: unknown kind {kind}")
+    return cls.from_bytes(blob)

@@ -1,0 +1,365 @@
+"""Companion sketch tests: HLL, count-min, KLL, t-digest.
+
+Each clones the reference Bloom test contract (SURVEY.md §2.3): validation,
+merge geometry checks, error bounds vs exact oracles, merge determinism,
+blob round-trips."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+
+from bloomfilter_spark.sketches.cms import CountMinSketch
+from bloomfilter_spark.sketches.hll import HyperLogLog
+from bloomfilter_spark.sketches.kll import KLLSketch
+from bloomfilter_spark.sketches.tdigest import TDigest
+from bloomfilter_spark.sketches import serde
+
+
+def assert_rank_close(sorted_data: np.ndarray, est: float, q: float, tol: float, msg=""):
+    """True rank of a value with ties is an interval [lo, hi]; assert q is
+    within tol of that interval."""
+    n = len(sorted_data)
+    lo = np.searchsorted(sorted_data, est, side="left") / n
+    hi = np.searchsorted(sorted_data, est, side="right") / n
+    assert lo - tol <= q <= hi + tol, f"{msg} q={q} rank∈[{lo},{hi}]"
+
+
+# =============================== HyperLogLog ===================================
+
+
+class TestHLL:
+    def test_validation(self):
+        with pytest.raises(ValueError, match="precision p must be"):
+            HyperLogLog(p=3)
+        with pytest.raises(ValueError, match="precision p must be"):
+            HyperLogLog(p=19)
+        with pytest.raises(ValueError, match="relativeError must be in range"):
+            HyperLogLog.create(0.0)
+        with pytest.raises(ValueError, match="relativeError must be in range"):
+            HyperLogLog.create(float("nan"))
+
+    def test_create_from_error_target(self):
+        h = HyperLogLog.create(0.01)
+        assert h.relative_error <= 0.012  # clamped to p<=18
+
+    @pytest.mark.parametrize("n", [100, 1000, 50000])
+    def test_estimate_within_bound(self, n):
+        h = HyperLogLog(p=14)
+        h.update([f"item-{i}" for i in range(n)])
+        est = h.estimate()
+        rse = 1.04 / math.sqrt(h.m)
+        # 4 sigma margin on the published ±1.04/√m standard error
+        assert abs(est - n) / n <= 4 * rse, f"n={n} est={est}"
+
+    def test_duplicates_dont_inflate(self):
+        h = HyperLogLog(p=14)
+        for _ in range(5):
+            h.update([f"dup-{i}" for i in range(1000)])
+        est = h.estimate()
+        assert abs(est - 1000) / 1000 <= 4 * (1.04 / math.sqrt(h.m))
+
+    def test_int_and_string_inputs(self):
+        h = HyperLogLog(p=12)
+        h.update(np.arange(1000, dtype=np.int64))
+        est = h.estimate()
+        assert abs(est - 1000) / 1000 < 0.1
+
+    def test_merge_equals_union_build(self):
+        a = HyperLogLog(p=12)
+        b = HyperLogLog(p=12)
+        both = HyperLogLog(p=12)
+        ka = [f"a{i}" for i in range(2000)]
+        kb = [f"b{i}" for i in range(2000)]
+        a.update(ka)
+        b.update(kb)
+        both.update(ka)
+        both.update(kb)
+        a.merge(b)
+        assert np.array_equal(a.registers, both.registers)
+
+    def test_merge_order_independent(self):
+        parts = []
+        for p_i in range(4):
+            h = HyperLogLog(p=12)
+            h.update([f"p{p_i}-{i}" for i in range(500)])
+            parts.append(h)
+        results = []
+        for perm in itertools.permutations(range(4)):
+            acc = parts[perm[0]].empty_like()
+            for j in perm:
+                acc.merge(parts[j])
+            results.append(acc.registers.copy())
+        for r in results[1:]:
+            assert np.array_equal(results[0], r)
+
+    def test_merge_geometry_check(self):
+        with pytest.raises(ValueError, match="same precision and seed"):
+            HyperLogLog(p=12).merge(HyperLogLog(p=14))
+
+    def test_blob_roundtrip(self):
+        h = HyperLogLog(p=10)
+        h.update([f"x{i}" for i in range(100)])
+        assert HyperLogLog.from_bytes(h.to_bytes()) == h
+        assert serde.deserialize(h.to_bytes()).estimate() == h.estimate()
+
+    def test_small_range_linear_counting(self):
+        h = HyperLogLog(p=14)
+        h.update([f"s{i}" for i in range(10)])
+        assert abs(h.estimate() - 10) < 1.5
+
+
+# =============================== Count-min =====================================
+
+
+class TestCMS:
+    def test_validation(self):
+        with pytest.raises(ValueError, match="epsilon must be in range"):
+            CountMinSketch.create(epsilon=0.0)
+        with pytest.raises(ValueError, match="delta must be in range"):
+            CountMinSketch.create(delta=1.5)
+        with pytest.raises(ValueError, match="depth must be"):
+            CountMinSketch(depth=0, width=100)
+
+    def test_sizing(self):
+        c = CountMinSketch.create(epsilon=0.001, delta=0.01)
+        assert c.width == math.ceil(math.e / 0.001)
+        assert c.depth == math.ceil(math.log(100))
+        assert c.epsilon <= 0.001
+        assert c.delta <= 0.01
+
+    def test_overestimate_only_and_bounded(self):
+        rng = np.random.RandomState(42)
+        # zipf-ish: key j appears ~ 5000/(j+1) times
+        keys = []
+        true = {}
+        for j in range(200):
+            cnt = max(1, 5000 // (j + 1))
+            true[f"key{j}"] = cnt
+            keys += [f"key{j}"] * cnt
+        rng.shuffle(keys)
+        c = CountMinSketch.create(epsilon=0.001, delta=0.001)
+        c.update(keys)
+        assert c.total == len(keys)
+        ks = list(true)
+        est = c.query(ks)
+        for i, k in enumerate(ks):
+            assert est[i] >= true[k], "count-min must never underestimate"
+            assert est[i] <= true[k] + c.error_bound() + 1
+
+    def test_weighted_updates(self):
+        c = CountMinSketch.create(0.01, 0.01)
+        c.update(["a", "b"], weights=[10, 5])
+        est = c.query(["a", "b"])
+        assert est[0] >= 10 and est[1] >= 5
+        assert c.total == 15
+
+    def test_merge_equals_combined_build(self):
+        a = CountMinSketch.create(0.01, 0.01)
+        b = CountMinSketch.create(0.01, 0.01)
+        both = CountMinSketch.create(0.01, 0.01)
+        a.update(["x"] * 10 + ["y"] * 3)
+        b.update(["x"] * 5 + ["z"] * 7)
+        both.update(["x"] * 15 + ["y"] * 3 + ["z"] * 7)
+        a.merge(b)
+        assert np.array_equal(a.counts, both.counts)
+        assert a.total == both.total
+
+    def test_merge_order_independent(self):
+        parts = []
+        for p_i in range(4):
+            c = CountMinSketch.create(0.01, 0.01)
+            c.update([f"k{p_i}-{i}" for i in range(100)])
+            parts.append(c)
+        base = None
+        for perm in itertools.permutations(range(4)):
+            acc = parts[perm[0]].empty_like()
+            for j in perm:
+                acc.merge(parts[j])
+            if base is None:
+                base = acc.counts.copy()
+            assert np.array_equal(base, acc.counts)
+
+    def test_merge_geometry_check(self):
+        with pytest.raises(ValueError, match="same dimensions and seed"):
+            CountMinSketch(depth=3, width=100).merge(CountMinSketch(depth=3, width=200))
+
+    def test_blob_roundtrip(self):
+        c = CountMinSketch.create(0.01, 0.01)
+        c.update(["a", "b", "a"])
+        back = CountMinSketch.from_bytes(c.to_bytes())
+        assert back == c
+        assert back.total == 3
+
+
+# ================================== KLL ========================================
+
+
+class TestKLL:
+    def test_validation(self):
+        with pytest.raises(ValueError, match="k must be"):
+            KLLSketch(k=4)
+        with pytest.raises(ValueError, match="quantile q must be"):
+            KLLSketch().quantile(1.5)
+
+    @pytest.mark.parametrize("dist", ["uniform", "lognormal", "constant"])
+    def test_rank_error_within_bound(self, dist):
+        rng = np.random.RandomState(7)
+        n = 50000
+        if dist == "uniform":
+            data = rng.uniform(0, 1000, n)
+        elif dist == "lognormal":
+            data = rng.lognormal(6.5, 1.0, n)
+        else:
+            data = np.full(n, 42.0)
+        sk = KLLSketch(k=200)
+        # feed in chunks like arrow batches
+        for chunk in np.array_split(data, 13):
+            sk.update(chunk)
+        assert sk.n_added == n
+        sorted_data = np.sort(data)
+        for q in [0.01, 0.25, 0.5, 0.75, 0.99]:
+            est = sk.quantile(q)
+            assert_rank_close(sorted_data, est, q, 0.03, dist)
+
+    def test_rank_query(self):
+        sk = KLLSketch(k=200)
+        data = np.arange(10000, dtype=np.float64)
+        sk.update(data)
+        assert abs(sk.rank(5000.0) - 0.5) < 0.03
+
+    def test_merge_matches_single_build_quality(self):
+        rng = np.random.RandomState(3)
+        data = rng.uniform(0, 1, 40000)
+        parts = []
+        for chunk in np.array_split(data, 8):
+            sk = KLLSketch(k=200)
+            sk.update(chunk)
+            parts.append(sk)
+        merged = parts[0].empty_like()
+        merged.merge_all(parts)
+        assert merged.n_added == 40000
+        sorted_data = np.sort(data)
+        for q in [0.1, 0.5, 0.9]:
+            assert_rank_close(sorted_data, merged.quantile(q), q, 0.04)
+
+    def test_nary_merge_multiset_deterministic(self):
+        rng = np.random.RandomState(5)
+        parts = []
+        for i in range(6):
+            sk = KLLSketch(k=128)
+            sk.update(rng.uniform(0, 1, 1000))
+            parts.append(sk)
+        res = []
+        for perm in [list(range(6)), [5, 3, 1, 0, 2, 4], [2, 4, 0, 5, 1, 3]]:
+            acc = parts[0].empty_like()
+            acc.merge_all([parts[j] for j in perm])
+            res.append(acc)
+        assert res[0] == res[1] == res[2]
+
+    def test_merge_geometry_check(self):
+        with pytest.raises(ValueError, match="same k and seed"):
+            KLLSketch(k=128).merge(KLLSketch(k=200))
+
+    def test_blob_roundtrip(self):
+        sk = KLLSketch(k=64)
+        sk.update(np.random.RandomState(1).uniform(0, 1, 5000))
+        back = KLLSketch.from_bytes(sk.to_bytes())
+        assert back == sk
+        assert back.n_added == sk.n_added
+
+    def test_nan_skipped(self):
+        sk = KLLSketch()
+        sk.update([1.0, float("nan"), 3.0])
+        assert sk.n_added == 2
+
+
+# ================================ t-digest =====================================
+
+
+class TestTDigest:
+    def test_validation(self):
+        with pytest.raises(ValueError, match="delta must be"):
+            TDigest(delta=5)
+        with pytest.raises(ValueError, match="quantile q must be"):
+            TDigest().quantile(-0.1)
+
+    @pytest.mark.parametrize("dist", ["uniform", "lognormal"])
+    def test_rank_error_within_bound(self, dist):
+        rng = np.random.RandomState(11)
+        n = 50000
+        data = (
+            rng.uniform(0, 1000, n) if dist == "uniform" else rng.lognormal(6.5, 1.0, n)
+        )
+        td = TDigest(delta=200)
+        for chunk in np.array_split(data, 17):
+            td.update(chunk)
+        sorted_data = np.sort(data)
+        for q in [0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999]:
+            est = td.quantile(q)
+            # t-digest: tight at tails, O(1/delta) mid-range
+            tol = 0.005 if min(q, 1 - q) < 0.05 else 0.02
+            assert_rank_close(sorted_data, est, q, tol, dist)
+
+    def test_extremes_exact(self):
+        td = TDigest(delta=100)
+        data = np.arange(1000, dtype=np.float64)
+        td.update(data)
+        assert td.quantile(0.0) == 0.0
+        assert td.quantile(1.0) == 999.0
+
+    def test_centroid_count_bounded(self):
+        td = TDigest(delta=200)
+        td.update(np.random.RandomState(2).uniform(0, 1, 100000))
+        assert td.means.size <= 200
+
+    def test_nary_merge_multiset_deterministic(self):
+        rng = np.random.RandomState(9)
+        parts = []
+        for i in range(6):
+            td = TDigest(delta=100)
+            td.update(rng.lognormal(5, 1, 2000))
+            parts.append(td)
+        res = []
+        for perm in [list(range(6)), [4, 2, 0, 5, 3, 1], [1, 5, 3, 0, 4, 2]]:
+            acc = parts[0].empty_like()
+            acc.merge_all([parts[j] for j in perm])
+            res.append(acc)
+        assert res[0] == res[1] == res[2]
+
+    def test_merged_quality(self):
+        rng = np.random.RandomState(13)
+        data = rng.uniform(0, 1, 40000)
+        parts = []
+        for chunk in np.array_split(data, 16):
+            td = TDigest(delta=200)
+            td.update(chunk)
+            parts.append(td)
+        acc = parts[0].empty_like()
+        acc.merge_all(parts)
+        sorted_data = np.sort(data)
+        for q in [0.01, 0.5, 0.99]:
+            tol = 0.01 if min(q, 1 - q) < 0.05 else 0.02
+            assert_rank_close(sorted_data, acc.quantile(q), q, tol)
+
+    def test_merge_geometry_check(self):
+        with pytest.raises(ValueError, match="same delta and seed"):
+            TDigest(delta=100).merge(TDigest(delta=200))
+
+    def test_blob_roundtrip(self):
+        td = TDigest(delta=100)
+        td.update(np.random.RandomState(4).uniform(-5, 5, 3000))
+        back = TDigest.from_bytes(td.to_bytes())
+        assert back == td
+        assert back.vmin == td.vmin and back.vmax == td.vmax
+
+    def test_weighted(self):
+        td = TDigest(delta=100)
+        td.update([1.0, 2.0, 3.0], weights=[1.0, 1.0, 98.0])
+        # median falls inside the weight-98 centroid at 3.0; interpolation
+        # across centroid midpoints may land epsilon below it
+        assert 2.9 <= td.quantile(0.5) <= 3.0
+        assert td.quantile(0.9) == 3.0

@@ -1,0 +1,150 @@
+"""Hash tests mirroring /root/reference/internal/hash/hash_test.go:
+determinism, h1/h2 independence, collision-freedom, bit-flip sensitivity,
+chunk-boundary sizes, byte-order sensitivity, pathological inputs, and the
+SIMD-vs-scalar differential (vectorized numpy vs per-row Python port)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bloomfilter_spark.functions.hashing import (
+    bytes_view_of_binary,
+    bytes_view_of_int64,
+    bytes_view_of_strings,
+    hash_any,
+    murmur3_x64_128,
+)
+from tests.scalar_oracle import murmur3_x64_128_scalar
+
+
+def _vector_hash(items: list[bytes], seed: int = 0):
+    flat, offsets = bytes_view_of_binary(items)
+    return murmur3_x64_128(flat, offsets, seed)
+
+
+# chunk-boundary sizes, mirroring hash_test.go:248-281
+BOUNDARY_SIZES = [0, 1, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 65, 127, 128, 129, 1000]
+
+
+def test_matches_scalar_reference_at_all_boundary_sizes():
+    rng = np.random.RandomState(7)
+    items = [bytes(rng.randint(0, 256, size=s, dtype=np.uint8)) for s in BOUNDARY_SIZES]
+    for seed in (0, 1, 0x5EED_1EAF, 2**63):
+        h1, h2 = _vector_hash(items, seed)
+        for i, b in enumerate(items):
+            e1, e2 = murmur3_x64_128_scalar(b, seed)
+            assert int(h1[i]) == e1, f"h1 mismatch len={len(b)} seed={seed}"
+            assert int(h2[i]) == e2, f"h2 mismatch len={len(b)} seed={seed}"
+
+
+def test_matches_scalar_on_random_corpus():
+    rng = np.random.RandomState(42)
+    items = [
+        bytes(rng.randint(0, 256, size=rng.randint(0, 200), dtype=np.uint8))
+        for _ in range(500)
+    ]
+    h1, h2 = _vector_hash(items, 99)
+    for i, b in enumerate(items):
+        e1, e2 = murmur3_x64_128_scalar(b, 99)
+        assert (int(h1[i]), int(h2[i])) == (e1, e2)
+
+
+def test_determinism():
+    items = [b"hello", b"world", b""]
+    a = _vector_hash(items)
+    b = _vector_hash(items)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_h1_h2_independent():
+    # mirror hash_test.go:138-167 — the two lanes must differ
+    items = [f"key-{i}".encode() for i in range(1000)]
+    h1, h2 = _vector_hash(items)
+    assert np.all(h1 != h2)
+
+
+def test_collision_free_on_sample_corpus():
+    # mirror hash_test.go:170-216
+    items = [f"https://example-{i}.com/path/{i*7}".encode() for i in range(20000)]
+    h1, h2 = _vector_hash(items)
+    combined = set(zip(h1.tolist(), h2.tolist()))
+    assert len(combined) == len(items)
+
+
+def test_bit_flip_sensitivity():
+    # mirror hash_test.go:219-245
+    base = bytearray(b"the quick brown fox jumps over")
+    variants = [bytes(base)]
+    for byte_i in range(len(base)):
+        v = bytearray(base)
+        v[byte_i] ^= 1
+        variants.append(bytes(v))
+    h1, _ = _vector_hash(variants)
+    assert len(set(h1.tolist())) == len(variants)
+
+
+def test_byte_order_sensitivity():
+    # mirror hash_test.go:328-352
+    a, _ = _vector_hash([b"abcd", b"dcba", b"abdc"])
+    assert len(set(a.tolist())) == 3
+
+
+def test_pathological_inputs():
+    # mirror hash_test.go:355-411 — zeros, 0xFF, repeating patterns
+    items = [b"\x00" * 64, b"\xff" * 64, b"ab" * 32, b"\x00" * 63, b"\x00" * 65]
+    h1, _ = _vector_hash(items)
+    assert len(set(h1.tolist())) == len(items)
+    for i, b in enumerate(items):
+        assert int(h1[i]) == murmur3_x64_128_scalar(b, 0)[0]
+
+
+def test_prefix_not_equal_full():
+    # mirror hash_test.go:414-441
+    h1, _ = _vector_hash([b"prefix", b"prefix-and-more"])
+    assert h1[0] != h1[1]
+
+
+def test_string_adapter_matches_binary():
+    strs = ["", "a", "hello world", "ünïcödé ✓", "x" * 100]
+    f1, o1 = bytes_view_of_strings(strs)
+    expected = [murmur3_x64_128_scalar(s.encode("utf-8"), 0) for s in strs]
+    h1, h2 = murmur3_x64_128(f1, o1, 0)
+    for i, (e1, e2) in enumerate(expected):
+        assert (int(h1[i]), int(h2[i])) == (e1, e2)
+
+
+def test_int64_adapter_little_endian():
+    vals = np.array([0, 1, 2**40, 2**63 - 1, -1], dtype=np.int64)
+    flat, offsets = bytes_view_of_int64(vals)
+    h1, _ = murmur3_x64_128(flat, offsets, 0)
+    for i, v in enumerate(vals):
+        raw = int(np.uint64(np.int64(v))).to_bytes(8, "little")
+        assert int(h1[i]) == murmur3_x64_128_scalar(raw, 0)[0]
+
+
+def test_hash_any_dispatch():
+    import pandas as pd
+
+    h_str, _ = hash_any(pd.Series(["a", "b"]))
+    h_int, _ = hash_any(pd.Series([1, 2]))
+    h_bytes, _ = hash_any(pd.Series([b"a", b"b"]))
+    assert h_str.dtype == np.uint64 and h_int.dtype == np.uint64
+    # str "a" (utf-8) and bytes b"a" collapse to the same bytes -> same hash
+    assert h_str[0] == h_bytes[0]
+
+
+def test_nulls_hash_as_empty():
+    import pandas as pd
+
+    h, _ = hash_any(pd.Series(["a", None, ""]))
+    assert h[1] == h[2]
+
+
+def test_distribution_uniformity():
+    # chi-square-ish sanity: bucket h1 of 100k keys into 256 buckets
+    items = [f"k{i}".encode() for i in range(100000)]
+    h1, _ = _vector_hash(items)
+    buckets = np.bincount((h1 >> np.uint64(56)).astype(np.int64), minlength=256)
+    expected = len(items) / 256
+    assert np.all(np.abs(buckets - expected) < expected * 0.2)
