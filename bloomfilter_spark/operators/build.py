@@ -1,0 +1,248 @@
+"""Distributed sketch build/merge — the library's UDAF surface.
+
+Lifecycle (SURVEY.md §3.4):
+  1. partial build: mapInPandas over Arrow batches — each task folds its
+     partition into one partition-local sketch (the Spark replacement for
+     the reference's shared-mutable CAS array,
+     /root/reference/bloomfilter.go:352-383) and emits one blob row with
+     counters (rows, bytes, wall_ms).
+  2. merge: associative combine of blobs —
+       * commutative sketches (Bloom OR / HLL max / CMS sum): treeAggregate
+         over the blob RDD, depth-2 merge tree, bit-identical regardless of
+         merge order (the north rule's associativity requirement);
+       * compaction sketches (KLL / t-digest): single n-ary merge_all of all
+         partial blobs, which is a pure function of the *multiset* of
+         partials (see sketches/kll.py docstring) — partial blobs are a few
+         KB each, so the n-ary combine scales to tens of thousands of
+         partitions.
+  3. finalize: stats()/estimate()/quantile() on the merged sketch.
+
+All hashing/bit-setting is vectorized numpy inside the UDF; no per-row
+Python anywhere (input_hint, BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from bloomfilter_spark.sketches import serde
+from bloomfilter_spark.sketches.bloom import BloomFilter
+from bloomfilter_spark.sketches.cms import CountMinSketch
+from bloomfilter_spark.sketches.hll import HyperLogLog
+from bloomfilter_spark.sketches.kll import KLLSketch
+from bloomfilter_spark.sketches.tdigest import TDigest
+
+# kinds whose pairwise merge is commutative+associative (safe for any tree)
+_COMMUTATIVE_KINDS = {serde.KIND_BLOOM, serde.KIND_HLL, serde.KIND_CMS}
+
+PARTIAL_SCHEMA = (
+    "partition_id long, blob binary, rows long, input_bytes long, wall_ms double"
+)
+
+
+def _numeric_update(sketch, series: pd.Series) -> None:
+    """KLL/t-digest consume float values; others consume hashed keys."""
+    if isinstance(sketch, (KLLSketch, TDigest)):
+        sketch.update(series.dropna().to_numpy(dtype="float64"))
+    else:
+        sketch.update(series.dropna())
+
+
+def partial_build(
+    df: DataFrame, cols: list[str] | str, factory: Callable[[], object]
+) -> DataFrame:
+    """One blob row per input partition: (partition_id, blob, rows,
+    input_bytes, wall_ms). Column pruning: we select only `cols`, so the
+    parquet scan reads nothing else."""
+    if isinstance(cols, str):
+        cols = [cols]
+    pruned = df.select(*cols)
+
+    def build_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        t0 = time.perf_counter()
+        sk = factory()
+        rows = 0
+        nbytes = 0
+        for pdf in batches:
+            for c in cols:
+                _numeric_update(sk, pdf[c])
+            rows += len(pdf)
+            nbytes += int(pdf.memory_usage(deep=False).sum())
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "blob": [sk.to_bytes()],
+                "rows": [rows],
+                "input_bytes": [nbytes],
+                "wall_ms": [(time.perf_counter() - t0) * 1000.0],
+            }
+        )
+
+    return pruned.mapInPandas(build_iter, schema=PARTIAL_SCHEMA)
+
+
+def merge_partials(partials: DataFrame, factory: Callable[[], object]):
+    """Combine partial blobs into one sketch.
+
+    Commutative kinds ride a depth-2 treeAggregate (executor-side partial
+    merges, 'treeAggregate-style UDAF' per BASELINE.json:6). Compaction
+    kinds (KLL/t-digest) are collected in canonical partition order and
+    merged with one n-ary merge_all.
+    """
+    probe = factory()
+    if probe.KIND in _COMMUTATIVE_KINDS:
+        zero = probe.to_bytes()
+
+        def comb(a_blob: bytes, b_blob: bytes) -> bytes:
+            a = serde.deserialize(a_blob)
+            a.merge(serde.deserialize(b_blob))
+            return a.to_bytes()
+
+        merged_blob = (
+            partials.select("blob")
+            .rdd.map(lambda r: r.blob)
+            .treeAggregate(zero, comb, comb, depth=2)
+        )
+        return serde.deserialize(merged_blob)
+    # KLL / t-digest: n-ary multiset-deterministic merge on the driver;
+    # sort by partition_id for reproducible collection regardless of task
+    # completion order
+    rows = partials.select("partition_id", "blob").collect()
+    rows.sort(key=lambda r: r.partition_id)
+    acc = factory()
+    acc.merge_all([serde.deserialize(r.blob) for r in rows])
+    return acc
+
+
+def build_sketch(
+    df: DataFrame, cols: list[str] | str, factory: Callable[[], object]
+):
+    """End-to-end: scan → per-partition vectorized partial build → merge.
+    Returns the merged sketch object."""
+    return merge_partials(partial_build(df, cols, factory), factory)
+
+
+# ---------------------------------------------------------------------------
+# Grouped sketches: one sketch per key, with optional salting for skew
+# ---------------------------------------------------------------------------
+
+
+def build_grouped(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    value_col: str,
+    factory: Callable[[], object],
+    salts: int = 0,
+) -> DataFrame:
+    """Per-key sketch blobs: (key..., blob, rows).
+
+    salts=0: single groupBy(key).applyInPandas — one shuffle on key.
+    salts=s>0 (skew defense, north rule): two-stage aggregation —
+      stage 1 groups by (key, hash(value) % s) so a hot key fans out over s
+      tasks building partial sketches; stage 2 merges the ≤s partials per
+      key. This is map-side-combine semantics expressed as sketches, the
+      salted-repartition pattern the north rule names.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_schema_src = df.select(*key_cols).schema
+    key_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in key_schema_src)
+    out_schema = f"{key_ddl}, blob binary, rows long"
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = factory()
+        _numeric_update(sk, pdf[value_col])
+        out = {c: [pdf[c].iloc[0]] for c in key_cols}
+        out["blob"] = [sk.to_bytes()]
+        out["rows"] = [len(pdf)]
+        return pd.DataFrame(out)
+
+    if salts <= 1:
+        return (
+            df.select(*key_cols, value_col)
+            .groupBy(*key_cols)
+            .applyInPandas(build_group, schema=out_schema)
+        )
+
+    salted = df.select(*key_cols, value_col).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(salts))
+    )
+
+    def build_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+        return build_group(pdf.drop(columns=["_salt"]))
+
+    partials = salted.groupBy(*key_cols, "_salt").applyInPandas(
+        build_salted, schema=out_schema
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = factory()
+        sketches = [serde.deserialize(b) for b in pdf["blob"]]
+        if hasattr(acc, "merge_all"):
+            acc.merge_all(sketches)
+        else:
+            for s in sketches:
+                acc.merge(s)
+        out = {c: [pdf[c].iloc[0]] for c in key_cols}
+        out["blob"] = [acc.to_bytes()]
+        out["rows"] = [int(pdf["rows"].sum())]
+        return pd.DataFrame(out)
+
+    return partials.groupBy(*key_cols).applyInPandas(merge_group, schema=out_schema)
+
+
+def grouped_estimates(grouped_blobs: DataFrame, finalize: str = "estimate") -> DataFrame:
+    """Map per-key blobs to per-key scalar estimates:
+    finalize ∈ {estimate (HLL), popcount/estimated_fpp (Bloom), ...}."""
+    from pyspark.sql import functions as F, types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _finalize(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: float(getattr(serde.deserialize(b), finalize)()))
+
+    return grouped_blobs.withColumn(finalize, _finalize("blob"))
+
+
+# convenient factories ---------------------------------------------------------
+
+
+def bloom_factory(n: int, p: float = 0.01, seed=None):
+    from bloomfilter_spark.functions.hashing import DEFAULT_SEED
+
+    s = DEFAULT_SEED if seed is None else seed
+    proto = BloomFilter.create(n, p, seed=s)
+    return lambda: proto.empty_like()
+
+
+def hll_factory(precision: int = 14, seed=None):
+    from bloomfilter_spark.functions.hashing import DEFAULT_SEED
+
+    s = DEFAULT_SEED if seed is None else seed
+    return lambda: HyperLogLog(p=precision, seed=s)
+
+
+def cms_factory(epsilon: float = 0.0005, delta: float = 0.001, seed=None):
+    from bloomfilter_spark.functions.hashing import DEFAULT_SEED
+
+    s = DEFAULT_SEED if seed is None else seed
+    proto = CountMinSketch.create(epsilon, delta, seed=s)
+    return lambda: proto.empty_like()
+
+
+def kll_factory(k: int = 200):
+    return lambda: KLLSketch(k=k)
+
+
+def tdigest_factory(delta: int = 200):
+    return lambda: TDigest(delta=delta)

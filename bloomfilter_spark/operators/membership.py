@@ -1,0 +1,98 @@
+"""Distributed membership queries — the reference's Contains* family
+(/root/reference/bloomfilter.go:133-180) as a broadcast sketch + vectorized
+pandas UDF.
+
+This is the sketch analog of a broadcast semi-join: build on one side,
+`might_contain` on the other — the same pattern Catalyst's own runtime
+bloom-filter join rewrite uses. False positives are possible (prune with an
+exact join afterwards when exactness is needed); false negatives are not.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from bloomfilter_spark.sketches import serde
+
+# Executor-side deserialization cache: one sketch instance per broadcast
+# blob per python worker (the UDF would otherwise deserialize per batch).
+_SKETCH_CACHE: dict[int, tuple] = {}
+
+
+def _cached_sketch(blob: bytes):
+    entry = _SKETCH_CACHE.get(id(blob))
+    if entry is None or entry[0] is not blob:
+        entry = (blob, serde.deserialize(blob))
+        _SKETCH_CACHE[id(blob)] = entry
+    return entry[1]
+
+
+def might_contain_udf(spark, sketch) -> "callable":
+    """Returns a Column-producing function: f(col) -> BooleanType Column.
+
+    The sketch is broadcast once; each python worker deserializes once and
+    answers whole Arrow batches vectorized."""
+    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @F.pandas_udf(T.BooleanType())
+    def _might_contain(s: pd.Series) -> pd.Series:
+        sk = _cached_sketch(bc.value)
+        return pd.Series(sk.contains(s))
+
+    return _might_contain
+
+
+def filter_might_contain(df: DataFrame, col: str | Column, sketch) -> DataFrame:
+    """Keep rows whose `col` is probably in the sketch (no false negatives)."""
+    spark = df.sparkSession
+    udf = might_contain_udf(spark, sketch)
+    return df.filter(udf(F.col(col) if isinstance(col, str) else col))
+
+
+def bloom_semi_join(
+    probe_df: DataFrame,
+    probe_col: str,
+    build_df: DataFrame,
+    build_col: str,
+    n_expected: int | None = None,
+    fpp: float = 0.01,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi-join accelerated by a Bloom pre-filter.
+
+    Build a Bloom over build_df[build_col], pre-filter probe_df with the
+    broadcast sketch (cheap, vectorized, no shuffle of the probe side), then
+    optionally finish with an exact left-semi join to drop false positives.
+
+    At 100TB scale this is the payoff operator: the exact semi-join only
+    shuffles the ≤(match + fpp) fraction of the probe side that survives the
+    sketch, instead of the full table.
+    """
+    from bloomfilter_spark.operators.build import bloom_factory, build_sketch
+
+    if n_expected is None:
+        n_expected = max(1, build_df.count())
+    factory = bloom_factory(n_expected, fpp)
+    sketch = build_sketch(build_df, build_col, factory)
+    pre = filter_might_contain(probe_df, probe_col, sketch)
+    if not exact:
+        return pre
+    return pre.join(
+        build_df.select(F.col(build_col)).distinct(),
+        on=pre[probe_col] == F.col(build_col),
+        how="left_semi",
+    )
+
+
+def query_counts_udf(spark, cms) -> "callable":
+    """Count-min point-query as a vectorized UDF: f(col) -> LongType Column."""
+    bc = spark.sparkContext.broadcast(cms.to_bytes())
+
+    @F.pandas_udf(T.LongType())
+    def _query(s: pd.Series) -> pd.Series:
+        sk = _cached_sketch(bc.value)
+        return pd.Series(sk.query(s))
+
+    return _query

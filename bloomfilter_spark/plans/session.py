@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults match the sandbox (local[$SPARK_GRAFT_CPUS]); on a real
+cluster every setting here is safe to keep. Arrow transfer is mandatory —
+all our UDFs are pandas/Arrow-vectorized (input_hint: no per-row Python).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bloomfilter_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: match cores, not the 200 default
+        n = master[len("local[") : -1] if master.startswith("local[") else ""
+        shuffle_partitions = cpus if n in ("*", "") else int(n)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,179 @@
+"""Distributed build/merge tests — the Spark analog of the reference's
+concurrency + SIMD-equivalence integration suites:
+
+- distributed result == local single-process result, bit-identical
+  (the merge-associativity contract, BASELINE.json:14; analog of
+  /root/reference/tests/integration/bloomfilter_simd_comparison_test.go)
+- repartition(1) vs repartition(16) vs shuffled row order → identical
+- zero false negatives through the full distributed path (analog of
+  /root/reference/tests/integration/bloomfilter_retry_test.go:54-68)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.operators.build import (
+    bloom_factory,
+    build_grouped,
+    build_sketch,
+    cms_factory,
+    hll_factory,
+    kll_factory,
+    merge_partials,
+    partial_build,
+    tdigest_factory,
+)
+from bloomfilter_spark.operators.membership import (
+    bloom_semi_join,
+    filter_might_contain,
+)
+from bloomfilter_spark.sketches import serde
+from bloomfilter_spark.sketches.bloom import BloomFilter
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(documents):
+    return documents.toPandas()
+
+
+def test_distributed_bloom_bit_identical_to_local(spark, documents, docs_pdf):
+    factory = bloom_factory(n=10000, p=0.01)
+    local = factory()
+    local.update(docs_pdf["text"])
+
+    for parts in (1, 4, 16):
+        dist = build_sketch(documents.repartition(parts), "text", factory)
+        assert np.array_equal(dist.words, local.words), f"parts={parts}"
+        assert dist.n_added == len(docs_pdf)
+
+
+def test_row_order_invariance(spark, documents):
+    factory = bloom_factory(n=10000, p=0.01)
+    a = build_sketch(documents.repartition(7), "text", factory)
+    shuffled = documents.orderBy(F.rand(seed=1)).repartition(13)
+    b = build_sketch(shuffled, "text", factory)
+    assert np.array_equal(a.words, b.words)
+
+
+def test_distributed_hll_bit_identical_and_bounded(spark, documents, docs_pdf):
+    factory = hll_factory(precision=12)
+    local = factory()
+    local.update(docs_pdf["doc_id"].astype(str))
+    dist = build_sketch(
+        documents.repartition(8).withColumn("key", F.col("doc_id").cast("string")),
+        "key",
+        factory,
+    )
+    assert np.array_equal(dist.registers, local.registers)
+    exact = docs_pdf["doc_id"].nunique()
+    assert abs(dist.estimate() - exact) / exact <= 4 * dist.relative_error
+
+
+def test_distributed_cms_exact_totals(spark, documents, docs_pdf):
+    factory = cms_factory(epsilon=0.001, delta=0.001)
+    dist = build_sketch(documents.repartition(8), "lang", factory)
+    local = factory()
+    local.update(docs_pdf["lang"])
+    assert np.array_equal(dist.counts, local.counts)
+    exact = docs_pdf["lang"].value_counts()
+    est = dist.query(exact.index.tolist())
+    assert (est >= exact.to_numpy()).all()
+    assert (est <= exact.to_numpy() + dist.error_bound() + 1).all()
+
+
+def test_distributed_kll_multiset_deterministic(spark, documents, docs_pdf):
+    factory = kll_factory(k=200)
+    # same partitioning run twice → identical sketch (determinism),
+    # regardless of task completion order
+    a = build_sketch(documents.repartition(8, "doc_id"), "n_chars", factory)
+    b = build_sketch(documents.repartition(8, "doc_id"), "n_chars", factory)
+    assert a == b
+    exact = np.sort(docs_pdf["n_chars"].to_numpy(dtype=float))
+    n = len(exact)
+    for q in (0.25, 0.5, 0.75):
+        est = a.quantile(q)
+        lo = np.searchsorted(exact, est, "left") / n
+        hi = np.searchsorted(exact, est, "right") / n
+        assert lo - 0.04 <= q <= hi + 0.04
+
+
+def test_distributed_tdigest(spark, events):
+    factory = tdigest_factory(delta=200)
+    td = build_sketch(events.repartition(8), "value", factory)
+    exact = np.sort(events.select("value").toPandas()["value"].to_numpy())
+    n = len(exact)
+    for q in (0.01, 0.5, 0.99):
+        est = td.quantile(q)
+        lo = np.searchsorted(exact, est, "left") / n
+        hi = np.searchsorted(exact, est, "right") / n
+        tol = 0.01 if min(q, 1 - q) < 0.05 else 0.025
+        assert lo - tol <= q <= hi + tol
+
+
+def test_partial_counters(spark, documents):
+    partials = partial_build(documents.repartition(4), "text", bloom_factory(1000))
+    pdf = partials.toPandas()
+    assert len(pdf) == 4
+    assert pdf["rows"].sum() == documents.count()
+    assert (pdf["wall_ms"] >= 0).all()
+    assert sorted(pdf["partition_id"].tolist()) == [0, 1, 2, 3]
+
+
+def test_zero_false_negatives_distributed(spark, documents, docs_pdf):
+    sketch = build_sketch(documents.repartition(16), "text", bloom_factory(10000, 0.01))
+    kept = filter_might_contain(documents, "text", sketch)
+    # every inserted key must be found — "FALSE NEGATIVE" is fatal
+    assert kept.count() == documents.count()
+
+
+def test_membership_fpp_on_negatives(spark, documents, docs_pdf):
+    sketch = build_sketch(documents, "text", bloom_factory(10000, 0.01))
+    probes = spark.range(5000).withColumn(
+        "probe", F.concat(F.lit("never-inserted-"), F.col("id").cast("string"))
+    )
+    fp = filter_might_contain(probes, "probe", sketch).count()
+    assert fp / 5000 <= 2 * 0.01
+
+
+def test_bloom_semi_join_exact(spark):
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    hot = orders.filter(F.col("o_totalprice") > 100000)
+    got = bloom_semi_join(lineitem, "l_orderkey", hot, "o_orderkey", fpp=0.01).count()
+    expected = lineitem.join(
+        hot.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    assert got == expected
+
+
+def test_grouped_sketches(spark, documents, docs_pdf):
+    grouped = build_grouped(documents, "lang", "doc_id", hll_factory(12)).toPandas()
+    exact = docs_pdf.groupby("lang")["doc_id"].nunique()
+    assert set(grouped["lang"]) == set(exact.index)
+    for _, row in grouped.iterrows():
+        sk = serde.deserialize(row["blob"])
+        e = exact[row["lang"]]
+        assert abs(sk.estimate() - e) / max(e, 1) <= max(4 * sk.relative_error, 0.05)
+
+
+def test_grouped_salted_equals_unsalted(spark, documents):
+    a = build_grouped(documents, "lang", "doc_id", hll_factory(12), salts=0).toPandas()
+    b = build_grouped(documents, "lang", "doc_id", hll_factory(12), salts=8).toPandas()
+    a = a.sort_values("lang").reset_index(drop=True)
+    b = b.sort_values("lang").reset_index(drop=True)
+    assert (a["lang"] == b["lang"]).all()
+    for i in range(len(a)):
+        # HLL max-merge is commutative → salted two-stage == single-stage,
+        # register-for-register
+        sa = serde.deserialize(a["blob"][i])
+        sb = serde.deserialize(b["blob"][i])
+        assert np.array_equal(sa.registers, sb.registers)
+    assert (a["rows"] == b["rows"]).all()
