@@ -1,0 +1,371 @@
+"""Driver-facing query catalog: every operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable, each paired with an ANSI-SQL oracle
+(DuckDB) in ORACLES.
+
+Oracle pattern for sketch estimates: a sketch estimate can't equal exact SQL
+output, so sketch queries return the *exact* quantities (computed in Spark)
+plus booleans asserting the sketch met its published error bound — e.g.
+`hll_within_bound`. The oracle computes the same exact quantities and
+expects the booleans TRUE. The invariant itself (zero false negatives,
+FPP ≤ 2× configured, ±1.04/√m, εN, rank error) is thereby checked
+end-to-end through the distributed path on every driver run.
+
+Exact operators (semi-join, dedup, Q1-style aggregation) compare
+value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from bloomfilter_spark.operators.build import (
+    bloom_factory,
+    build_grouped,
+    build_sketch,
+    cms_factory,
+    hll_factory,
+    kll_factory,
+    tdigest_factory,
+)
+from bloomfilter_spark.operators.membership import (
+    bloom_semi_join,
+    might_contain_udf,
+)
+from bloomfilter_spark.sketches import serde
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership (reference rows 1-6: create/add/contains)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build Bloom over even-doc_id keys, probe all doc keys + 5000 synthetic
+    negatives. Outputs the reference test-gate invariants
+    (bloomfilter_test.go:338-370): zero false negatives, observed FPP ≤ 2x
+    configured 1%."""
+    docs = _t(spark, sf_dir, "documents")
+    n = max(1000, docs.count())
+    inserted_df = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("key")
+    )
+    sketch = build_sketch(inserted_df, "key", bloom_factory(n, 0.01))
+
+    probes = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        (F.col("doc_id") % 2 == 0).alias("is_inserted"),
+    ).unionAll(
+        spark.range(5000).select(
+            F.concat(F.lit("neg-"), F.col("id").cast("string")).alias("key"),
+            F.lit(False).alias("is_inserted"),
+        )
+    )
+    hit = might_contain_udf(spark, sketch)
+    agg = (
+        probes.withColumn("hit", hit("key"))
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(F.col("is_inserted").cast("long")).alias("inserted"),
+            F.sum((F.col("is_inserted") & F.col("hit")).cast("long")).alias(
+                "found_inserted"
+            ),
+            F.sum((F.col("is_inserted") & ~F.col("hit")).cast("long")).alias(
+                "false_negatives"
+            ),
+            F.sum((~F.col("is_inserted") & F.col("hit")).cast("long")).alias("_fp"),
+            F.sum((~F.col("is_inserted")).cast("long")).alias("_negs"),
+        )
+        .select(
+            "n_probes",
+            "inserted",
+            "found_inserted",
+            "false_negatives",
+            (F.col("_fp") / F.col("_negs") <= 2 * 0.01).alias("fp_rate_ok"),
+        )
+    )
+    return agg
+
+
+_BLOOM_MEMBERSHIP_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM documents) + 5000                          AS n_probes,
+  (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)            AS inserted,
+  (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)            AS found_inserted,
+  CAST(0 AS BIGINT)                                                AS false_negatives,
+  TRUE                                                             AS fp_rate_ok
+"""
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct counts
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct_doc_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sk = build_sketch(docs, "doc_id", hll_factory(precision=14))
+    exact = docs.agg(F.countDistinct("doc_id").alias("exact_distinct"))
+    est = sk.estimate()
+    return exact.select(
+        "exact_distinct",
+        (
+            F.abs(F.lit(est) - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= F.lit(4 * sk.relative_error)
+        ).alias("hll_within_bound"),
+    )
+
+
+_HLL_DOC_SQL = """
+SELECT COUNT(DISTINCT doc_id) AS exact_distinct, TRUE AS hll_within_bound
+FROM documents
+"""
+
+
+def q_hll_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL (applyInPandas per key): distinct users per day."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    grouped = build_grouped(ev, "day", "user_id", hll_factory(precision=14))
+
+    @F.pandas_udf(T.DoubleType())
+    def _est(blobs):
+        return blobs.map(lambda b: float(serde.deserialize(b).estimate()))
+
+    ests = grouped.select("day", _est("blob").alias("est"))
+    exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("exact_users"))
+    bound = 4 * (1.04 / (2**14) ** 0.5)
+    return (
+        exact.join(ests, "day")
+        .select(
+            "day",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+                <= F.lit(bound)
+            ).alias("hll_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+_HLL_DAY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id)  AS exact_users,
+       TRUE                     AS hll_ok
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def q_cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketch(ev, "event_type", cms_factory(epsilon=0.0005, delta=0.001))
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_cnt"))
+    bc = spark.sparkContext.broadcast(sk.to_bytes())
+    bound = sk.error_bound()
+
+    @F.pandas_udf(T.LongType())
+    def _query(keys):
+        import pandas as pd
+
+        s = serde.deserialize(bc.value)
+        return pd.Series(s.query(keys))
+
+    return (
+        exact.withColumn("est", _query("event_type"))
+        .select(
+            "event_type",
+            "exact_cnt",
+            (
+                (F.col("est") >= F.col("exact_cnt"))
+                & (F.col("est") <= F.col("exact_cnt") + F.lit(float(bound)) + 1)
+            ).alias("cms_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CMS_SQL = """
+SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cms_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantiles: KLL on documents.n_chars, t-digest on events.value
+# ---------------------------------------------------------------------------
+
+_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def q_kll_quantiles_n_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sk = build_sketch(docs, "n_chars", kll_factory(k=200))
+    exact = docs.agg(
+        F.percentile("n_chars", F.array(*[F.lit(q) for q in _QS])).alias("ex")
+    ).first()["ex"]
+    rows = []
+    for i, q in enumerate(_QS):
+        ev = float(exact[i])
+        # self-contained bound check: the sketch's rank of the exact quantile
+        # value must be within rank error (+tie slack) of q
+        ok = abs(sk.rank(ev) - q) <= sk.rank_error() + 0.015
+        rows.append((q, round(ev, 6), bool(ok)))
+    return spark.createDataFrame(rows, "q double, exact_value double, kll_ok boolean")
+
+
+_KLL_SQL = """
+WITH qv AS (
+  SELECT quantile_cont(n_chars, [0.01, 0.25, 0.5, 0.75, 0.99]) AS vals
+  FROM documents
+)
+SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.99])      AS q,
+       ROUND(CAST(UNNEST(vals) AS DOUBLE), 6)     AS exact_value,
+       TRUE                                       AS kll_ok
+FROM qv ORDER BY q
+"""
+
+
+def q_tdigest_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketch(ev, "value", tdigest_factory(delta=200))
+    exact = ev.agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in _QS])).alias("ex")
+    ).first()["ex"]
+    rows = []
+    for i, q in enumerate(_QS):
+        evl = float(exact[i])
+        ok = abs(sk.rank(evl) - q) <= 0.02
+        rows.append((q, round(evl, 6), bool(ok)))
+    return spark.createDataFrame(
+        rows, "q double, exact_value double, tdigest_ok boolean"
+    )
+
+
+_TDIGEST_SQL = """
+WITH qv AS (
+  SELECT quantile_cont(value, [0.01, 0.25, 0.5, 0.75, 0.99]) AS vals
+  FROM events
+)
+SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.99])      AS q,
+       ROUND(CAST(UNNEST(vals) AS DOUBLE), 6)     AS exact_value,
+       TRUE                                       AS tdigest_ok
+FROM qv ORDER BY q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join (the sketch's join role) — exact after FP pruning
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hot = orders.filter(F.col("o_totalprice") > 200000)
+    joined = bloom_semi_join(li, "l_orderkey", hot, "o_orderkey", fpp=0.01)
+    return joined.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orderkeys"),
+    )
+
+
+_SEMIJOIN_SQL = """
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orderkeys
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (training-data pipeline op)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("text_md5")
+    )
+
+
+_DEDUP_SQL = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q1-style aggregation pipeline (Catalyst-native exact baseline)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "bloom_membership": q_bloom_membership,
+    "hll_distinct_doc_id": q_hll_distinct_doc_id,
+    "hll_users_by_day": q_hll_users_by_day,
+    "cms_event_type_counts": q_cms_event_type_counts,
+    "kll_quantiles_n_chars": q_kll_quantiles_n_chars,
+    "tdigest_quantiles_value": q_tdigest_quantiles_value,
+    "bloom_semijoin_orders": q_bloom_semijoin_orders,
+    "dedup_exact": q_dedup_exact,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+}
+
+ORACLES = {
+    "bloom_membership": _BLOOM_MEMBERSHIP_SQL,
+    "hll_distinct_doc_id": _HLL_DOC_SQL,
+    "hll_users_by_day": _HLL_DAY_SQL,
+    "cms_event_type_counts": _CMS_SQL,
+    "kll_quantiles_n_chars": _KLL_SQL,
+    "tdigest_quantiles_value": _TDIGEST_SQL,
+    "bloom_semijoin_orders": _SEMIJOIN_SQL,
+    "dedup_exact": _DEDUP_SQL,
+    "lineitem_pricing_summary": _Q1_SQL,
+}

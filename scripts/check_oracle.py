@@ -1,0 +1,100 @@
+"""Simulate the driver's correctness gate: run each __spark_entry__ query on
+Spark and its oracle on DuckDB at sf0.01; compare row count, column names,
+and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else str(v)
+            )
+    df = df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from bloomfilter_spark.plans.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: rows-only check — {len(got)} rows")
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {e}")
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            continue
+        if len(g) != len(w):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            continue
+        eq = g.astype(str).equals(w.astype(str))
+        if not eq:
+            failures.append(name)
+            diff = (g.astype(str) != w.astype(str)).any(axis=1)
+            print(f"FAIL {name}: values differ on {int(diff.sum())}/{len(g)} rows")
+            print("  spark :", g[diff].head(3).to_dict("records"))
+            print("  oracle:", w[diff].head(3).to_dict("records"))
+            continue
+        print(f"OK   {name}: {len(g)} rows match")
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        return 1
+    print("\nall queries match oracles")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
