@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline query catalog at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ..., ...extras}
+
+Extras (informational, not part of the driver contract): docs/sec sketch
+build throughput over the synthetic Common-Crawl-style `pages` table — the
+north-rule headline number (BASELINE.json: sketch-build throughput).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    from bloomfilter_spark.plans.session import get_spark
+    from bloomfilter_spark.queries import QUERIES
+
+    spark = get_spark(app_name="bloomfilter_spark-bench")
+
+    timings: dict[str, float] = {}
+    # warm the JVM/python-worker pools once so per-query numbers measure the
+    # query, not executor startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    total = 0.0
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # keep the bench line emitting no matter what
+            dt = time.perf_counter() - t0
+            print(f"[bench] query {name} FAILED: {exc}", file=sys.stderr)
+        timings[name] = round(dt, 3)
+        total += dt
+
+    extras = {}
+    try:
+        extras = pages_throughput(spark)
+    except Exception as exc:
+        print(f"[bench] pages throughput failed: {exc}", file=sys.stderr)
+
+    out = {
+        "metric": "catalog wall time (sf%s) + pages sketch-build docs/sec" % sf,
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    out.update(extras)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def pages_throughput(spark) -> dict:
+    """North-rule headline: docs/sec building the full sketch suite (Bloom +
+    HLL + CMS + KLL + t-digest in ONE scan) over the synthetic pages table."""
+    from bloomfilter_spark.sources.pages import ensure_pages
+    from bloomfilter_spark.operators.pipeline import build_suite
+
+    n_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "200000"))
+    path = ensure_pages(spark, n_rows)
+    df = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    suite = build_suite(df)
+    dt = time.perf_counter() - t0
+    return {
+        "pages_rows": n_rows,
+        "pages_build_sec": round(dt, 3),
+        "pages_docs_per_sec": round(n_rows / dt, 1),
+        "pages_bloom_fpp_est": round(suite["bloom_url"].estimated_fpp(), 6),
+    }
+
+
+if __name__ == "__main__":
+    main()
