@@ -1,0 +1,165 @@
+"""Text-analysis functions for training-data pipelines.
+
+Everything here that feeds an oracle-checked query is pure Catalyst
+(`pyspark.sql.functions` — JVM-side, whole-stage codegen, no Python in the
+hot path); the SQL equivalents live in queries.py.  The rolling-hash
+fingerprinting is the one numpy/pandas-UDF member (not SQL-expressible).
+
+Ops: token counting (whitespace tokenizer), quality scoring (length /
+punctuation / digit / stopword ratios), language-ID (marker-word n-gram
+heuristic), document fingerprinting (Rabin-Karp rolling hash + winnowing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# priority-ordered: ties resolve to the earlier language
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "y", "una", "por"],
+}
+
+_PUNCT_CLASS = r"[^.,;:!?]"
+_DIGIT_CLASS = r"[^0-9]"
+_ALPHA_CLASS = r"[^A-Za-z]"
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenizer (lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    )
+
+
+def marker_count(col, words: list[str]) -> Column:
+    """How many tokens of `col` are in `words` (with repeats)."""
+    return F.size(
+        F.filter(tokens(col), lambda t: t.isin(*words))
+    )
+
+
+def lang_id(col) -> Column:
+    """Marker-word language heuristic; 'und' when no marker fires.
+
+    Deterministic tie-break: priority order of LANG_MARKERS."""
+    scores = {lg: marker_count(col, ws) for lg, ws in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lg in reversed(list(LANG_MARKERS)):
+        expr = F.when(scores[lg] == best, F.lit(lg)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_chars, n_tokens, punct_ratio, digit_ratio, alpha_ratio,
+    stopword_ratio, quality_ok — all Catalyst, all codegen'd."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    # regexp_replace with the negated class keeps ONLY that char family;
+    # its length is the family count
+    punct = F.length(F.regexp_replace(c, _PUNCT_CLASS, "")).cast("double")
+    digit = F.length(F.regexp_replace(c, _DIGIT_CLASS, "")).cast("double")
+    alpha = F.length(F.regexp_replace(c, _ALPHA_CLASS, "")).cast("double")
+    stop = marker_count(c, LANG_MARKERS["en"]).cast("double")
+    out = (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("punct_ratio", F.round(punct / safe_chars, 6))
+        .withColumn("digit_ratio", F.round(digit / safe_chars, 6))
+        .withColumn("alpha_ratio", F.round(alpha / safe_chars, 6))
+        .withColumn("stopword_ratio", F.round(stop / safe_tokens, 6))
+    )
+    return out.withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 5)
+        & (F.col("alpha_ratio") >= 0.5)
+        & (F.col("digit_ratio") <= 0.3),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprinting (Rabin-Karp + winnowing) — vectorized numpy
+# ---------------------------------------------------------------------------
+
+_RK_BASE = np.uint64(1000003)
+_K_DEFAULT = 8  # gram size in bytes
+_W_DEFAULT = 16  # winnowing window
+
+
+def _rolling_hashes(flat: np.ndarray, offsets: np.ndarray, k: int) -> tuple:
+    """All k-byte Rabin-Karp hashes per doc, computed on the whole batch at
+    once: sliding windows over the flat byte buffer (matmul with the power
+    vector, wrap-around uint64 arithmetic), then doc-boundary windows
+    masked out via offsets."""
+    n_docs = len(offsets) - 1
+    if len(flat) < k:
+        return np.empty(0, np.uint64), np.zeros(n_docs + 1, np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(flat, k).astype(np.uint64)
+    powers = np.empty(k, np.uint64)
+    powers[k - 1] = 1
+    with np.errstate(over="ignore"):
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * _RK_BASE
+    with np.errstate(over="ignore"):
+        hashes = (win * powers).sum(axis=1, dtype=np.uint64)
+    # valid window starts per doc: [offsets[i], offsets[i+1] - k]
+    starts = offsets[:-1]
+    ends = np.maximum(offsets[1:] - k + 1, starts)
+    counts = ends - starts
+    out_offsets = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(counts, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    take = np.repeat(starts, counts) + (
+        np.arange(total) - np.repeat(out_offsets[:-1], counts)
+    )
+    return hashes[take], out_offsets
+
+
+def fingerprint_series(
+    texts: pd.Series, k: int = _K_DEFAULT, w: int = _W_DEFAULT
+) -> pd.Series:
+    """Winnowed fingerprints per document: the set of window-minimum rolling
+    hashes (as sorted int64), the classic MOSS scheme.  Deterministic pure
+    function of the text bytes."""
+    from bloomfilter_spark.functions.hashing import bytes_view_of_strings
+
+    flat, offsets = bytes_view_of_strings(texts)
+    hashes, h_off = _rolling_hashes(flat, offsets, k)
+    out = []
+    for i in range(len(h_off) - 1):
+        h = hashes[h_off[i] : h_off[i + 1]]
+        if len(h) == 0:
+            out.append([])
+            continue
+        if len(h) <= w:
+            mins = np.array([h.min()])
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        out.append(np.unique(mins).view(np.int64).tolist())
+    return pd.Series(out, index=texts.index)
+
+
+def with_fingerprints(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprints",
+    k: int = _K_DEFAULT, w: int = _W_DEFAULT,
+) -> DataFrame:
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _fp(s: pd.Series) -> pd.Series:
+        return fingerprint_series(s, k=k, w=w)
+
+    return df.withColumn(out_col, _fp(text_col))

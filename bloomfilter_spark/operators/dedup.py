@@ -1,0 +1,333 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Three families, by exactness/scale trade-off:
+
+- exact n-gram Jaccard (`ngram_jaccard_pairs`): pure Catalyst — shingle
+  explode → shingle-equijoin candidate generation → intersection counts →
+  Jaccard.  Exactly SQL-expressible (DuckDB oracle in queries.py).  At
+  100 TB the shingle join is the bottleneck; that's what MinHash replaces.
+- MinHash + LSH (`minhash_signatures`, `lsh_candidate_pairs`,
+  `minhash_dedup_pairs`): vectorized numpy signatures (murmur3 shingle
+  hashes × 2-universal permutations, segment-min via reduceat), banded LSH
+  bucketing as a Spark groupBy — the standard sub-quadratic near-dup path.
+  Probabilistic recall (tested on planted near-dups), so it gets a
+  rows-only driver check, not a SQL oracle.
+- SimHash (`simhash64`, `simhash_dedup_pairs`): 64-bit sign-sum sketch per
+  doc; Hamming-distance candidate pairs via the pigeonhole block join
+  (4 × 16-bit segments finds every pair with distance ≤ 3 exactly), final
+  distance check with JVM-side bit_count(xor).
+
+All per-doc heavy lifting is Arrow-batched numpy (no per-row Python,
+BASELINE.json:15); candidate joins/buckets ride Catalyst shuffles so AQE
+handles skewed buckets (a hot shingle/bucket is a skewed join key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from bloomfilter_spark.functions.hashing import (
+    DEFAULT_SEED,
+    bytes_view_of_strings,
+    murmur3_x64_128,
+)
+
+# 2-universal permutation parameters for MinHash: sig_j = min((a_j*h + b_j))
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.arange(2 * num_perm, dtype=np.uint64)
+    flat = ids.astype("<u8").view(np.uint8)
+    offsets = np.arange(2 * num_perm + 1, dtype=np.int64) * 8
+    h1, _ = murmur3_x64_128(flat, offsets, seed=seed)
+    a = (h1[:num_perm] | np.uint64(1)) & _MERSENNE61  # odd, < 2^61
+    b = h1[num_perm:] & _MERSENNE61
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by exact + MinHash paths)
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles as an array column — pure Catalyst."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, x) DESCENDS when x < 1, so short docs need the guard
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _shingle_sets(texts: pd.Series, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(flat distinct shingle strings, offsets) per doc — pandas/numpy."""
+    toks = texts.fillna("").str.lower().str.strip().str.split()
+    out_shingles: list[str] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, ts in enumerate(toks):
+        if ts is None or len(ts) < n:
+            offsets[i + 1] = offsets[i]
+            continue
+        seen = dict.fromkeys(
+            " ".join(ts[j : j + n]) for j in range(len(ts) - n + 1)
+        )
+        out_shingles.extend(seen)
+        offsets[i + 1] = offsets[i] + len(seen)
+    return np.array(out_shingles, dtype=object), offsets
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (Catalyst; the DuckDB-oracle-checked dedup path)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Candidate generation = equi-join on shingle (only pairs sharing ≥1
+    shingle are scored — exact, since J>0 requires a shared shingle).
+    Columns: id_a, id_b (id_a < id_b), jaccard (rounded 6dp).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), shingles_col(text_col, n).alias("sh"))
+        .withColumn("sz", F.size("sh"))
+        .filter(F.col("sz") > 0)
+    )
+    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    a = ex.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("s")
+    )
+    b = ex.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("s")
+    )
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 128,
+    n: int = 3,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """(id, sig array<long>[num_perm]) — empty array when doc has no shingle.
+
+    Per Arrow batch: murmur3 over all distinct shingles at once, then the
+    num_perm 2-universal permutations as one (S × P) broadcast multiply and
+    a per-doc segmented min (np.minimum.reduceat) — no per-row Python."""
+    a_p, b_p = _perm_params(num_perm, seed)
+
+    def sig_iter(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            flat, offsets = _shingle_sets(texts, n)
+            sigs: list[list[int]] = []
+            if len(flat):
+                fb, fo = bytes_view_of_strings(pd.Series(flat))
+                h, _ = murmur3_x64_128(fb, fo, seed=seed)
+                with np.errstate(over="ignore"):
+                    pm = (h[:, None] * a_p[None, :] + b_p[None, :]) & _MERSENNE61
+                counts = offsets[1:] - offsets[:-1]
+                nz = np.nonzero(counts > 0)[0]
+                mins = np.minimum.reduceat(pm, offsets[:-1][nz], axis=0)
+                sig_arr = [[] for _ in range(len(texts))]
+                for row, m in zip(nz, mins):
+                    sig_arr[row] = m.view(np.int64).tolist()
+                sigs = sig_arr
+            else:
+                sigs = [[] for _ in range(len(texts))]
+            yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        sig_iter, schema="id long, sig array<long>"
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs from banded LSH.
+
+    Band hash = xxhash64 of the band's signature slice (JVM-side); bucket
+    join = groupBy-free self-equijoin on (band, hash).  Pairs sharing ≥1
+    band collide — P[collide] = 1-(1-J^r)^b."""
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    F.slice("sig", j * rows_per_band + 1, rows_per_band),
+                    F.lit(j),
+                ).alias("h"),
+            )
+            for j in range(bands)
+        ]
+    )
+    bucketed = (
+        sigs.filter(F.size("sig") > 0)
+        .select("id", F.explode(bands_col).alias("bh"))
+        .select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    )
+    l = bucketed.select(F.col("id").alias("id_a"), "band", "h")
+    r = bucketed.select(F.col("id").alias("id_b"), "band", "h")
+    return (
+        l.join(r, ["band", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def estimated_jaccard(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Attach sig-agreement Jaccard estimate to candidate pairs."""
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard", F.round(agree / F.size("sig_a"), 6)
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup pairs: signatures → LSH candidates → estimate ≥
+    threshold.  Sub-quadratic: only colliding pairs are ever scored."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm=num_perm, n=n)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    return estimated_jaccard(sigs, cands).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """(id, simhash long): sign-sum of token-hash bit vectors per doc."""
+
+    def sim_iter(batches):
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            toks = pdf[text_col].fillna("").str.lower().str.strip().str.split()
+            counts = toks.map(len).to_numpy(dtype=np.int64)
+            flat_tokens = [t for ts in toks for t in ts]
+            out = np.zeros(len(pdf), dtype=np.int64)
+            if flat_tokens:
+                fb, fo = bytes_view_of_strings(pd.Series(flat_tokens))
+                h, _ = murmur3_x64_128(fb, fo, seed=seed)
+                bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                ) * 2 - 1  # ±1 per bit
+                offsets = np.zeros(len(pdf), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offsets[1:])
+                nz = np.nonzero(counts > 0)[0]
+                if len(nz):
+                    sums = np.add.reduceat(bits, offsets[nz], axis=0)
+                    packed = ((sums > 0).astype(np.uint64) << bit_idx).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                    out[nz] = packed.view(np.int64)
+            yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        sim_iter, schema="id long, simhash long"
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming — EXACT for max_hamming ≤ 3
+    via the 4×16-bit pigeonhole block join (any pair with ≤3 differing bits
+    agrees on ≥1 of 4 segments), then JVM-side bit_count(xor) verification."""
+    sh = simhash64(df, id_col, text_col)
+    seg = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("seg"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * j)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("v"),
+            )
+            for j in range(4)
+        ]
+    )
+    blocked = sh.select(
+        "id", "simhash", F.explode(seg).alias("sv")
+    ).select("id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.v").alias("v"))
+    l = blocked.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "seg", "v"
+    )
+    r = blocked.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "seg", "v"
+    )
+    return (
+        l.join(r, ["seg", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -358,6 +358,10 @@ QUERIES = {
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
 }
 
+from bloomfilter_spark.queries_dataops import ORACLES2, QUERIES2  # noqa: E402
+
+QUERIES.update(QUERIES2)
+
 ORACLES = {
     "bloom_membership": _BLOOM_MEMBERSHIP_SQL,
     "hll_distinct_doc_id": _HLL_DOC_SQL,
@@ -369,3 +373,5 @@ ORACLES = {
     "dedup_exact": _DEDUP_SQL,
     "lineitem_pricing_summary": _Q1_SQL,
 }
+
+ORACLES.update(ORACLES2)

@@ -1,0 +1,362 @@
+"""Driver-facing catalog, part 2: training-data pipeline operators
+(dedup, similarity search, text analysis, multimodal, pages suite).
+
+Same oracle pattern as queries.py: exact/deterministic operators get a
+DuckDB ANSI-SQL oracle (value-hash compared by the driver); probabilistic
+operators (MinHash-LSH, SimHash, IVF) are rows-only here and get their
+recall/precision contracts pytest-checked against planted duplicates
+(tests/test_dataops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bloomfilter_spark.functions.textstats import (
+    LANG_MARKERS,
+    lang_id,
+    quality_features,
+    token_count,
+    with_fingerprints,
+)
+from bloomfilter_spark.operators.ann import brute_topk, ivf_topk, neardup_pairs
+from bloomfilter_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from bloomfilter_spark.operators.multimodal import (
+    byte_histogram_features,
+    sample_frames,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (pure Catalyst → exact SQL oracles)
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TOKEN_STATS_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END)
+         AS total_tokens,
+       ROUND(AVG(length(text)), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        quality_features(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            "punct_ratio",
+            "digit_ratio",
+            "alpha_ratio",
+            "stopword_ratio",
+            "quality_ok",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EN_LIST = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+
+_TEXT_QUALITY_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END
+           AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))    AS digit,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t IN ({_EN_LIST})))            AS stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+       ROUND(digit / GREATEST(n_chars, 1), 6) AS digit_ratio,
+       ROUND(alpha / GREATEST(n_chars, 1), 6) AS alpha_ratio,
+       ROUND(stop  / GREATEST(n_tokens, 1), 6) AS stopword_ratio,
+       (n_tokens >= 5
+        AND alpha / GREATEST(n_chars, 1) >= 0.5
+        AND digit / GREATEST(n_chars, 1) <= 0.3) AS quality_ok
+FROM f ORDER BY doc_id
+"""
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"t -> t IN ({words})))"
+    )
+
+
+_LANG_ID_SQL = f"""
+WITH s AS (
+  SELECT {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('es')} AS s_es
+  FROM documents
+), p AS (
+  SELECT CASE
+           WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+           WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+           WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+           WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+           ELSE 'es'
+         END AS lang_pred
+  FROM s
+)
+SELECT lang_pred, COUNT(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (za.sz + zb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz za ON za.doc_id = id_a
+JOIN sz zb ON zb.doc_id = id_b
+WHERE inter * 1.0 / (za.sz + zb.sz - inter) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic (LSH recall < 1) → rows-only driver check; recall
+    contract pytest-checked on planted near-dups."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_fingerprints(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.size("fingerprints").alias("n_fingerprints"),
+            F.array_min("fingerprints").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(spark, sf_dir, n=5):
+    emb = _t(spark, sf_dir, "embeddings")
+    pdf = emb.filter(F.col("vec_id") < n).toPandas()
+    pdf = pdf.rename(columns={"vec_id": "qid", "embedding": "vector"})
+    return emb, pdf[["qid", "vector"]]
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _query_vectors(spark, sf_dir, n=5)
+    return brute_topk(emb, queries, k=10).orderBy("qid", "rank")
+
+
+_ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qv, e.embedding) AS sim_raw
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT qid, vec_id, sim_raw,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim_raw DESC, vec_id) AS rank
+  FROM s
+)
+SELECT qid, rank, vec_id, ROUND(sim_raw, 4) AS sim
+FROM r WHERE rank <= 10 ORDER BY qid, rank
+"""
+
+
+def q_ann_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+_ANN_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (bucketed) variant — rows-only; recall vs brute force
+    pytest-checked."""
+    emb, queries = _query_vectors(spark, sf_dir, n=3)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4).orderBy(
+        "qid", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text→blob (stand-in for a media payload) →
+    byte-histogram features + frame sampling; deterministic, rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("html").alias("kind"),
+        F.encode("text", "utf-8").alias("blob"),
+    )
+    feat = byte_histogram_features(media)
+    framed = sample_frames(feat)
+    return framed.select(
+        "media_id",
+        F.size("features").alias("n_features"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("frames").alias("n_frames"),
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Pages suite (north-rule pipeline over the synthetic Common-Crawl table)
+# ---------------------------------------------------------------------------
+
+
+def q_pages_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan sketch suite over the synthetic pages table; returns the
+    invariant summary (exact values + bound-check booleans).  Rows-only:
+    pages is generated, not a driver view."""
+    from bloomfilter_spark.operators.pipeline import build_suite
+    from bloomfilter_spark.sources.pages import ensure_pages
+
+    path = ensure_pages(spark, 10_000)
+    pages = spark.read.parquet(path)
+    suite = build_suite(pages, n_expected=10_000)
+    exact = pages.agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("url").alias("exact_urls"),
+    ).first()
+    hll_est = suite["hll_url"].estimate()
+    fpp = suite["bloom_url"].estimated_fpp()
+    bound = 4 * 1.04 / (2**14) ** 0.5
+    rows = [
+        (
+            int(exact["n_pages"]),
+            int(exact["exact_urls"]),
+            bool(abs(hll_est - exact["exact_urls"]) / exact["exact_urls"] <= bound),
+            bool(fpp <= 0.02),
+            bool(suite["kll_textlen"].rank(suite["kll_textlen"].quantile(0.5)) - 0.5
+                 <= suite["kll_textlen"].rank_error() + 0.02),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_pages long, exact_urls long, hll_ok boolean, "
+        "bloom_fpp_ok boolean, kll_ok boolean",
+    )
+
+
+QUERIES2 = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "lang_id_counts": q_lang_id_counts,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "doc_fingerprints": q_doc_fingerprints,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "ann_neardup_pairs": q_ann_neardup_pairs,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_features": q_multimodal_features,
+    "pages_sketch_suite": q_pages_sketch_suite,
+}
+
+ORACLES2 = {
+    "text_token_stats": _TOKEN_STATS_SQL,
+    "text_quality": _TEXT_QUALITY_SQL,
+    "lang_id_counts": _LANG_ID_SQL,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "ann_topk_cosine": _ANN_TOPK_SQL,
+    "ann_neardup_pairs": _ANN_NEARDUP_SQL,
+}

@@ -1,0 +1,297 @@
+"""Training-data pipeline operator tests.
+
+Probabilistic operators get their contracts checked here (the driver's
+rows-only check can't): MinHash-LSH recall on planted near-dups, SimHash
+hamming pairs exactness vs brute force, IVF recall vs brute-force top-k,
+fingerprint determinism/sensitivity, multimodal feature correctness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# planted near-dup corpus
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark, n_base=60, n_dups=15, words_per_doc=80):
+    """Deterministic corpus with known near-dup pairs: doc i+1000 is doc i
+    with 2 words changed (high Jaccard)."""
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(n_base):
+        ws = [vocab[j] for j in rng.randint(0, 400, words_per_doc)]
+        rows.append((i, " ".join(ws)))
+        if i < n_dups:
+            ws2 = list(ws)
+            ws2[3] = "changed1"
+            ws2[40] = "changed2"
+            rows.append((i + 1000, " ".join(ws2)))
+    return spark.createDataFrame(rows, "doc_id long, text string"), n_dups
+
+
+def test_minhash_lsh_recall_on_planted_dups(spark):
+    from bloomfilter_spark.operators.dedup import minhash_dedup_pairs
+
+    df, n_dups = _corpus(spark)
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5).toPandas()
+    planted = {(i, i + 1000) for i in range(n_dups)}
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.95
+    # precision: random 80-word docs from a 400-word vocab shouldn't pair
+    assert len(found - planted) == 0
+
+
+def test_minhash_estimate_close_to_exact(spark):
+    from bloomfilter_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df, n_dups = _corpus(spark)
+    est = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.3).toPandas()
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).toPandas()
+    both = est.merge(exact, on=["id_a", "id_b"])
+    assert len(both) >= 0.9 * len(exact)
+    # 128 perms → se ~ sqrt(J(1-J)/128) ≈ 0.04; allow 4σ
+    assert (abs(both.est_jaccard - both.jaccard) <= 0.18).all()
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    """The 4×16 pigeonhole join must find EXACTLY the pairs with
+    hamming ≤ 3 (it's exhaustive for ≤3, no false dismissals)."""
+    from bloomfilter_spark.operators.dedup import simhash64, simhash_dedup_pairs
+
+    df, _ = _corpus(spark)
+    sh = simhash64(df, "doc_id", "text").toPandas()
+    h = sh.set_index("id")["simhash"]
+    expected = set()
+    ids = sorted(h.index)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin((int(h[ids[x]]) ^ int(h[ids[y]])) & (2**64 - 1)).count("1")
+            if d <= 3:
+                expected.add((ids[x], ids[y]))
+    got = simhash_dedup_pairs(df, "doc_id", "text", max_hamming=3).toPandas()
+    got_pairs = {(a, b) for a, b in zip(got.id_a, got.id_b)}
+    assert got_pairs == expected
+    assert len(expected) >= 5  # a decent share of planted dups collide ≤3 bits
+
+
+def test_ngram_jaccard_exactness(spark):
+    """Spark pipeline vs a trivial python set computation."""
+    from bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),   # shares 3 of 4+4-3... shingles with 1
+        (3, "x y z w v u"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.01).toPandas()
+
+    def sh(t):
+        ts = t.lower().split()
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    texts = dict(rows)
+    expected = {}
+    for a in texts:
+        for b in texts:
+            if a < b and sh(texts[a]) and sh(texts[b]):
+                inter = len(sh(texts[a]) & sh(texts[b]))
+                if inter:
+                    expected[(a, b)] = inter / len(sh(texts[a]) | sh(texts[b]))
+    got_map = {(a, b): j for a, b, j in zip(got.id_a, got.id_b, got.jaccard)}
+    assert set(got_map) == set(expected)
+    for k in expected:
+        assert abs(got_map[k] - expected[k]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprints_deterministic_and_sensitive():
+    from bloomfilter_spark.functions.textstats import fingerprint_series
+
+    a = fingerprint_series(pd.Series(["hello world this is a document " * 5]))
+    b = fingerprint_series(pd.Series(["hello world this is a document " * 5]))
+    assert a.iloc[0] == b.iloc[0]
+    c = fingerprint_series(pd.Series(["hello world this is X document " * 5]))
+    assert a.iloc[0] != c.iloc[0]
+    # near-dup texts share most fingerprints (the winnowing property)
+    sa, sc = set(a.iloc[0]), set(c.iloc[0])
+    assert len(sa & sc) / len(sa | sc) > 0.3
+    # short/empty
+    e = fingerprint_series(pd.Series(["", "abc"]))
+    assert e.iloc[0] == []
+
+
+def test_fingerprints_batch_independence():
+    from bloomfilter_spark.functions.textstats import fingerprint_series
+
+    texts = [f"document number {i} with some shared boilerplate text" for i in range(20)]
+    whole = fingerprint_series(pd.Series(texts))
+    parts = pd.concat(
+        [fingerprint_series(pd.Series(texts[:7])),
+         fingerprint_series(pd.Series(texts[7:]))],
+        ignore_index=True,
+    )
+    assert list(whole) == list(parts)
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _queries_from(emb, n=3):
+    pdf = emb.filter(F.col("vec_id") < n).toPandas()
+    pdf = pdf.rename(columns={"vec_id": "qid", "embedding": "vector"})
+    return pdf[["qid", "vector"]]
+
+
+def test_brute_topk_matches_numpy(spark, emb):
+    from bloomfilter_spark.operators.ann import brute_topk, _normalize
+
+    q = _queries_from(emb, 3)
+    got = brute_topk(emb, q, k=5).toPandas()
+    pdf = emb.toPandas()
+    m = _normalize(np.vstack(pdf.embedding.to_numpy()))
+    ids = pdf.vec_id.to_numpy()
+    qm = _normalize(np.vstack(q.vector.to_numpy()))
+    sims = qm @ m.T
+    for qi, qid in enumerate(q.qid):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        expect = list(ids[order])
+        have = list(got[got.qid == qid].sort_values("rank").vec_id)
+        assert have == expect, qid
+
+
+def test_brute_topk_partitioning_invariant(spark, emb):
+    from bloomfilter_spark.operators.ann import brute_topk
+
+    q = _queries_from(emb, 2)
+    a = brute_topk(emb.repartition(1), q, k=5).toPandas().sort_values(["qid", "rank"])
+    b = brute_topk(emb.repartition(13), q, k=5).toPandas().sort_values(["qid", "rank"])
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_ivf_recall(spark, emb):
+    from bloomfilter_spark.operators.ann import brute_topk, ivf_topk
+
+    q = _queries_from(emb, 5)
+    brute = brute_topk(emb, q, k=10).toPandas()
+    ivf = ivf_topk(emb, q, k=10, n_centroids=8, nprobe=5).toPandas()
+    both = ivf.merge(brute, on=["qid", "vec_id"])
+    assert len(both) / len(brute) >= 0.8
+
+
+def test_neardup_pairs_symmetric_exact(spark, emb):
+    from bloomfilter_spark.operators.ann import neardup_pairs, _normalize
+
+    got = neardup_pairs(emb, threshold=0.35).toPandas()
+    pdf = emb.toPandas()
+    m = _normalize(np.vstack(pdf.embedding.to_numpy()))
+    ids = pdf.vec_id.to_numpy()
+    sims = m @ m.T
+    ai, bi = np.nonzero(sims >= 0.35)
+    expected = {(int(ids[x]), int(ids[y])) for x, y in zip(ai, bi) if ids[x] < ids[y]}
+    assert {(a, b) for a, b in zip(got.id_a, got.id_b)} == expected
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_byte_histogram_features(spark):
+    from bloomfilter_spark.operators.multimodal import byte_histogram_features
+
+    rows = [(1, bytes([0] * 10)), (2, bytes([255] * 5)), (3, b""), (4, bytes(range(256)))]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = byte_histogram_features(df).toPandas().set_index("media_id")
+    assert out.loc[1, "features"][0] == 1.0
+    assert out.loc[2, "features"][15] == 1.0
+    assert sum(out.loc[3, "features"]) == 0.0
+    np.testing.assert_allclose(out.loc[4, "features"], [1 / 16] * 16, atol=1e-6)
+
+
+def test_sample_frames(spark):
+    from bloomfilter_spark.operators.multimodal import sample_frames
+
+    rows = [(1, bytes(range(256)) * 4), (2, b"tiny"), (3, b"")]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = sample_frames(df, n_frames=4, frame_bytes=64).toPandas().set_index("media_id")
+    f1 = out.loc[1, "frames"]
+    assert len(f1) == 4 and all(len(fr) == 64 for fr in f1)
+    assert bytes(f1[0]) == bytes(range(64))  # deterministic offsets
+    assert len(out.loc[2, "frames"]) >= 1
+    assert list(out.loc[3, "frames"]) == []
+
+
+def test_decode_stub_raises():
+    from bloomfilter_spark.operators.multimodal import decode_image, _HAS_PIL
+
+    if not _HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")
+
+
+# ---------------------------------------------------------------------------
+# text stats scalar cross-check
+# ---------------------------------------------------------------------------
+
+
+def test_quality_features_scalar_oracle(spark):
+    from bloomfilter_spark.functions.textstats import quality_features
+
+    rows = [
+        (1, "The cat, and the dog!  To a 42nd house."),
+        (2, ""),
+        (3, "1234 5678"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_features(df).toPandas().set_index("doc_id")
+    t1 = rows[0][1]
+    assert out.loc[1, "n_chars"] == len(t1)
+    assert out.loc[1, "n_tokens"] == len(t1.split())
+    punct = sum(ch in ".,;:!?" for ch in t1)
+    assert abs(out.loc[1, "punct_ratio"] - punct / len(t1)) < 1e-5
+    digit = sum(ch.isdigit() for ch in t1)
+    assert abs(out.loc[1, "digit_ratio"] - digit / len(t1)) < 1e-5
+    stop = sum(w in ("the", "and", "of", "to", "a") for w in t1.lower().split())
+    assert abs(out.loc[1, "stopword_ratio"] - stop / len(t1.split())) < 1e-5
+    assert out.loc[2, "n_tokens"] == 0 and not out.loc[2, "quality_ok"]
+    assert not out.loc[3, "quality_ok"]  # all digits
+
+
+def test_lang_id_on_real_sentences(spark):
+    from bloomfilter_spark.functions.textstats import lang_id
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to a tree"),
+        (2, "der hund und die katze sind in das haus und der garten ist"),
+        (3, "le chat et la maison les arbres des fleurs et le jardin"),
+        (4, "el perro y los gatos una casa por el camino y los campos"),
+        (5, "zzz qqq xxx www"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select("doc_id", lang_id("text").alias("l")).toPandas()
+    assert list(got.sort_values("doc_id").l) == ["en", "de", "fr", "es", "und"]
