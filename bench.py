@@ -32,9 +32,21 @@ def main() -> None:
     spark = get_spark(app_name="bloomfilter_spark-bench")
 
     timings: dict[str, float] = {}
-    # warm the JVM/python-worker pools once so per-query numbers measure the
-    # query, not executor startup
+    # warm the JVM and the python-worker pool once so per-query numbers
+    # measure the query, not executor/worker startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    par = spark.sparkContext.defaultParallelism
+
+    def _noop(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, par * 2, numPartitions=par * 2).mapInPandas(
+        _noop, schema="id long"
+    ).count()
 
     total = 0.0
     for name, fn in QUERIES.items():

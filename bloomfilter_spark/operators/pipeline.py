@@ -24,6 +24,7 @@ max / CMS sum) are bit-identical under any merge order anyway
 from __future__ import annotations
 
 import math
+import zlib
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -42,15 +43,31 @@ from bloomfilter_spark.sketches import serde
 
 DEFAULT_FANIN = 64
 
+# Partial blobs are sparse (a P-partition build puts ~1/P of the keys in
+# each partial ⇒ low bit/counter density) and compress 10-20×; the merge
+# tree would otherwise move P × m bytes of mostly-zero words.  zlib level 1
+# costs ~ms per blob and is deterministic.
+
+
+def _pack(sketch) -> bytes:
+    return zlib.compress(sketch.to_bytes(), 1)
+
+
+def _unpack(blob: bytes):
+    return serde.deserialize(zlib.decompress(blob))
+
 
 def build_multi(
     df: DataFrame,
     specs: dict[str, tuple[str, Callable[[], object]]],
-    fanin: int = DEFAULT_FANIN,
+    fanin: int | None = None,
 ) -> dict[str, object]:
     """Build many sketches in ONE scan.
 
     specs: name -> (column, factory).  Returns name -> merged sketch.
+    fanin=None auto-sizes the merge tree: the first reduce round makes
+    ~2×parallelism buckets so every core merges, instead of a handful of
+    fat tasks serializing the reduction.
     """
     names = list(specs)
     cols = sorted({c for c, _ in specs.values()})
@@ -73,13 +90,14 @@ def build_multi(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         out = {"partition_id": [pid]}
-        out.update({n: [sks[n].to_bytes()] for n in names})
+        out.update({n: [_pack(sks[n])] for n in names})
         out["rows"] = [rows]
         yield pd.DataFrame(out)
 
     partials = pruned.mapInPandas(build_iter, schema=schema)
     n_parts = pruned.rdd.getNumPartitions()
-    return _merge_tree(partials, schema, names, factories, n_parts, fanin)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return _merge_tree(partials, schema, names, factories, n_parts, fanin, par)
 
 
 def _nary_merge_pdf(
@@ -91,7 +109,7 @@ def _nary_merge_pdf(
     out = {}
     for n in names:
         acc = factories[n]()
-        parts = [serde.deserialize(b) for b in pdf[n]]
+        parts = [_unpack(b) for b in pdf[n]]
         if hasattr(acc, "merge_all"):
             acc.merge_all(parts)
         else:
@@ -107,28 +125,48 @@ def _merge_tree(
     names: list[str],
     factories: dict,
     n_parts: int,
-    fanin: int,
+    fanin: int | None,
+    parallelism: int = 32,
 ) -> dict[str, object]:
+    """Bounded-fan-in reduction of partial blobs.
+
+    fanin=None (adaptive): each reduce round uses the smallest fan-in that
+    still makes ≤ 2×parallelism buckets (so the round spreads over every
+    core), floored at 8 and capped at DEFAULT_FANIN; rounds repeat until ≤
+    DEFAULT_FANIN rows remain for the driver.  An explicit fanin gives a
+    fixed-shape tree (tests use fanin=2 to force depth).
+    """
     level = partials
     remaining = n_parts
-    while remaining > fanin:
-        n_buckets = math.ceil(remaining / fanin)
+    final_fanin = fanin if fanin is not None else DEFAULT_FANIN
+    while remaining > final_fanin:
+        if fanin is None:
+            step = min(
+                DEFAULT_FANIN,
+                max(8, math.ceil(remaining / max(1, 2 * parallelism))),
+            )
+        else:
+            step = fanin
 
-        def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            merged = _nary_merge_pdf(pdf, names, factories)
-            out = {"partition_id": [int(pdf["partition_id"].min()) // fanin]}
-            out.update({n: [merged[n].to_bytes()] for n in names})
-            out["rows"] = [int(pdf["rows"].sum())]
-            return pd.DataFrame(out)
+        def make_merge_bucket(step: int):
+            # applyInPandas gives single-arg callables the group pdf; the
+            # factory pins this round's `step` (no late binding)
+            def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.drop(columns=["_bucket"])
+                merged = _nary_merge_pdf(pdf, names, factories)
+                out = {"partition_id": [int(pdf["partition_id"].min()) // step]}
+                out.update({n: [_pack(merged[n])] for n in names})
+                out["rows"] = [int(pdf["rows"].sum())]
+                return pd.DataFrame(out)
+
+            return merge_bucket
 
         level = (
-            level.withColumn("_bucket", (F.col("partition_id") / fanin).cast("long"))
+            level.withColumn("_bucket", (F.col("partition_id") / step).cast("long"))
             .groupBy("_bucket")
-            .applyInPandas(
-                lambda pdf: merge_bucket(pdf.drop(columns=["_bucket"])), schema=schema
-            )
+            .applyInPandas(make_merge_bucket(step), schema=schema)
         )
-        remaining = n_buckets
+        remaining = math.ceil(remaining / step)
 
     final_pdf = level.toPandas()
     return _nary_merge_pdf(final_pdf, names, factories)
@@ -163,7 +201,7 @@ def with_page_features(df: DataFrame) -> DataFrame:
 
 
 def build_suite(
-    df: DataFrame, n_expected: int | None = None, fanin: int = DEFAULT_FANIN
+    df: DataFrame, n_expected: int | None = None, fanin: int | None = None
 ) -> dict[str, object]:
     """Full sketch suite over a pages DataFrame in one scan."""
     if n_expected is None:

@@ -1,0 +1,82 @@
+"""Checkpoint/resume tests (SURVEY.md §5 item 5): kill mid-build, restart,
+verify completed partitions are not rebuilt and the final sketch is
+bit-identical to an uninterrupted build."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bloomfilter_spark.operators.build import bloom_factory, build_sketch, kll_factory
+from bloomfilter_spark.operators.checkpoint import (
+    build_sketch_checkpointed,
+    checkpoint_progress,
+)
+from bloomfilter_spark.sources.pages import pages_df
+
+
+@pytest.fixture()
+def pages(spark):
+    return pages_df(spark, 1500, num_partitions=8)
+
+
+def test_kill_and_resume_bit_identical(spark, pages, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    factory = bloom_factory(2048, 0.01)
+
+    # run 1: partitions ≥ 4 blow up after 0-3 have checkpointed.
+    # (local-mode scheduling runs some tasks concurrently; all we rely on is
+    # that the failing partitions never checkpoint)
+    with pytest.raises(Exception):
+        build_sketch_checkpointed(
+            pages, "url", factory, ckpt, fail_on=lambda pid: pid >= 4
+        )
+    prog = checkpoint_progress(ckpt)
+    done1 = set(prog["completed_partitions"])
+    assert done1 and done1 <= {0, 1, 2, 3}
+    assert prog["rows"] > 0
+
+    # run 2: no injected failure — finishes the missing partitions only
+    sk, lineage = build_sketch_checkpointed(pages, "url", factory, ckpt)
+    lin = lineage.toPandas().set_index("partition_id")
+    assert set(lin.index) == set(range(8))
+    for pid in done1:
+        assert bool(lin.loc[pid, "resumed"]) is True  # not re-scanned
+    for pid in set(range(8)) - done1:
+        assert bool(lin.loc[pid, "resumed"]) is False
+
+    # bit-identical to an uninterrupted (non-checkpointed) build
+    direct = build_sketch(pages, "url", factory)
+    assert sk.to_bytes() == direct.to_bytes()
+
+
+def test_full_resume_no_rescan(spark, pages, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    factory = kll_factory(k=200)
+    sk1, _ = build_sketch_checkpointed(
+        pages.selectExpr("length(text) as tl"), "tl", factory, ckpt
+    )
+    # second run: everything resumed from checkpoint, zero rows scanned
+    sk2, lineage = build_sketch_checkpointed(
+        pages.selectExpr("length(text) as tl"), "tl", factory, ckpt
+    )
+    lin = lineage.toPandas()
+    assert lin.resumed.all()
+    assert (lin.rows == -1).all()
+    assert sk1.to_bytes() == sk2.to_bytes()
+
+
+def test_incomplete_checkpoint_detected(spark, pages, tmp_path):
+    ckpt = str(tmp_path / "ckpt3")
+    factory = bloom_factory(2048, 0.01)
+    _ = build_sketch_checkpointed(pages, "url", factory, ckpt)
+    # corrupt: remove one partial → merge must refuse, not silently drop data
+    os.remove(os.path.join(ckpt, "partial-000003.bin"))
+    # a fresh run rebuilds just that partition and still matches direct
+    sk, lineage = build_sketch_checkpointed(pages, "url", factory, ckpt)
+    lin = lineage.toPandas().set_index("partition_id")
+    assert bool(lin.loc[3, "resumed"]) is False
+    assert bool(lin.loc[2, "resumed"]) is True
+    direct = build_sketch(pages, "url", factory)
+    assert sk.to_bytes() == direct.to_bytes()
