@@ -127,8 +127,16 @@ def build_sketch(
     df: DataFrame, cols: list[str] | str, factory: Callable[[], object]
 ):
     """End-to-end: scan → per-partition vectorized partial build → merge.
-    Returns the merged sketch object."""
-    return merge_partials(partial_build(df, cols, factory), factory)
+    Returns the merged sketch object.
+
+    Narrow inputs (a small file = 1 split) are fanned out to the cluster
+    first; partial_build itself always respects the caller's partitioning
+    (checkpointing relies on that contract)."""
+    from bloomfilter_spark.plans.skew import ensure_parallelism
+
+    return merge_partials(
+        partial_build(ensure_parallelism(df), cols, factory), factory
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,7 @@ from bloomfilter_spark.functions.hashing import (
     bytes_view_of_strings,
     murmur3_x64_128,
 )
+from bloomfilter_spark.plans.skew import ensure_parallelism
 
 # 2-universal permutation parameters for MinHash: sig_j = min((a_j*h + b_j))
 _MERSENNE61 = np.uint64((1 << 61) - 1)
@@ -102,12 +103,15 @@ def ngram_jaccard_pairs(
     shingle are scored — exact, since J>0 requires a shared shingle).
     Columns: id_a, id_b (id_a < id_b), jaccard (rounded 6dp).
     """
+    df = ensure_parallelism(df)
     sh = (
         df.select(F.col(id_col).alias("id"), shingles_col(text_col, n).alias("sh"))
         .withColumn("sz", F.size("sh"))
         .filter(F.col("sz") > 0)
     )
-    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    # materialize the shingle relation once — both self-join branches read
+    # it, and without this the scan+shingling runs twice
+    ex = sh.select("id", "sz", F.explode("sh").alias("s")).localCheckpoint()
     a = ex.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("s")
     )
@@ -175,7 +179,7 @@ def minhash_signatures(
                 sigs = [[] for _ in range(len(texts))]
             yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         sig_iter, schema="id long, sig array<long>"
     )
 
@@ -288,7 +292,7 @@ def simhash64(
                     out[nz] = packed.view(np.int64)
             yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         sim_iter, schema="id long, simhash long"
     )
 

@@ -69,9 +69,11 @@ def build_multi(
     ~2×parallelism buckets so every core merges, instead of a handful of
     fat tasks serializing the reduction.
     """
+    from bloomfilter_spark.plans.skew import ensure_parallelism
+
     names = list(specs)
     cols = sorted({c for c, _ in specs.values()})
-    pruned = df.select(*cols)
+    pruned = ensure_parallelism(df.select(*cols))
     factories = {n: f for n, (_, f) in specs.items()}
     col_of = {n: c for n, (c, _) in specs.items()}
 

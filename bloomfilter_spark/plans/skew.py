@@ -26,6 +26,21 @@ def salted_repartition(
     )
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Fan a narrow input out to the cluster before CPU-heavy per-row work.
+
+    A small parquet file arrives as 1 split; shingling/hashing it inline
+    would then run on one core no matter the cluster size.  Repartition is
+    a no-op (returns df) when the scan already has enough splits — at real
+    scale the 128 MB-split scan parallelism is already there and no extra
+    shuffle happens."""
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)
+
+
 def partition_stats(df: DataFrame) -> DataFrame:
     """Rows per partition — the skew diagnostic used in tests/bench."""
     from pyspark.sql.functions import spark_partition_id
