@@ -343,6 +343,113 @@ ORDER BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
+# Reference parity: set algebra + sizing math (SURVEY.md §2 rows 1, 7-12)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union / Intersection / PopCount / Clear / stats invariants — the
+    reference's bloomfilter_test.go:99-294 contract, exercised through the
+    distributed build path.  Exact counts are SQL-checked; invariants are
+    booleans the oracle expects TRUE."""
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(F.col("doc_id").cast("string").alias("key"),
+                       (F.col("doc_id") % 2 == 0).alias("even"))
+    n_docs = keys.count()
+    factory = bloom_factory(max(1024, n_docs), 0.01)
+    even_sk = build_sketch(keys.filter("even"), "key", factory)
+    odd_sk = build_sketch(keys.filter("NOT even"), "key", factory)
+
+    # union/intersection mutate in place (bloomfilter.go semantics) — work
+    # on serde round-trip copies so each op sees pristine inputs
+    union = serde.deserialize(even_sk.to_bytes()).union(odd_sk)
+    inter = serde.deserialize(even_sk.to_bytes()).intersection(odd_sk)
+
+    all_keys = keys.select("key").toPandas()["key"]
+    union_hits = int(union.contains(all_keys).sum())
+    inter_hits = int(inter.contains(all_keys).sum())
+
+    st = union.stats()
+    cleared = serde.deserialize(union.to_bytes())
+    cleared.clear()
+
+    try:
+        mismatched = bloom_factory(max(1024, n_docs) * 8, 0.01)()
+        even_sk.union(mismatched)
+        geometry_check_ok = False
+    except ValueError:
+        geometry_check_ok = True
+
+    rows = [
+        (
+            int(n_docs),
+            int((all_keys.astype("int64") % 2 == 0).sum()),
+            bool(union_hits == n_docs),          # union ⊇ both sides
+            bool(inter_hits <= 0.1 * n_docs),    # AND ≈ empty true intersection
+            bool(
+                max(even_sk.popcount(), odd_sk.popcount())
+                <= union.popcount()
+                <= even_sk.popcount() + odd_sk.popcount()
+            ),
+            bool(cleared.popcount() == 0),
+            bool(0.0 < st["load_factor"] < 1.0 and 0.0 <= st["estimated_fpp"] <= 1.0),
+            geometry_check_ok,
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_docs long, n_even long, union_contains_all boolean, "
+        "intersection_near_empty boolean, popcount_bounds_ok boolean, "
+        "clear_zeroes boolean, stats_sane boolean, geometry_check_ok boolean",
+    )
+
+
+_SET_ALGEBRA_SQL = """
+SELECT (SELECT COUNT(*) FROM documents)                       AS n_docs,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)  AS n_even,
+       TRUE AS union_contains_all,
+       TRUE AS intersection_near_empty,
+       TRUE AS popcount_bounds_ok,
+       TRUE AS clear_zeroes,
+       TRUE AS stats_sane,
+       TRUE AS geometry_check_ok
+"""
+
+
+def q_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sizing math itself (m = -n·lnp/ln²2, k = m·ln2/n, m rounded up
+    to 512-bit blocks — /root/reference/bloomfilter.go:62-81) as data the
+    SQL oracle recomputes exactly."""
+    from bloomfilter_spark.sketches.bloom import BloomFilter
+
+    rows = []
+    for n in (100, 1000, 10_000, 1_000_000):
+        for p in (0.1, 0.01, 0.001):
+            bf = BloomFilter.create(n, p)
+            rows.append((n, float(p), bf.m, bf.k, bf.m // 8))
+    return spark.createDataFrame(
+        rows, "n long, p double, m_bits long, k_hashes long, memory_bytes long"
+    )
+
+
+_SIZING_SQL = """
+WITH grid AS (
+  SELECT n, p FROM (VALUES (100), (1000), (10000), (1000000)) AS a(n)
+  CROSS JOIN (VALUES (0.1), (0.01), (0.001)) AS b(p)
+), raw AS (
+  SELECT n, p,
+         CAST(FLOOR(-n * ln(p) / (ln(2) * ln(2))) AS BIGINT) AS m0
+  FROM grid
+)
+SELECT n, p,
+       CAST(CEIL(m0 / 512.0) AS BIGINT) * 512                    AS m_bits,
+       GREATEST(CAST(FLOOR(m0 * ln(2) / n) AS BIGINT), 1)        AS k_hashes,
+       CAST(CEIL(m0 / 512.0) AS BIGINT) * 64                     AS memory_bytes
+FROM raw ORDER BY n, p
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -356,6 +463,8 @@ QUERIES = {
     "bloom_semijoin_orders": q_bloom_semijoin_orders,
     "dedup_exact": q_dedup_exact,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "bloom_set_algebra": q_bloom_set_algebra,
+    "bloom_sizing": q_bloom_sizing,
 }
 
 from bloomfilter_spark.queries_dataops import ORACLES2, QUERIES2  # noqa: E402
@@ -372,6 +481,8 @@ ORACLES = {
     "bloom_semijoin_orders": _SEMIJOIN_SQL,
     "dedup_exact": _DEDUP_SQL,
     "lineitem_pricing_summary": _Q1_SQL,
+    "bloom_set_algebra": _SET_ALGEBRA_SQL,
+    "bloom_sizing": _SIZING_SQL,
 }
 
 ORACLES.update(ORACLES2)
