@@ -79,8 +79,10 @@ def bloom_semi_join(
     pre = filter_might_contain(probe_df, probe_col, sketch)
     if not exact:
         return pre
+    # no .distinct() on the build side: left-semi dedups by construction,
+    # and the distinct would add an extra exchange+aggregate
     return pre.join(
-        build_df.select(F.col(build_col)).distinct(),
+        build_df.select(F.col(build_col)),
         on=pre[probe_col] == F.col(build_col),
         how="left_semi",
     )

@@ -162,6 +162,49 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_hll_users_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL through the SALTED two-stage path (north rule's skew
+    defense): stage 1 groups by (key, hash(value)%8) so a hot key fans out
+    over 8 tasks; stage 2 merges the partials per key.  Result must equal
+    the unsalted path within the same HLL bound — the salt only changes the
+    merge tree, never the estimate (max-merge is commutative)."""
+    ev = _t(spark, sf_dir, "events")
+    grouped = build_grouped(
+        ev, "event_type", "user_id", hll_factory(precision=14), salts=8
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def _est(blobs):
+        return blobs.map(lambda b: float(serde.deserialize(b).estimate()))
+
+    ests = grouped.select("event_type", _est("blob").alias("est"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    bound = 4 * (1.04 / (2**14) ** 0.5)
+    return (
+        exact.join(ests, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(bound)
+            ).alias("hll_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HLL_SALTED_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE                    AS hll_ok
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Count-min heavy hitters
 # ---------------------------------------------------------------------------
@@ -457,6 +500,7 @@ QUERIES = {
     "bloom_membership": q_bloom_membership,
     "hll_distinct_doc_id": q_hll_distinct_doc_id,
     "hll_users_by_day": q_hll_users_by_day,
+    "hll_users_by_type_salted": q_hll_users_by_type_salted,
     "cms_event_type_counts": q_cms_event_type_counts,
     "kll_quantiles_n_chars": q_kll_quantiles_n_chars,
     "tdigest_quantiles_value": q_tdigest_quantiles_value,
@@ -475,6 +519,7 @@ ORACLES = {
     "bloom_membership": _BLOOM_MEMBERSHIP_SQL,
     "hll_distinct_doc_id": _HLL_DOC_SQL,
     "hll_users_by_day": _HLL_DAY_SQL,
+    "hll_users_by_type_salted": _HLL_SALTED_SQL,
     "cms_event_type_counts": _CMS_SQL,
     "kll_quantiles_n_chars": _KLL_SQL,
     "tdigest_quantiles_value": _TDIGEST_SQL,

@@ -1,0 +1,89 @@
+"""Structured Streaming sketch accumulation tests: micro-batch folds equal
+the batch build bit-for-bit; restart with replayed batch is a no-op."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.operators.build import bloom_factory, build_sketch, hll_factory
+from bloomfilter_spark.sources.pages import pages_df
+from bloomfilter_spark.streaming.accumulate import StreamingSketchAccumulator
+
+
+@pytest.fixture()
+def staged_pages(spark, tmp_path):
+    """Three parquet files in one dir — the file stream delivers them as
+    separate micro-batches with maxFilesPerTrigger=1."""
+    src = str(tmp_path / "src")
+    for i in range(3):
+        pages_df(spark, 300, num_partitions=2).filter(
+            (F.xxhash64("url") % 3) == i
+        ).coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def _stream(spark, src, acc, ckpt):
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(acc)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_equals_batch(spark, staged_pages, tmp_path):
+    factory = bloom_factory(1024, 0.01)
+    acc = StreamingSketchAccumulator("url", factory, str(tmp_path / "state"))
+    _stream(spark, staged_pages, acc, str(tmp_path / "ckpt"))
+    assert acc.last_batch_id >= 2
+
+    batch = build_sketch(spark.read.parquet(staged_pages), "url", factory)
+    assert acc.sketch.to_bytes() == batch.to_bytes()  # commutative ⇒ bit-identical
+
+
+def test_stream_restart_idempotent(spark, staged_pages, tmp_path):
+    factory = hll_factory(precision=12)
+    state = str(tmp_path / "state")
+    acc = StreamingSketchAccumulator("url", factory, state)
+    _stream(spark, staged_pages, acc, str(tmp_path / "ckpt"))
+    blob1 = acc.sketch.to_bytes()
+
+    # "restart": a fresh accumulator restores state; re-running the whole
+    # stream from a new checkpoint replays every batch — all must be skipped
+    acc2 = StreamingSketchAccumulator("url", factory, state)
+    assert acc2.sketch.to_bytes() == blob1
+    _stream(spark, staged_pages, acc2, str(tmp_path / "ckpt2"))
+    assert acc2.sketch.to_bytes() == blob1  # replays were no-ops
+
+
+def test_stream_restart_continues(spark, tmp_path):
+    """New data after restart IS absorbed (only replayed ids are skipped)."""
+    factory = bloom_factory(1024, 0.01)
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    p1 = pages_df(spark, 100, num_partitions=1)
+    p1.coalesce(1).write.mode("append").parquet(src)
+
+    acc = StreamingSketchAccumulator("url", factory, state)
+    _stream(spark, src, acc, str(tmp_path / "ckpt"))
+
+    p2 = pages_df(spark, 200, num_partitions=1).filter(
+        F.xxhash64("url") % 7 == 0
+    )
+    p2.coalesce(1).write.mode("append").parquet(src)
+
+    acc2 = StreamingSketchAccumulator("url", factory, state)
+    _stream(spark, src, acc2, str(tmp_path / "ckpt"))  # same ckpt → only new file
+    batch = build_sketch(spark.read.parquet(src), "url", factory)
+    assert acc2.sketch.to_bytes() == batch.to_bytes()
