@@ -1,0 +1,105 @@
+"""Partitioned (sharded) Bloom filter — membership at 10¹²-key scale.
+
+A 1%-FPP filter for 10⁹ keys is ~1.2 GB; for 10¹² keys, ~1.2 TB — far past
+broadcast limits (SURVEY.md §7.2, and the reference's own removed map-mode
+scaling concern, /root/reference/docs/future/FUTURE_PAGED_ARRAY_OPTIMIZATION.md:137-145).
+The Spark-native answer is sharding by key hash:
+
+- build: rows route to `shard = xxhash64(key) % n_shards`; one Bloom per
+  shard built with groupBy(shard).applyInPandas (each shard sized for its
+  expected n/n_shards keys).  The shard table (shard, blob) lives as a
+  DataFrame — persist it as parquet and it doubles as the filter's
+  durable serialized form.
+- probe: probes route by the same hash, then a **cogrouped**
+  applyInPandas pairs each shard's probe rows with that shard's single
+  blob row — the blob crosses the wire once per shard, never per row.
+
+Both sides shuffle only by the 8-byte hash key; no blob is ever broadcast
+or joined row-wise.  FPP/zero-false-negative semantics are identical to the
+single filter (each key is answered by exactly the shard that inserted it).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from bloomfilter_spark.sketches import serde
+from bloomfilter_spark.sketches.bloom import BloomFilter
+
+
+def _with_shard(df: DataFrame, col: str, n_shards: int) -> DataFrame:
+    return df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n_shards))
+    )
+
+
+def bloom_build_sharded(
+    df: DataFrame,
+    col: str,
+    n_expected: int,
+    fpp: float = 0.01,
+    n_shards: int = 32,
+    seed: int | None = None,
+) -> DataFrame:
+    """(shard, blob, n_keys) — one Bloom per shard, sized n_expected/n_shards."""
+    from bloomfilter_spark.functions.hashing import DEFAULT_SEED
+
+    per_shard = max(1024, n_expected // n_shards)
+    s = DEFAULT_SEED if seed is None else seed
+    proto = BloomFilter.create(per_shard, fpp, seed=s)
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = proto.empty_like()
+        sk.update(pdf[col].astype(str))
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "blob": [sk.to_bytes()],
+                "n_keys": [len(pdf)],
+            }
+        )
+
+    return (
+        _with_shard(df.select(col), col, n_shards)
+        .groupBy("shard")
+        .applyInPandas(build_shard, schema="shard long, blob binary, n_keys long")
+    )
+
+
+def sharded_might_contain(
+    probe_df: DataFrame,
+    col: str,
+    shards: DataFrame,
+    n_shards: int = 32,
+) -> DataFrame:
+    """probe_df + boolean `might_contain`, via cogrouped applyInPandas.
+
+    Each task sees (probes of shard s, the single blob row of shard s):
+    the filter bytes move once per shard, the probes shuffle once by hash."""
+    probes = _with_shard(probe_df, col, n_shards)
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in probe_df.schema
+    )
+    schema = f"{out_fields}, might_contain boolean"
+
+    def check(probe_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        probe_pdf = probe_pdf.drop(columns=["shard"])
+        if len(probe_pdf) == 0:
+            probe_pdf["might_contain"] = pd.Series([], dtype=bool)
+            return probe_pdf
+        if len(blob_pdf) == 0:
+            # no keys were inserted into this shard → definitely absent
+            probe_pdf["might_contain"] = False
+            return probe_pdf
+        sk = serde.deserialize(blob_pdf["blob"].iloc[0])
+        probe_pdf["might_contain"] = sk.contains(probe_pdf[col].astype(str))
+        return probe_pdf
+
+    return (
+        probes.groupby("shard")
+        .cogroup(shards.groupby("shard"))
+        .applyInPandas(check, schema=schema)
+    )

@@ -100,6 +100,50 @@ SELECT
 """
 
 
+def q_bloom_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same membership invariants as q_bloom_membership but through the
+    SHARDED filter (operators/partitioned.py) — the 10¹²-key path where the
+    filter cannot be broadcast: probes route by hash(key) % shards and meet
+    their shard's blob in a cogrouped applyInPandas."""
+    from bloomfilter_spark.operators.partitioned import (
+        bloom_build_sharded,
+        sharded_might_contain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = max(1000, docs.count())
+    inserted = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("key")
+    )
+    shards = bloom_build_sharded(inserted, "key", n_expected=n, fpp=0.01,
+                                 n_shards=8)
+    probes = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        (F.col("doc_id") % 2 == 0).alias("is_inserted"),
+    ).unionAll(
+        spark.range(5000).select(
+            F.concat(F.lit("neg-"), F.col("id").cast("string")).alias("key"),
+            F.lit(False).alias("is_inserted"),
+        )
+    )
+    checked = sharded_might_contain(probes, "key", shards, n_shards=8)
+    return checked.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("is_inserted").cast("long")).alias("inserted"),
+        F.sum((F.col("is_inserted") & F.col("might_contain")).cast("long")).alias(
+            "found_inserted"
+        ),
+        F.sum((F.col("is_inserted") & ~F.col("might_contain")).cast("long")).alias(
+            "false_negatives"
+        ),
+        (
+            F.sum((~F.col("is_inserted") & F.col("might_contain")).cast("long"))
+            / F.sum((~F.col("is_inserted")).cast("long"))
+            <= 2 * 0.01
+        ).alias("fp_rate_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # HLL distinct counts
 # ---------------------------------------------------------------------------
@@ -498,6 +542,7 @@ FROM raw ORDER BY n, p
 
 QUERIES = {
     "bloom_membership": q_bloom_membership,
+    "bloom_sharded_membership": q_bloom_sharded_membership,
     "hll_distinct_doc_id": q_hll_distinct_doc_id,
     "hll_users_by_day": q_hll_users_by_day,
     "hll_users_by_type_salted": q_hll_users_by_type_salted,
@@ -517,6 +562,7 @@ QUERIES.update(QUERIES2)
 
 ORACLES = {
     "bloom_membership": _BLOOM_MEMBERSHIP_SQL,
+    "bloom_sharded_membership": _BLOOM_MEMBERSHIP_SQL,
     "hll_distinct_doc_id": _HLL_DOC_SQL,
     "hll_users_by_day": _HLL_DAY_SQL,
     "hll_users_by_type_salted": _HLL_SALTED_SQL,

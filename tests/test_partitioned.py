@@ -1,0 +1,70 @@
+"""Sharded Bloom filter tests: same membership contract as the broadcast
+filter (zero false negatives, FPP ≤ 2× configured) without ever broadcasting
+or row-joining a blob."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.operators.partitioned import (
+    bloom_build_sharded,
+    sharded_might_contain,
+)
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.range(20_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k"),
+        (F.col("id") % 2 == 0).alias("inserted"),
+    )
+
+
+def test_sharded_membership_contract(spark, keys):
+    inserted = keys.filter("inserted")
+    shards = bloom_build_sharded(inserted, "k", n_expected=10_000, fpp=0.01,
+                                 n_shards=16)
+    spdf = shards.toPandas()
+    assert len(spdf) <= 16 and spdf.n_keys.sum() == 10_000
+
+    checked = sharded_might_contain(keys, "k", shards, n_shards=16).toPandas()
+    assert len(checked) == 20_000
+    ins = checked[checked.inserted]
+    neg = checked[~checked.inserted]
+    assert ins.might_contain.all()  # zero false negatives
+    assert (neg.might_contain.mean()) <= 2 * 0.01  # FPP ≤ 2× configured
+
+
+def test_sharded_empty_shard_answers_false(spark):
+    # only 3 keys → most of the 8 shards have no blob row at all
+    few = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    shards = bloom_build_sharded(few, "k", n_expected=3, n_shards=8)
+    probes = spark.createDataFrame(
+        [(f"probe-{i}",) for i in range(100)] + [("a",)], "k string"
+    )
+    got = sharded_might_contain(probes, "k", shards, n_shards=8).toPandas()
+    assert bool(got[got.k == "a"].might_contain.iloc[0])
+    assert got[got.k != "a"].might_contain.mean() <= 0.05
+
+
+def test_sharded_matches_broadcast_filter(spark, keys):
+    """Differential: sharded answer ≡ per-shard single filters; inserted
+    keys always true in both paths."""
+    from bloomfilter_spark.operators.build import bloom_factory, build_sketch
+    from bloomfilter_spark.operators.membership import might_contain_udf
+
+    inserted = keys.filter("inserted")
+    single = build_sketch(inserted, "k", bloom_factory(10_000, 0.01))
+    udf = might_contain_udf(spark, single)
+    broadcast_hits = (
+        keys.withColumn("hit", udf("k")).filter("inserted").filter("NOT hit").count()
+    )
+    shards = bloom_build_sharded(inserted, "k", n_expected=10_000, n_shards=16)
+    sharded_miss = (
+        sharded_might_contain(keys, "k", shards, n_shards=16)
+        .filter("inserted AND NOT might_contain")
+        .count()
+    )
+    assert broadcast_hits == 0 and sharded_miss == 0
