@@ -158,8 +158,10 @@ def with_fingerprints(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprints",
     k: int = _K_DEFAULT, w: int = _W_DEFAULT,
 ) -> DataFrame:
+    from bloomfilter_spark.plans.skew import ensure_parallelism
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _fp(s: pd.Series) -> pd.Series:
         return fingerprint_series(s, k=k, w=w)
 
-    return df.withColumn(out_col, _fp(text_col))
+    return ensure_parallelism(df).withColumn(out_col, _fp(text_col))

@@ -99,7 +99,10 @@ def merge_partials(partials: DataFrame, factory: Callable[[], object]):
     merged with one n-ary merge_all.
     """
     probe = factory()
-    if probe.KIND in _COMMUTATIVE_KINDS:
+    n_parts = partials.rdd.getNumPartitions()
+    if probe.KIND in _COMMUTATIVE_KINDS and n_parts > 64:
+        # big fan-in: executor-side partial merges via depth-2 treeAggregate
+        # (safe for any merge order — OR/max/sum are commutative)
         zero = probe.to_bytes()
 
         def comb(a_blob: bytes, b_blob: bytes) -> bytes:
@@ -113,13 +116,19 @@ def merge_partials(partials: DataFrame, factory: Callable[[], object]):
             .treeAggregate(zero, comb, comb, depth=2)
         )
         return serde.deserialize(merged_blob)
-    # KLL / t-digest: n-ary multiset-deterministic merge on the driver;
-    # sort by partition_id for reproducible collection regardless of task
+    # small fan-in (single collect beats extra tree stages) and all
+    # compaction kinds: n-ary multiset-deterministic merge on the driver,
+    # sorted by partition_id so the result is independent of task
     # completion order
     rows = partials.select("partition_id", "blob").collect()
     rows.sort(key=lambda r: r.partition_id)
     acc = factory()
-    acc.merge_all([serde.deserialize(r.blob) for r in rows])
+    sketches = [serde.deserialize(r.blob) for r in rows]
+    if hasattr(acc, "merge_all"):
+        acc.merge_all(sketches)
+    else:
+        for s in sketches:
+            acc.merge(s)
     return acc
 
 
