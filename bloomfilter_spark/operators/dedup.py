@@ -109,9 +109,16 @@ def ngram_jaccard_pairs(
         .withColumn("sz", F.size("sh"))
         .filter(F.col("sz") > 0)
     )
-    # materialize the shingle relation once — both self-join branches read
-    # it, and without this the scan+shingling runs twice
-    ex = sh.select("id", "sz", F.explode("sh").alias("s")).localCheckpoint()
+    # join on the shingle's 64-bit hash, not the string: identical pair
+    # counts w.h.p. (64-bit collisions ~1e-9 at millions of shingles) and
+    # the shuffle carries 8 bytes per shingle instead of ~25.
+    # localCheckpoint materializes the relation once — both self-join
+    # branches read it, instead of recomputing scan+shingling per branch.
+    ex = (
+        sh.select("id", "sz", F.explode("sh").alias("_s"))
+        .select("id", "sz", F.xxhash64("_s").alias("s"))
+        .localCheckpoint()
+    )
     a = ex.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("s")
     )
