@@ -1,0 +1,56 @@
+"""Table source abstraction: Iceberg when available, parquet otherwise.
+
+The north rule targets "Iceberg tables of Common-Crawl-style web pages"
+(BASELINE.json:14).  This sandbox has no Iceberg runtime jar, so the
+fixtures are plain parquet (TESTDATA.md); every operator in this library
+takes a DataFrame, so the only Iceberg-specific surface is the reader
+below.  On a real cluster:
+
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
+      --conf spark.sql.catalog.cc=org.apache.iceberg.spark.SparkCatalog \\
+      --conf spark.sql.catalog.cc.type=hive ...
+
+and `read_pages(spark, "cc.web.pages")` resolves through the catalog —
+gaining hidden-partition pruning on warc_ts (days/hours transform) and
+split planning from Iceberg manifests; everything downstream (sketch
+builds, checkpoint lineage keyed on partition ids, merge trees) is
+unchanged.  Checkpoint/resume notes in operators/checkpoint.py assume
+immutable inputs — pin an Iceberg `snapshot-id` for resumable builds:
+
+    read_pages(spark, "cc.web.pages", snapshot_id=123456789)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_pages(
+    spark: SparkSession,
+    source: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Read a pages table from an Iceberg catalog table name or a parquet
+    path.  Paths (contain '/' or end in .parquet) read as parquet; catalog
+    names require the Iceberg runtime."""
+    if "/" in source or source.endswith(".parquet"):
+        return spark.read.parquet(source)
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath; pass a parquet path or "
+            "add the iceberg-spark-runtime package (see module docstring)"
+        )
+    reader = spark.read.format("iceberg")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    return reader.load(source)
