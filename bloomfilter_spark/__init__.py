@@ -16,7 +16,7 @@ Design (see SURVEY.md §7):
   - streaming/  Structured Streaming sketch aggregation
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from bloomfilter_spark.sketches.bloom import BloomFilter
 from bloomfilter_spark.sketches.hll import HyperLogLog
@@ -24,10 +24,42 @@ from bloomfilter_spark.sketches.cms import CountMinSketch
 from bloomfilter_spark.sketches.kll import KLLSketch
 from bloomfilter_spark.sketches.tdigest import TDigest
 
+# distributed surface (imported lazily-safe: these modules only import
+# pyspark, pandas, numpy — all baked into the target environment)
+from bloomfilter_spark.operators.build import (
+    bloom_factory,
+    build_grouped,
+    build_sketch,
+    cms_factory,
+    hll_factory,
+    kll_factory,
+    tdigest_factory,
+)
+from bloomfilter_spark.operators.membership import (
+    bloom_semi_join,
+    filter_might_contain,
+    might_contain_udf,
+)
+from bloomfilter_spark.operators.pipeline import build_multi, build_suite
+from bloomfilter_spark.operators.checkpoint import build_sketch_checkpointed
+
 __all__ = [
     "BloomFilter",
     "HyperLogLog",
     "CountMinSketch",
     "KLLSketch",
     "TDigest",
+    "bloom_factory",
+    "hll_factory",
+    "cms_factory",
+    "kll_factory",
+    "tdigest_factory",
+    "build_sketch",
+    "build_grouped",
+    "build_multi",
+    "build_suite",
+    "build_sketch_checkpointed",
+    "bloom_semi_join",
+    "filter_might_contain",
+    "might_contain_udf",
 ]

@@ -83,11 +83,27 @@ def build_multi(
     def build_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
+        from bloomfilter_spark.functions.hashing import hash_any
+
         sks = {n: factories[n]() for n in names}
+        # hash sharing: sketches on the same column with the same seed all
+        # consume one murmur3 pass (update() is just hash_any + add_hashes)
+        by_col: dict[str, list] = {}
+        for n in names:
+            by_col.setdefault(col_of[n], []).append(sks[n])
         rows = 0
         for pdf in batches:
-            for n in names:
-                _numeric_update(sks[n], pdf[col_of[n]])
+            for c, col_sks in by_col.items():
+                clean = pdf[c].dropna()
+                hash_cache: dict[int, tuple] = {}
+                for sk in col_sks:
+                    if hasattr(sk, "add_hashes") and hasattr(sk, "seed"):
+                        seed = int(sk.seed)
+                        if seed not in hash_cache:
+                            hash_cache[seed] = hash_any(clean, seed)
+                        sk.add_hashes(*hash_cache[seed])
+                    else:
+                        _numeric_update(sk, pdf[c])
             rows += len(pdf)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1

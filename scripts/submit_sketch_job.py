@@ -31,10 +31,11 @@ def main() -> None:
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--salts", type=int, default=0,
                     help="salted-repartition width for host skew (0 = off)")
-    ap.add_argument("--max-partition-bytes", default="8m",
-                    help="scan split size; small here so a ~100MB fixture "
-                         "still fans out across all cores (at real scale "
-                         "keep the 128m default)")
+    ap.add_argument("--max-partition-bytes", default="64m",
+                    help="scan split size; 64m balances per-task fixed cost "
+                         "(sketch alloc + blob serialize) against fan-out "
+                         "for the GB-scale fixtures (at petabyte scale the "
+                         "128m default is fine)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
