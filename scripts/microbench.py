@@ -29,6 +29,16 @@ from bloomfilter_spark.sketches.kll import KLLSketch  # noqa: E402
 from bloomfilter_spark.sketches.tdigest import TDigest  # noqa: E402
 
 
+def _mp_worker(args) -> float:
+    n, bs = args
+    keys = np.arange(n, dtype=np.int64)
+    bf = BloomFilter.create(max(n, 1024), 0.01)
+    t0 = time.perf_counter()
+    for i in range(0, n, bs):
+        bf.update(keys[i : i + bs])
+    return time.perf_counter() - t0
+
+
 def bench(fn, total: int, repeat: int = 3) -> float:
     best = float("inf")
     for _ in range(repeat):
@@ -89,6 +99,18 @@ def main() -> None:
         lambda: [td.update(b) for b in float_batches], n
     )
 
+    # multi-process aggregate (the reference's concurrent-writes analog:
+    # its lock-free CAS hits 14-23 M ops/s at 50 goroutines; our model is
+    # partition-private filters, so workers don't contend at all)
+    import multiprocessing as mp
+
+    agg = {}
+    for procs in (8, 32):
+        with mp.Pool(procs) as pool:
+            t0 = time.perf_counter()
+            pool.map(_mp_worker, [(n // procs, bs)] * procs)
+            agg[procs] = (n // procs) * procs / (time.perf_counter() - t0)
+
     # merge throughput: OR of two 1%-FPP filters for n keys
     a, b = BloomFilter.create(n, 0.01), BloomFilter.create(n, 0.01)
     m_bytes = a.words.nbytes
@@ -112,6 +134,13 @@ def main() -> None:
         lines.append(f"| {k} | {v / 1e6:.2f} M |")
     lines += [
         f"| bloom union (bitwise OR) | {mb_s:,.0f} MB/s |",
+        f"| bloom add aggregate, 8 procs | {agg[8] / 1e6:.1f} M/s |",
+        f"| bloom add aggregate, 32 procs | {agg[32] / 1e6:.1f} M/s |",
+        "",
+        "Aggregate rows use partition-private filters (our concurrency",
+        "model — no shared state, no CAS); the reference's lock-free",
+        "shared filter reports 14-23 M concurrent writes/s at 50",
+        "goroutines (BASELINE.md).",
         "",
         f"Observed FPP on 100k never-inserted probes: {fp:.4f} (configured 0.01).",
         "",

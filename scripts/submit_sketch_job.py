@@ -66,10 +66,10 @@ def main() -> None:
     from bloomfilter_spark.sources.pages import ensure_pages
 
     if args.input:
-        path = args.input
+        paths = args.input.split(",")
     else:
-        path = ensure_pages(spark, args.rows)
-    pages = spark.read.parquet(path)
+        paths = [ensure_pages(spark, args.rows)]
+    pages = spark.read.parquet(*paths)
     n_rows = pages.count()
 
     # warm the python-worker pool (worker spawn + numpy/pandas import is
