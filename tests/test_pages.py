@@ -185,3 +185,17 @@ def test_merge_tree_small_fanin(spark):
     tl = df.select("text_len").toPandas().text_len.to_numpy()
     q50 = deep["kll_textlen"].quantile(0.5)
     assert abs((tl <= q50).mean() - 0.5) <= 0.05
+
+
+def test_slice_equals_whole_table_rows(spark):
+    """Sharded generation (executor bench): slice [s, s+n) of a logically
+    larger table is byte-identical to those rows of the whole table."""
+    whole = pages_df(spark, 600, num_partitions=4).toPandas()
+    part = pages_df(
+        spark, 200, num_partitions=2, start=200, table_rows=600
+    ).toPandas()
+    sub = whole.iloc[200:400].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        part.sort_values("url").reset_index(drop=True),
+        sub.sort_values("url").reset_index(drop=True),
+    )
