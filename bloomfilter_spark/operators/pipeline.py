@@ -198,6 +198,10 @@ def _merge_tree(
 def pages_suite_specs(n_expected: int) -> dict[str, tuple[str, Callable]]:
     return {
         "bloom_url": ("url", bloom_factory(max(1024, n_expected), 0.01)),
+        # "has this text been seen" (north star: url/text-hash membership);
+        # the 64-bit text hash is computed JVM-side, the Bloom hashes its
+        # 8-byte LE form (the reference's AddUint64 byte-collapse)
+        "bloom_texthash": ("text_hash", bloom_factory(max(1024, n_expected), 0.01)),
         "hll_url": ("url", hll_factory(precision=14)),
         "hll_host": ("host", hll_factory(precision=14)),
         "cms_host": ("host", cms_factory(epsilon=0.0005, delta=0.001)),
@@ -215,6 +219,7 @@ def with_page_features(df: DataFrame) -> DataFrame:
         "lang",
         F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
         F.length("text").alias("text_len"),
+        F.xxhash64("text").alias("text_hash"),
     )
 
 
