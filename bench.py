@@ -89,7 +89,9 @@ def pages_throughput(spark) -> dict:
     path = ensure_pages(spark, n_rows)
     df = spark.read.parquet(path)
     t0 = time.perf_counter()
-    suite = build_suite(df)
+    # n_expected passed explicitly: the timed region is the ONE sketch
+    # scan, not a df.count() pre-pass
+    suite = build_suite(df, n_expected=n_rows)
     dt = time.perf_counter() - t0
     return {
         "pages_rows": n_rows,

@@ -217,25 +217,50 @@ def ivf_topk(
     if centroids is None:
         centroids = train_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    qids = queries["qid"].to_numpy()
     qm = _normalize(np.vstack(queries["vector"].to_numpy()))
     probe_buckets = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
     wanted = sorted({int(b) for row in probe_buckets for b in row})
+    # ONE job: scan only the union of probed buckets (with the table
+    # written partitioned by bucket this is partition pruning at the
+    # source), score every query against its own buckets via a mask —
+    # not a per-query job loop.
     pruned = assigned.filter(F.col("bucket").isin(wanted))
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qm, probe_buckets))
 
-    results = []
-    for qi, qrow in enumerate(queries.itertuples(index=False)):
-        bs = [int(b) for b in probe_buckets[qi]]
-        sub = pruned.filter(F.col("bucket").isin(bs))
-        results.append(
-            brute_topk(
-                sub.drop("bucket"),
-                pd.DataFrame({"qid": [qrow.qid], "vector": [qrow.vector]}),
-                k=k,
-                id_col=id_col,
-                vec_col=vec_col,
-            )
-        )
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionAll(r)
-    return out
+    def score_iter(batches):
+        qids_, qm_, pb_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = _normalize(_emb_matrix(pdf, vec_col))
+            sims = qm_ @ vm.T  # (Q, B)
+            ids = pdf[id_col].to_numpy()
+            buckets = pdf["bucket"].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(qids_)):
+                mask = np.isin(buckets, pb_[qi])
+                if not mask.any():
+                    continue
+                s = sims[qi][mask]
+                idx = np.argsort(-s)[: min(k, len(s))]
+                out_q.extend([qids_[qi]] * len(idx))
+                out_id.extend(ids[mask][idx])
+                out_s.extend(s[idx])
+            if out_q:
+                yield pd.DataFrame(
+                    {"qid": out_q, "vec_id": out_id, "sim": out_s}
+                )
+
+    local = pruned.select(id_col, vec_col, "bucket").mapInPandas(
+        score_iter, schema="qid long, vec_id long, sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", F.round("sim", 4).alias("sim"))
+    )

@@ -72,6 +72,28 @@ def build_sketch_checkpointed(
     pruned = df.select(*cols)
     n_parts = pruned.rdd.getNumPartitions()
 
+    # manifest guard: a checkpoint dir is only resumable for the same
+    # (columns, sketch geometry, partition count).  Input *data* identity
+    # can't be cheaply verified — the documented contract is an immutable
+    # input (pin an Iceberg snapshot-id); this check catches the other
+    # silent-corruption reuses (different column, factory, or layout).
+    manifest = {
+        "cols": cols,
+        "n_parts": n_parts,
+        "sketch_header": factory().to_bytes()[:64].hex(),
+    }
+    man_path = os.path.join(ckpt_dir, "MANIFEST.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            prev = json.load(f)
+        if prev != manifest:
+            raise ValueError(
+                "checkpoint dir was written by a different build "
+                f"(manifest {prev} != {manifest}); use a fresh ckpt_dir"
+            )
+    else:
+        _atomic_write(man_path, json.dumps(manifest).encode())
+
     def build_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 

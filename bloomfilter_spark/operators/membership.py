@@ -18,12 +18,17 @@ from bloomfilter_spark.sketches import serde
 
 # Executor-side deserialization cache: one sketch instance per broadcast
 # blob per python worker (the UDF would otherwise deserialize per batch).
+# Bounded: long-lived reused workers probe many different sketches over a
+# session; an unbounded dict would pin every blob ever seen.
+_SKETCH_CACHE_MAX = 4
 _SKETCH_CACHE: dict[int, tuple] = {}
 
 
 def _cached_sketch(blob: bytes):
     entry = _SKETCH_CACHE.get(id(blob))
     if entry is None or entry[0] is not blob:
+        if len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
+            _SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE)))
         entry = (blob, serde.deserialize(blob))
         _SKETCH_CACHE[id(blob)] = entry
     return entry[1]

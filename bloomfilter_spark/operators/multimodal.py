@@ -76,7 +76,9 @@ def byte_histogram_features(
             if len(pdf) == 0:
                 continue
             flat, offsets = bytes_view_of_binary(pdf[blob_col])
-            shrink = (flat // (256 // bins)).astype(np.int64)
+            # byte b → bin b*bins/256: correct for any bins ≤ 256, not
+            # just divisors of 256
+            shrink = (flat.astype(np.int64) * bins) >> 8
             doc_of = np.repeat(
                 np.arange(len(pdf), dtype=np.int64), offsets[1:] - offsets[:-1]
             )

@@ -29,9 +29,12 @@ from bloomfilter_spark.sketches import serde
 from bloomfilter_spark.sketches.bloom import BloomFilter
 
 
+_SHARD_COL = "__bf_shard"  # internal name — never collides with user columns
+
+
 def _with_shard(df: DataFrame, col: str, n_shards: int) -> DataFrame:
     return df.withColumn(
-        "shard", F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n_shards))
+        _SHARD_COL, F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n_shards))
     )
 
 
@@ -55,16 +58,20 @@ def bloom_build_sharded(
         sk.update(pdf[col].astype(str))
         return pd.DataFrame(
             {
-                "shard": [int(pdf["shard"].iloc[0])],
+                "shard": [int(pdf[_SHARD_COL].iloc[0])],
                 "blob": [sk.to_bytes()],
                 "n_keys": [len(pdf)],
+                "n_shards": [n_shards],
             }
         )
 
     return (
         _with_shard(df.select(col), col, n_shards)
-        .groupBy("shard")
-        .applyInPandas(build_shard, schema="shard long, blob binary, n_keys long")
+        .groupBy(_SHARD_COL)
+        .applyInPandas(
+            build_shard,
+            schema="shard long, blob binary, n_keys long, n_shards long",
+        )
     )
 
 
@@ -72,12 +79,23 @@ def sharded_might_contain(
     probe_df: DataFrame,
     col: str,
     shards: DataFrame,
-    n_shards: int = 32,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """probe_df + boolean `might_contain`, via cogrouped applyInPandas.
 
     Each task sees (probes of shard s, the single blob row of shard s):
-    the filter bytes move once per shard, the probes shuffle once by hash."""
+    the filter bytes move once per shard, the probes shuffle once by hash.
+    n_shards is read from the shard table (every build row records it) —
+    passing a mismatched value explicitly is an error, because routing
+    probes with the wrong modulus silently produces false negatives."""
+    built_with = int(shards.select("n_shards").first()["n_shards"])
+    if n_shards is None:
+        n_shards = built_with
+    elif n_shards != built_with:
+        raise ValueError(
+            f"shard table was built with n_shards={built_with}, "
+            f"got n_shards={n_shards}: probes would route to wrong shards"
+        )
     probes = _with_shard(probe_df, col, n_shards)
 
     out_fields = ", ".join(
@@ -86,7 +104,7 @@ def sharded_might_contain(
     schema = f"{out_fields}, might_contain boolean"
 
     def check(probe_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
-        probe_pdf = probe_pdf.drop(columns=["shard"])
+        probe_pdf = probe_pdf.drop(columns=[_SHARD_COL])
         if len(probe_pdf) == 0:
             probe_pdf["might_contain"] = pd.Series([], dtype=bool)
             return probe_pdf
@@ -99,7 +117,9 @@ def sharded_might_contain(
         return probe_pdf
 
     return (
-        probes.groupby("shard")
-        .cogroup(shards.groupby("shard"))
+        probes.groupby(_SHARD_COL)
+        .cogroup(
+            shards.withColumnRenamed("shard", _SHARD_COL).groupby(_SHARD_COL)
+        )
         .applyInPandas(check, schema=schema)
     )

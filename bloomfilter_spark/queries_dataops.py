@@ -326,7 +326,8 @@ def q_pages_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(exact["exact_urls"]),
             bool(abs(hll_est - exact["exact_urls"]) / exact["exact_urls"] <= bound),
             bool(fpp <= 0.02),
-            bool(suite["kll_textlen"].rank(suite["kll_textlen"].quantile(0.5)) - 0.5
+            bool(abs(suite["kll_textlen"].rank(suite["kll_textlen"].quantile(0.5))
+                     - 0.5)
                  <= suite["kll_textlen"].rank_error() + 0.02),
         )
     ]

@@ -37,8 +37,8 @@ while [[ $# -gt 0 ]]; do
   esac
 done
 
-# SPARK_JVM_CPUS caps the JVM's自-sized thread pools (GC/JIT/netty) the way
-# a cluster manager's cgroup would for an executor container
+# SPARK_JVM_CPUS caps the JVM's auto-sized thread pools (GC/JIT/netty) the
+# way a cluster manager's cgroup would for an executor container
 JVM_OPTS=""
 if [[ -n "${SPARK_JVM_CPUS:-}" ]]; then
   JVM_OPTS="-XX:ActiveProcessorCount=${SPARK_JVM_CPUS}"
