@@ -288,6 +288,46 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter top-k: exact counts (Catalyst partial-agg + one
+    shuffle), CMS point-estimates attached with their εN bound check.
+    Deterministic tie-break (count desc, key asc) matches the SQL oracle."""
+    from bloomfilter_spark.operators.membership import query_counts_udf
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketch(ev, "event_type", cms_factory(epsilon=0.0005, delta=0.001))
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("exact_cnt"))
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("event_type").asc())
+    est = query_counts_udf(spark, sk)
+    bound = sk.error_bound()
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .withColumn("cms_est", est("event_type"))
+        .select(
+            "rank",
+            "event_type",
+            "exact_cnt",
+            (
+                (F.col("cms_est") >= F.col("exact_cnt"))
+                & (F.col("cms_est") <= F.col("exact_cnt") + F.lit(float(bound)) + 1)
+            ).alias("cms_ok"),
+        )
+        .orderBy("rank")
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) AS rank,
+       event_type,
+       COUNT(*) AS exact_cnt,
+       TRUE     AS cms_ok
+FROM events GROUP BY event_type
+ORDER BY exact_cnt DESC, event_type ASC LIMIT 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Quantiles: KLL on documents.n_chars, t-digest on events.value
 # ---------------------------------------------------------------------------
@@ -547,6 +587,7 @@ QUERIES = {
     "hll_users_by_day": q_hll_users_by_day,
     "hll_users_by_type_salted": q_hll_users_by_type_salted,
     "cms_event_type_counts": q_cms_event_type_counts,
+    "heavy_hitters_event_types": q_heavy_hitters_event_types,
     "kll_quantiles_n_chars": q_kll_quantiles_n_chars,
     "tdigest_quantiles_value": q_tdigest_quantiles_value,
     "bloom_semijoin_orders": q_bloom_semijoin_orders,
@@ -567,6 +608,7 @@ ORACLES = {
     "hll_users_by_day": _HLL_DAY_SQL,
     "hll_users_by_type_salted": _HLL_SALTED_SQL,
     "cms_event_type_counts": _CMS_SQL,
+    "heavy_hitters_event_types": _HEAVY_HITTERS_SQL,
     "kll_quantiles_n_chars": _KLL_SQL,
     "tdigest_quantiles_value": _TDIGEST_SQL,
     "bloom_semijoin_orders": _SEMIJOIN_SQL,
