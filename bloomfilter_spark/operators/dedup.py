@@ -191,6 +191,84 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_with_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 128,
+    n: int = 3,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """(id, sig array<long>, shingles array<long>) — signatures plus the
+    sorted distinct shingle-hash set, so LSH candidates can be EXACTLY
+    verified (array_intersect) without re-shingling."""
+    a_p, b_p = _perm_params(num_perm, seed)
+
+    def sig_iter(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            flat, offsets = _shingle_sets(texts, n)
+            sigs = [[] for _ in range(len(texts))]
+            shs = [[] for _ in range(len(texts))]
+            if len(flat):
+                fb, fo = bytes_view_of_strings(pd.Series(flat))
+                h, _ = murmur3_x64_128(fb, fo, seed=seed)
+                with np.errstate(over="ignore"):
+                    pm = (h[:, None] * a_p[None, :] + b_p[None, :]) & _MERSENNE61
+                counts = offsets[1:] - offsets[:-1]
+                nz = np.nonzero(counts > 0)[0]
+                mins = np.minimum.reduceat(pm, offsets[:-1][nz], axis=0)
+                for row, m in zip(nz, mins):
+                    sigs[row] = m.view(np.int64).tolist()
+                    shs[row] = np.sort(
+                        h[offsets[row] : offsets[row + 1]].view(np.int64)
+                    ).tolist()
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "sig": sigs, "shingles": shs}
+            )
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        sig_iter, schema="id long, sig array<long>, shingles array<long>"
+    )
+
+
+def minhash_dedup_pairs_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs with EXACT Jaccard output.
+
+    LSH candidate generation (only colliding pairs are scored) followed by
+    exact set verification via array_intersect on the shingle-hash sets.
+    At threshold 0.8 with 32×4 bands, a true pair escapes candidacy with
+    probability (1-J⁴)³² ≤ 5e-8 — the output matches the brute-force exact
+    join w.h.p., which is what lets this path carry a SQL oracle while
+    staying sub-quadratic."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures_with_shingles(
+        df, id_col, text_col, num_perm=num_perm, n=n
+    )
+    cands = lsh_candidate_pairs(
+        sigs.select("id", "sig"), bands=bands, rows_per_band=rows_per_band
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 32, rows_per_band: int = 4
 ) -> DataFrame:

@@ -22,6 +22,7 @@ from bloomfilter_spark.functions.textstats import (
 from bloomfilter_spark.operators.ann import brute_topk, ivf_topk, neardup_pairs
 from bloomfilter_spark.operators.dedup import (
     minhash_dedup_pairs,
+    minhash_dedup_pairs_verified,
     ngram_jaccard_pairs,
     simhash_dedup_pairs,
 )
@@ -187,6 +188,42 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic LSH candidates + EXACT array_intersect verification:
+    output equals the brute-force exact join w.p. 1-(1-J^4)^32 per pair
+    (~1e-15 at the fixture's J≥0.9 dups) — so it carries a SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs_verified(
+        docs, "doc_id", "text", threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+_MINHASH_VERIFIED_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (za.sz + zb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz za ON za.doc_id = id_a
+JOIN sz zb ON zb.doc_id = id_b
+WHERE inter * 1.0 / (za.sz + zb.sz - inter) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic (LSH recall < 1) → rows-only driver check; recall
     contract pytest-checked on planted near-dups."""
@@ -344,6 +381,7 @@ QUERIES2 = {
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_simhash": q_dedup_simhash,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_topk_cosine": q_ann_topk_cosine,
@@ -358,6 +396,7 @@ ORACLES2 = {
     "text_quality": _TEXT_QUALITY_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_minhash_verified": _MINHASH_VERIFIED_SQL,
     "ann_topk_cosine": _ANN_TOPK_SQL,
     "ann_neardup_pairs": _ANN_NEARDUP_SQL,
 }

@@ -295,3 +295,21 @@ def test_lang_id_on_real_sentences(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = df.select("doc_id", lang_id("text").alias("l")).toPandas()
     assert list(got.sort_values("doc_id").l) == ["en", "de", "fr", "es", "und"]
+
+
+def test_minhash_verified_equals_exact(spark):
+    """LSH candidates + array_intersect verification == brute-force exact
+    join (the oracle-gated sub-quadratic dedup path)."""
+    from bloomfilter_spark.operators.dedup import (
+        minhash_dedup_pairs_verified,
+        ngram_jaccard_pairs,
+    )
+
+    df, _ = _corpus(spark)
+    got = minhash_dedup_pairs_verified(df, "doc_id", "text", threshold=0.8).toPandas()
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8).toPandas()
+    g = {(a, b): j for a, b, j in zip(got.id_a, got.id_b, got.jaccard)}
+    x = {(a, b): j for a, b, j in zip(exact.id_a, exact.id_b, exact.jaccard)}
+    assert g.keys() == x.keys() and len(g) >= 10
+    for k in g:
+        assert abs(g[k] - x[k]) < 1e-6
