@@ -199,3 +199,35 @@ def test_slice_equals_whole_table_rows(spark):
         part.sort_values("url").reset_index(drop=True),
         sub.sort_values("url").reset_index(drop=True),
     )
+
+
+def test_salted_grouped_hll_on_skewed_hosts(spark):
+    """The north-star skew scenario on real skewed data: per-host distinct
+    URL counts via the salted two-stage grouped build must agree with the
+    unsalted path (salting changes the merge tree, never the estimate —
+    HLL max-merge is commutative) and with exact counts within bound."""
+    from bloomfilter_spark.operators.build import build_grouped, hll_factory
+    from bloomfilter_spark.operators.pipeline import with_page_features
+    from bloomfilter_spark.sketches import serde
+
+    pages = with_page_features(pages_df(spark, 3000, num_partitions=8))
+    plain = build_grouped(pages, "host", "url", hll_factory(12)).toPandas()
+    salted = build_grouped(
+        pages, "host", "url", hll_factory(12), salts=8
+    ).toPandas()
+
+    a = plain.set_index("host").blob.map(bytes)
+    b = salted.set_index("host").blob.map(bytes)
+    assert set(a.index) == set(b.index)
+    for host in a.index:
+        assert a[host] == b[host], host  # bit-identical per key
+
+    exact = (
+        pages.select("host", "url").toPandas().groupby("host").url.nunique()
+    )
+    bound = 4 * 1.04 / (2**12) ** 0.5
+    hot = exact.idxmax()
+    assert exact[hot] / len(pages.toPandas()) > 0.1  # data really is skewed
+    for host, blob in a.items():
+        est = serde.deserialize(blob).estimate()
+        assert abs(est - exact[host]) <= max(2, bound * exact[host]), host
