@@ -64,11 +64,13 @@ def brute_topk(
             sims = qm_ @ vm.T  # (Q, B)
             ids = pdf[id_col].to_numpy()
             kk = min(k, sims.shape[1])
-            # local top-k per query: argpartition then exact sort
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # local top-k per query with the SAME tie-break as the global
+            # window (sim desc, vec_id asc): argpartition on sim alone could
+            # drop the smaller-id candidate of an exact tie at the k
+            # boundary, diverging from the oracle's deterministic ordering
             out_q, out_id, out_s = [], [], []
             for qi in range(len(qids_)):
-                idx = part[qi]
+                idx = np.lexsort((ids, -sims[qi]))[:kk]
                 out_q.extend([qids_[qi]] * len(idx))
                 out_id.extend(ids[idx])
                 out_s.extend(sims[qi, idx])
@@ -244,7 +246,7 @@ def ivf_topk(
                 if not mask.any():
                     continue
                 s = sims[qi][mask]
-                idx = np.argsort(-s)[: min(k, len(s))]
+                idx = np.lexsort((ids[mask], -s))[: min(k, len(s))]
                 out_q.extend([qids_[qi]] * len(idx))
                 out_id.extend(ids[mask][idx])
                 out_s.extend(s[idx])

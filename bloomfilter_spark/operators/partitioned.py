@@ -88,7 +88,18 @@ def sharded_might_contain(
     n_shards is read from the shard table (every build row records it) —
     passing a mismatched value explicitly is an error, because routing
     probes with the wrong modulus silently produces false negatives."""
-    built_with = int(shards.select("n_shards").first()["n_shards"])
+    head = shards.select("n_shards").first()
+    if head is None:
+        # empty shard table (filter built from an empty DataFrame): the
+        # correct answer is "all probes absent", but routing needs a modulus
+        if n_shards is None:
+            raise ValueError(
+                "shard table is empty; pass n_shards explicitly to probe "
+                "(every probe will come back might_contain=False)"
+            )
+        built_with = n_shards
+    else:
+        built_with = int(head["n_shards"])
     if n_shards is None:
         n_shards = built_with
     elif n_shards != built_with:

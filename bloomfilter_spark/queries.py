@@ -291,30 +291,41 @@ FROM events GROUP BY event_type ORDER BY event_type
 def q_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter top-k: exact counts (Catalyst partial-agg + one
     shuffle), CMS point-estimates attached with their εN bound check.
-    Deterministic tie-break (count desc, key asc) matches the SQL oracle."""
-    from bloomfilter_spark.operators.membership import query_counts_udf
-    from pyspark.sql import Window
+    Deterministic tie-break (count desc, key asc) matches the SQL oracle.
 
+    Top-k finalize is orderBy().limit(k) — TakeOrderedAndProject, a
+    per-partition heap + driver merge of k rows — NOT row_number over an
+    unpartitioned Window, which would single-partition every distinct key
+    (the WindowExec "No Partition Defined" scale trap).  The k result rows
+    are driver-sized by definition, so the CMS bound check runs driver-side
+    on the already-merged sketch (no extra Spark job)."""
     ev = _t(spark, sf_dir, "events")
     sk = build_sketch(ev, "event_type", cms_factory(epsilon=0.0005, delta=0.001))
-    counts = ev.groupBy("event_type").agg(F.count("*").alias("exact_cnt"))
-    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("event_type").asc())
-    est = query_counts_udf(spark, sk)
-    bound = sk.error_bound()
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .withColumn("cms_est", est("event_type"))
-        .select(
-            "rank",
-            "event_type",
-            "exact_cnt",
-            (
-                (F.col("cms_est") >= F.col("exact_cnt"))
-                & (F.col("cms_est") <= F.col("exact_cnt") + F.lit(float(bound)) + 1)
-            ).alias("cms_ok"),
+    k = 5
+    top = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("event_type").asc())
+        .limit(k)
+        .toPandas()
+    )
+    bound = float(sk.error_bound())
+    est = sk.query(top["event_type"])
+    rows = [
+        (
+            i + 1,
+            str(top["event_type"].iloc[i]),
+            int(top["exact_cnt"].iloc[i]),
+            bool(
+                int(top["exact_cnt"].iloc[i])
+                <= int(est[i])
+                <= int(top["exact_cnt"].iloc[i]) + bound + 1
+            ),
         )
-        .orderBy("rank")
+        for i in range(len(top))
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, event_type string, exact_cnt long, cms_ok boolean"
     )
 
 
@@ -492,9 +503,18 @@ def q_bloom_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = serde.deserialize(even_sk.to_bytes()).union(odd_sk)
     inter = serde.deserialize(even_sk.to_bytes()).intersection(odd_sk)
 
-    all_keys = keys.select("key").toPandas()["key"]
-    union_hits = int(union.contains(all_keys).sum())
-    inter_hits = int(inter.contains(all_keys).sum())
+    # distributed probe: the merged filters broadcast (they're KB-MB sized);
+    # the keys NEVER collect to the driver — at 10¹² keys the old
+    # toPandas() here would OOM, the broadcast-UDF aggregate won't
+    hit_u = might_contain_udf(spark, union)
+    hit_i = might_contain_udf(spark, inter)
+    probe_agg = keys.agg(
+        F.sum(hit_u("key").cast("long")).alias("union_hits"),
+        F.sum(hit_i("key").cast("long")).alias("inter_hits"),
+        F.sum(F.col("even").cast("long")).alias("n_even"),
+    ).first()
+    union_hits = int(probe_agg["union_hits"])
+    inter_hits = int(probe_agg["inter_hits"])
 
     st = union.stats()
     cleared = serde.deserialize(union.to_bytes())
@@ -510,7 +530,7 @@ def q_bloom_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (
             int(n_docs),
-            int((all_keys.astype("int64") % 2 == 0).sum()),
+            int(probe_agg["n_even"]),
             bool(union_hits == n_docs),          # union ⊇ both sides
             bool(inter_hits <= 0.1 * n_docs),    # AND ≈ empty true intersection
             bool(

@@ -57,9 +57,9 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_STATS_SQL = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END)
-         AS total_tokens,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END)
+            AS BIGINT) AS total_tokens,
        ROUND(AVG(length(text)), 4) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
