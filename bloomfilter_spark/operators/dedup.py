@@ -382,41 +382,169 @@ def simhash64(
     )
 
 
-def simhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def _segment_slices(bits: int, n_segments: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per segment, spreading any remainder evenly."""
+    base = bits // n_segments
+    rem = bits % n_segments
+    out = []
+    start = 0
+    for j in range(n_segments):
+        w = base + (1 if j < rem else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
+def hamming_pairs(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_segments: int | None = None,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming — EXACT for max_hamming ≤ 3
-    via the 4×16-bit pigeonhole block join (any pair with ≤3 differing bits
-    agrees on ≥1 of 4 segments), then JVM-side bit_count(xor) verification."""
-    sh = simhash64(df, id_col, text_col)
-    seg = F.array(
+    """All (id_a < id_b) pairs of (id, simhash) rows with Hamming distance ≤
+    max_hamming — EXACT via the generalized pigeonhole multi-index join.
+
+    Split the hash into n_segments; a pair with ≤ max_hamming differing bits
+    has ≥ r = n_segments - max_hamming segments *equal*, so it collides on
+    ≥1 of the C(n_segments, r) r-segment combinations.  The join key is the
+    xxhash64 of (combo_id, the combo's segment values) — 8 bytes on the
+    shuffle regardless of combo width.
+
+    n_segments is the scale knob: the default max_hamming+1 (r=1) joins on
+    single segments — 64/4 = 16-bit buckets, which go quadratic at billions
+    of docs (2^16 buckets).  n_segments=8 with max_hamming=3 joins on
+    5-segment combos (C(8,5)=56 replicas/row, ~40-bit key space) — more
+    shuffle volume, exponentially smaller buckets; pick the knee for the
+    corpus size.  Candidates are verified with JVM-side bit_count(xor), so
+    every setting returns the identical exact pair set.
+    """
+    from itertools import combinations
+
+    if n_segments is None:
+        n_segments = max_hamming + 1
+    r = n_segments - max_hamming
+    if r < 1:
+        raise ValueError(
+            f"n_segments={n_segments} must exceed max_hamming={max_hamming}"
+        )
+    slices = _segment_slices(bits, n_segments)
+    seg_cols = [
+        F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        for start, w in slices
+    ]
+    combos = list(combinations(range(n_segments), r))
+    keys = F.array(
         *[
             F.struct(
-                F.lit(j).alias("seg"),
-                F.shiftrightunsigned(F.col("simhash"), 16 * j)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("v"),
+                F.lit(ci).alias("combo"),
+                F.xxhash64(F.lit(ci), *[seg_cols[j] for j in combo]).alias("h"),
             )
-            for j in range(4)
+            for ci, combo in enumerate(combos)
         ]
     )
-    blocked = sh.select(
-        "id", "simhash", F.explode(seg).alias("sv")
-    ).select("id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.v").alias("v"))
-    l = blocked.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "seg", "v"
+    blocked = (
+        sh.select("id", "simhash", F.explode(keys).alias("kv"))
+        .select(
+            "id",
+            "simhash",
+            F.col("kv.combo").alias("combo"),
+            F.col("kv.h").alias("v"),
+        )
     )
-    r = blocked.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "seg", "v"
+    l = blocked.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "combo", "v"
+    )
+    rr = blocked.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "combo", "v"
     )
     return (
-        l.join(r, ["seg", "v"])
+        l.join(rr, ["combo", "v"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "h_a", "h_b")
         .distinct()
         .withColumn(
-            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_segments: int | None = None,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming over the murmur3 numpy
+    simhash — exact candidate generation via the pigeonhole multi-index
+    (see hamming_pairs), then bit_count(xor) verification."""
+    return hamming_pairs(
+        simhash64(df, id_col, text_col),
+        max_hamming=max_hamming,
+        bits=64,
+        n_segments=n_segments,
+    )
+
+
+# --- cross-engine-reproducible simhash (the SQL-oracle-able variant) --------
+
+SIMHASH_SQL_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int
+
+
+def simhash_sql(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_SQL_BITS
+) -> DataFrame:
+    """(id, simhash) computed ENTIRELY in Catalyst from md5 token hashes.
+
+    md5 is the one keyed-identical hash both Spark and DuckDB expose, which
+    makes this variant bit-for-bit reproducible in ANSI SQL — the
+    differential-oracle role (two independent engines must agree, the
+    pattern of /root/reference/tests/integration/
+    bloomfilter_simd_comparison_test.go:280-381).  The murmur3 numpy
+    `simhash64` stays the throughput path; this one is pure JVM codegen:
+    explode tokens → 60-bit md5-prefix hash → one groupBy(id) computing the
+    per-bit sign sums → pack bits.  One shuffle on id; no Python at all.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    ex = ex.select("id", h.alias("h"))
+    sums = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), j)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+                * 2
+                - 1
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    packed = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return sums.select("id", packed.cast("long").alias("simhash"))
+
+
+def simhash_dedup_pairs_sql(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_segments: int | None = None,
+) -> DataFrame:
+    """Exact Hamming-≤k pairs over the SQL-reproducible md5 simhash — the
+    catalog entry DuckDB can replay value-for-value."""
+    return hamming_pairs(
+        simhash_sql(df, id_col, text_col),
+        max_hamming=max_hamming,
+        bits=SIMHASH_SQL_BITS,
+        n_segments=n_segments,
     )

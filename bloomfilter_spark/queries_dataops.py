@@ -24,7 +24,7 @@ from bloomfilter_spark.operators.dedup import (
     minhash_dedup_pairs,
     minhash_dedup_pairs_verified,
     ngram_jaccard_pairs,
-    simhash_dedup_pairs,
+    simhash_dedup_pairs_sql,
 )
 from bloomfilter_spark.operators.multimodal import (
     byte_histogram_features,
@@ -234,10 +234,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamming-≤3 simhash pairs over the md5-based (cross-engine
+    reproducible) simhash: the pigeonhole candidate join is exact and DuckDB
+    recomputes the identical hash, so this carries a full value oracle.
+    The murmur3 numpy simhash (throughput path) is pytest-pinned against
+    this same pair semantics in tests/test_dataops.py."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+    return simhash_dedup_pairs_sql(docs, "doc_id", "text", max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), bitsums AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT UNNEST(range(60)) AS b) GROUP BY doc_id, b
+), sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS sh
+  FROM bitsums GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,6 +426,7 @@ ORACLES2 = {
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash_verified": _MINHASH_VERIFIED_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
     "ann_topk_cosine": _ANN_TOPK_SQL,
     "ann_neardup_pairs": _ANN_NEARDUP_SQL,
 }

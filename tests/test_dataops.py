@@ -86,6 +86,42 @@ def test_simhash_pairs_match_bruteforce(spark):
     assert len(expected) >= 5  # a decent share of planted dups collide ≤3 bits
 
 
+def test_simhash_multi_index_segments_equivalent(spark):
+    """The scale knob (n_segments=8 → C(8,5)=56 combo join, exponentially
+    smaller buckets) must return the IDENTICAL exact pair set as the default
+    4-segment single-index join."""
+    from bloomfilter_spark.operators.dedup import simhash_dedup_pairs
+
+    df, _ = _corpus(spark)
+    base = simhash_dedup_pairs(df, "doc_id", "text", max_hamming=3).toPandas()
+    wide = simhash_dedup_pairs(
+        df, "doc_id", "text", max_hamming=3, n_segments=8
+    ).toPandas()
+    key = lambda p: sorted(map(tuple, p[["id_a", "id_b", "hamming"]].values))
+    assert key(base) == key(wide)
+    assert len(base) >= 5
+
+
+def test_simhash_sql_matches_python_md5(spark):
+    """Differential oracle for the Catalyst md5 simhash: an independent
+    per-row python hashlib computation must agree bit-for-bit."""
+    import hashlib
+
+    from bloomfilter_spark.operators.dedup import SIMHASH_SQL_BITS, simhash_sql
+
+    df, _ = _corpus(spark, n_base=20, n_dups=5)
+    got = simhash_sql(df, "doc_id", "text").toPandas().set_index("id")["simhash"]
+    for row in df.toPandas().itertuples():
+        toks = row.text.strip().lower().split()
+        sums = [0] * SIMHASH_SQL_BITS
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for j in range(SIMHASH_SQL_BITS):
+                sums[j] += 1 if (h >> j) & 1 else -1
+        want = sum((1 << j) for j in range(SIMHASH_SQL_BITS) if sums[j] > 0)
+        assert int(got[row.doc_id]) == want
+
+
 def test_ngram_jaccard_exactness(spark):
     """Spark pipeline vs a trivial python set computation."""
     from bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
