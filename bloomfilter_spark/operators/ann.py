@@ -5,11 +5,11 @@
   top-k, then a global top-k window.  The per-partition pre-truncation
   means the shuffle carries k rows per (query, partition), not the whole
   table — the distributed top-k idiom that survives a 100 TB scan.
-- `neardup_pairs`: all pairs with cosine ≥ threshold.  Fixture-scale
-  implementation broadcasts the normalized matrix and scores each
-  partition's rows against it (O(N²) work but O(N/P) memory per task);
-  the 100 TB path is `ivf_assign` + within-bucket pairing (documented, and
-  the bucketed variant is what `ivf_topk` demonstrates).
+- `neardup_pairs`: all pairs with cosine ≥ threshold — exact, via the
+  block-pair cogroup plan (hash rows into blocks, one GEMM task per block
+  pair): no driver collect, no full-matrix broadcast, bounded task memory.
+  The sub-quadratic approximate path at corpus scale is LSH
+  (operators/dedup.py) or `ivf_assign` bucketing.
 - `ivf_topk`: IVF-style ANN — deterministic k-means (numpy, fixed init on
   a driver sample), bucket assignment as a column, query probes only the
   `nprobe` nearest buckets.  Same output schema as brute_topk; recall is
@@ -96,39 +96,79 @@ def neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All (id_a < id_b) pairs with cosine ≥ threshold.
+    """All (id_a < id_b) pairs with cosine ≥ threshold — EXACT, distributed.
 
-    Broadcasts the normalized matrix (fixture scale); each task scores only
-    its partition's rows against it.  Scale path: ivf_assign buckets +
-    within-bucket pairs (trades recall for the O(N²) term)."""
+    Block-pair plan: rows hash into `n_blocks` blocks; every unordered
+    block pair (bi ≤ bj) becomes one cogrouped task that GEMMs block bi
+    against block bj and emits the over-threshold pairs.  Nothing collects
+    to the driver and no full matrix is broadcast — the table is shuffled
+    (replication factor n_blocks, one copy per block pair a row joins), and
+    each task holds only two blocks of N/n_blocks rows.  The O(N²) *work*
+    is inherent to an exact all-pairs score; this spreads it over
+    n_blocks(n_blocks+1)/2 tasks with bounded memory.  n_blocks is the
+    memory/replication knob: pick ≈ N·d·8 / (executor task memory) so two
+    blocks fit, more tasks than cores.  For corpus-scale near-dup mining
+    where approximate recall is acceptable, the sub-quadratic path is
+    minhash/simhash LSH (operators/dedup.py) or ivf_assign bucketing."""
     spark = emb.sparkSession
-    pdf_all = emb.select(id_col, vec_col).toPandas()
-    ids_all = pdf_all[id_col].to_numpy()
-    m_all = _normalize(_emb_matrix(pdf_all, vec_col))
-    bc = spark.sparkContext.broadcast((ids_all, m_all))
+    if n_blocks is None:
+        n_blocks = max(4, min(64, spark.sparkContext.defaultParallelism // 2))
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    block_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    # the two sides get fully distinct column names (and separate tiny
+    # block-pair relations) so Spark's ambiguous-self-join analyzer can
+    # resolve the cogroup; each row fans out to exactly n_blocks groups
+    e_a = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        block_of.alias("block"),
+    )
+    e_b = emb.select(
+        F.col(id_col).alias("id_r"),
+        F.col(vec_col).alias("vec_r"),
+        block_of.alias("block_r"),
+    )
+    pairs_a = spark.createDataFrame(pair_rows, "bi long, bj long")
+    pairs_b = spark.createDataFrame(pair_rows, "bi_r long, bj_r long")
+    side_a = F.broadcast(pairs_a).join(e_a, F.col("bi") == F.col("block"))
+    side_b = F.broadcast(pairs_b).join(e_b, F.col("bj_r") == F.col("block_r"))
 
-    def pair_iter(batches):
-        ids_, m_ = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vm = _normalize(_emb_matrix(pdf, vec_col))
-            ids = pdf[id_col].to_numpy()
-            sims = vm @ m_.T  # (B, N)
-            bi, nj = np.nonzero(sims >= threshold)
-            keep = ids[bi] < ids_[nj]
-            yield pd.DataFrame(
+    def score(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        ids_a = l["id"].to_numpy()
+        a = _normalize(_emb_matrix(l, "vec"))
+        if int(l["bi"].iloc[0]) == int(l["bj"].iloc[0]):
+            sims = a @ a.T
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = ids_a[ii] < ids_a[jj]
+            return pd.DataFrame(
                 {
-                    "id_a": ids[bi][keep],
-                    "id_b": ids_[nj][keep],
-                    "sim": sims[bi, nj][keep],
+                    "id_a": ids_a[ii][keep],
+                    "id_b": ids_a[jj][keep],
+                    "sim": sims[ii, jj][keep],
                 }
             )
+        ids_b = r["id_r"].to_numpy()
+        b = _normalize(_emb_matrix(r, "vec_r"))
+        sims = a @ b.T
+        ii, jj = np.nonzero(sims >= threshold)
+        ia, ib = ids_a[ii], ids_b[jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "sim": sims[ii, jj],
+            }
+        )
 
     return (
-        emb.select(id_col, vec_col)
-        .mapInPandas(pair_iter, schema="id_a long, id_b long, sim double")
+        side_a.groupby("bi", "bj")
+        .cogroup(side_b.groupby("bi_r", "bj_r"))
+        .applyInPandas(score, schema="id_a long, id_b long, sim double")
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
 

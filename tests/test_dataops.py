@@ -252,6 +252,20 @@ def test_neardup_pairs_symmetric_exact(spark, emb):
     assert {(a, b) for a, b in zip(got.id_a, got.id_b)} == expected
 
 
+def test_neardup_pairs_block_count_invariant(spark, emb):
+    """The block-pair cogroup is an execution strategy, not semantics: any
+    n_blocks must return the identical exact pair set (each unordered pair
+    is scored in exactly one block-pair task)."""
+    from bloomfilter_spark.operators.ann import neardup_pairs
+
+    key = lambda p: sorted(map(tuple, p[["id_a", "id_b", "sim"]].values))
+    base = neardup_pairs(emb, threshold=0.35, n_blocks=4).toPandas()
+    for nb in (1, 7, 32):
+        other = neardup_pairs(emb, threshold=0.35, n_blocks=nb).toPandas()
+        assert key(other) == key(base), nb
+    assert len(base) > 0
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
