@@ -57,6 +57,39 @@ def _unpack(blob: bytes):
     return serde.deserialize(zlib.decompress(blob))
 
 
+def _fold_partition(
+    batches: Iterator[pd.DataFrame],
+    names: list[str],
+    factories: dict[str, Callable[[], object]],
+    col_of: dict[str, str],
+) -> tuple[dict[str, object], int]:
+    """Fold one partition's Arrow batches into all the suite's sketches.
+
+    Hash sharing: sketches on the same column with the same seed all
+    consume one murmur3 pass (update() is just hash_any + add_hashes)."""
+    from bloomfilter_spark.functions.hashing import hash_any
+
+    sks = {n: factories[n]() for n in names}
+    by_col: dict[str, list] = {}
+    for n in names:
+        by_col.setdefault(col_of[n], []).append(sks[n])
+    rows = 0
+    for pdf in batches:
+        for c, col_sks in by_col.items():
+            clean = pdf[c].dropna()
+            hash_cache: dict[int, tuple] = {}
+            for sk in col_sks:
+                if hasattr(sk, "add_hashes") and hasattr(sk, "seed"):
+                    seed = int(sk.seed)
+                    if seed not in hash_cache:
+                        hash_cache[seed] = hash_any(clean, seed)
+                    sk.add_hashes(*hash_cache[seed])
+                else:
+                    _numeric_update(sk, pdf[c])
+        rows += len(pdf)
+    return sks, rows
+
+
 def build_multi(
     df: DataFrame,
     specs: dict[str, tuple[str, Callable[[], object]]],
@@ -83,28 +116,7 @@ def build_multi(
     def build_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        from bloomfilter_spark.functions.hashing import hash_any
-
-        sks = {n: factories[n]() for n in names}
-        # hash sharing: sketches on the same column with the same seed all
-        # consume one murmur3 pass (update() is just hash_any + add_hashes)
-        by_col: dict[str, list] = {}
-        for n in names:
-            by_col.setdefault(col_of[n], []).append(sks[n])
-        rows = 0
-        for pdf in batches:
-            for c, col_sks in by_col.items():
-                clean = pdf[c].dropna()
-                hash_cache: dict[int, tuple] = {}
-                for sk in col_sks:
-                    if hasattr(sk, "add_hashes") and hasattr(sk, "seed"):
-                        seed = int(sk.seed)
-                        if seed not in hash_cache:
-                            hash_cache[seed] = hash_any(clean, seed)
-                        sk.add_hashes(*hash_cache[seed])
-                    else:
-                        _numeric_update(sk, pdf[c])
-            rows += len(pdf)
+        sks, rows = _fold_partition(batches, names, factories, col_of)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         out = {"partition_id": [pid]}
@@ -116,6 +128,161 @@ def build_multi(
     n_parts = pruned.rdd.getNumPartitions()
     par = df.sparkSession.sparkContext.defaultParallelism
     return _merge_tree(partials, schema, names, factories, n_parts, fanin, par)
+
+
+def build_multi_checkpointed(
+    df: DataFrame,
+    specs: dict[str, tuple[str, Callable[[], object]]],
+    ckpt_dir: str,
+    fanin: int | None = None,
+    fail_on: Callable[[int], bool] | None = None,
+):
+    """`build_multi` with per-partition checkpoint/resume — the north-rule
+    resume contract on the path that actually runs at 100 TB (a killed
+    8-sketch suite build must NOT rescan completed splits).
+
+    Each task atomically writes `partial-<pid>.bin` (all of its sketches'
+    zlib partial blobs in one file) plus a lineage sidecar; on resume a task
+    whose partial exists yields stats WITHOUT consuming its input iterator,
+    so the parquet split is never read.  The merge stage reloads the
+    partials as a DataFrame (binaryFile source — never a driver glob-read
+    of 800k blobs) and reduces them through the same deterministic
+    bounded-fan-in tree as build_multi, so an interrupted-then-resumed
+    build is bit-identical to an uninterrupted one.
+
+    Returns (name -> merged sketch, lineage DataFrame).  Same caller
+    contract as build_sketch_checkpointed: deterministic input partitioning
+    across runs, ckpt_dir on shared storage.
+    """
+    import json
+    import os
+    import pickle
+    import time
+
+    from bloomfilter_spark.operators.checkpoint import (
+        STATS_SCHEMA,
+        _atomic_write,
+    )
+    from bloomfilter_spark.plans.skew import ensure_parallelism
+
+    names = list(specs)
+    cols = sorted({c for c, _ in specs.values()})
+    pruned = ensure_parallelism(df.select(*cols))
+    factories = {n: f for n, (_, f) in specs.items()}
+    col_of = {n: c for n, (c, _) in specs.items()}
+    n_parts = pruned.rdd.getNumPartitions()
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    manifest = {
+        "cols": cols,
+        "n_parts": n_parts,
+        "sketches": {
+            n: [col_of[n], factories[n]().to_bytes()[:64].hex()] for n in names
+        },
+    }
+    man_path = os.path.join(ckpt_dir, "MANIFEST.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            prev = json.load(f)
+        if prev != manifest:
+            raise ValueError(
+                "checkpoint dir was written by a different suite build "
+                f"(manifest {prev} != {manifest}); use a fresh ckpt_dir"
+            )
+    else:
+        _atomic_write(man_path, json.dumps(manifest).encode())
+
+    def build_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        blob_path = os.path.join(ckpt_dir, f"partial-{pid:06d}.bin")
+        if os.path.exists(blob_path):
+            # resume fast-path: input iterator NOT consumed → split not read
+            yield pd.DataFrame(
+                {
+                    "partition_id": [pid],
+                    "rows": [-1],
+                    "input_bytes": [-1],
+                    "wall_ms": [0.0],
+                    "resumed": [True],
+                }
+            )
+            return
+        if fail_on is not None and fail_on(pid):
+            raise RuntimeError(f"injected failure in partition {pid}")
+        t0 = time.perf_counter()
+        sks, rows = _fold_partition(batches, names, factories, col_of)
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        payload = pickle.dumps(
+            {"rows": rows, "blobs": {n: _pack(sks[n]) for n in names}},
+            protocol=4,
+        )
+        _atomic_write(blob_path, payload)
+        _atomic_write(
+            os.path.join(ckpt_dir, f"lineage-{pid:06d}.json"),
+            json.dumps(
+                {
+                    "partition_id": pid,
+                    "rows": rows,
+                    "wall_ms": wall_ms,
+                    "cols": cols,
+                    "sketches": names,
+                    "completed_at": time.time(),
+                }
+            ).encode(),
+        )
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "rows": [rows],
+                "input_bytes": [int(payload.__sizeof__())],
+                "wall_ms": [wall_ms],
+                "resumed": [False],
+            }
+        )
+
+    stats_pdf = (
+        pruned.mapInPandas(build_iter, schema=STATS_SCHEMA).toPandas()
+    )  # runs the job; raises if a task fails
+
+    done = [
+        f for f in os.listdir(ckpt_dir)
+        if f.startswith("partial-") and f.endswith(".bin")
+    ]
+    if len(done) != n_parts:
+        raise RuntimeError(
+            f"checkpoint incomplete: {len(done)}/{n_parts} partials present"
+        )
+
+    blob_cols = ", ".join(f"`{n}` binary" for n in names)
+    schema = f"partition_id long, {blob_cols}, rows long"
+    spark = df.sparkSession
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "partial-*.bin")
+        .load(ckpt_dir)
+        .select("path", "content")
+    )
+
+    def parse_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols_out = ["partition_id", *names, "rows"]
+        for pdf in batches:
+            recs = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                d = pickle.loads(bytes(content))
+                pid = int(os.path.basename(path)[len("partial-"):-len(".bin")])
+                rec = {"partition_id": pid, "rows": d["rows"]}
+                rec.update(d["blobs"])
+                recs.append(rec)
+            yield pd.DataFrame(recs, columns=cols_out)
+
+    partials = files.mapInPandas(parse_iter, schema=schema)
+    par = spark.sparkContext.defaultParallelism
+    merged = _merge_tree(partials, schema, names, factories, n_parts, fanin, par)
+    lineage = spark.createDataFrame(stats_pdf, schema=STATS_SCHEMA)
+    return merged, lineage
 
 
 def _nary_merge_pdf(

@@ -369,16 +369,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_PAGES_SUITE_ROWS = 10_000
+
+
 def q_pages_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan sketch suite over the synthetic pages table; returns the
-    invariant summary (exact values + bound-check booleans).  Rows-only:
-    pages is generated, not a driver view."""
+    invariant summary (exact values + bound-check booleans).  The pages
+    table is deterministic and cached at a path computable without Spark,
+    so the DuckDB oracle reads the same parquet via read_parquet() and
+    recomputes the exact columns; the bound booleans are expected TRUE."""
     from bloomfilter_spark.operators.pipeline import build_suite
     from bloomfilter_spark.sources.pages import ensure_pages
 
-    path = ensure_pages(spark, 10_000)
+    path = ensure_pages(spark, _PAGES_SUITE_ROWS)
     pages = spark.read.parquet(path)
-    suite = build_suite(pages, n_expected=10_000)
+    suite = build_suite(pages, n_expected=_PAGES_SUITE_ROWS)
     exact = pages.agg(
         F.count("*").alias("n_pages"),
         F.countDistinct("url").alias("exact_urls"),
@@ -404,6 +409,84 @@ def q_pages_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pages_suite_oracle_sql() -> str:
+    from bloomfilter_spark.sources.pages import pages_table_path
+
+    path = pages_table_path(_PAGES_SUITE_ROWS)
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT)            AS n_pages,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS exact_urls,
+       TRUE AS hll_ok, TRUE AS bloom_fpp_ok, TRUE AS kll_ok
+FROM read_parquet('{path}/*.parquet')
+"""
+
+
+def q_pages_suite_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the suite resume contract through the catalog:
+    build the full 8-sketch suite WITH checkpointing, delete two partial
+    blobs (simulated lost work), resume — the resume must rebuild exactly
+    those two partitions, skip the rest without re-scanning, and every
+    merged sketch must be bit-identical to an uninterrupted build_multi."""
+    import os
+    import shutil
+    import tempfile
+
+    from bloomfilter_spark.operators.pipeline import (
+        build_multi,
+        build_multi_checkpointed,
+        pages_suite_specs,
+        with_page_features,
+    )
+    from bloomfilter_spark.sources.pages import ensure_pages
+
+    path = ensure_pages(spark, _PAGES_SUITE_ROWS)
+    pages = spark.read.parquet(path)
+    feats = with_page_features(pages)
+    specs = pages_suite_specs(_PAGES_SUITE_ROWS)
+    ckpt = tempfile.mkdtemp(prefix="bfs_suite_ckpt_")
+    try:
+        build_multi_checkpointed(feats, specs, ckpt)
+        victims = sorted(
+            f for f in os.listdir(ckpt)
+            if f.startswith("partial-") and f.endswith(".bin")
+        )[:2]
+        for v in victims:
+            os.remove(os.path.join(ckpt, v))
+        merged, lineage = build_multi_checkpointed(feats, specs, ckpt)
+        lp = lineage.toPandas()
+        direct = build_multi(feats, specs)
+        bit_identical = all(
+            merged[n].to_bytes() == direct[n].to_bytes() for n in specs
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    rows = [
+        (
+            int(pages.count()),
+            int((~lp["resumed"]).sum()),
+            bool(int(lp["resumed"].sum()) == len(lp) - 2),
+            bool(bit_identical),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_pages long, rebuilt_partitions long, "
+        "resume_skipped_rest boolean, bit_identical boolean",
+    )
+
+
+def _pages_resume_oracle_sql() -> str:
+    from bloomfilter_spark.sources.pages import pages_table_path
+
+    path = pages_table_path(_PAGES_SUITE_ROWS)
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(2 AS BIGINT)        AS rebuilt_partitions,
+       TRUE AS resume_skipped_rest, TRUE AS bit_identical
+FROM read_parquet('{path}/*.parquet')
+"""
+
+
 QUERIES2 = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -418,6 +501,7 @@ QUERIES2 = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "pages_sketch_suite": q_pages_sketch_suite,
+    "pages_suite_checkpointed": q_pages_suite_checkpointed,
 }
 
 ORACLES2 = {
@@ -429,4 +513,6 @@ ORACLES2 = {
     "dedup_simhash": _SIMHASH_SQL,
     "ann_topk_cosine": _ANN_TOPK_SQL,
     "ann_neardup_pairs": _ANN_NEARDUP_SQL,
+    "pages_sketch_suite": _pages_suite_oracle_sql(),
+    "pages_suite_checkpointed": _pages_resume_oracle_sql(),
 }

@@ -67,6 +67,67 @@ def test_full_resume_no_rescan(spark, pages, tmp_path):
     assert sk1.to_bytes() == sk2.to_bytes()
 
 
+def test_build_multi_kill_and_resume_bit_identical(spark, pages, tmp_path):
+    """The SUITE path (one-scan multi-sketch) must honor the same resume
+    contract: kill mid-build → resume → every sketch bit-identical to an
+    uninterrupted build_multi, completed splits never re-scanned."""
+    from bloomfilter_spark.operators.build import hll_factory, tdigest_factory
+    from bloomfilter_spark.operators.pipeline import (
+        build_multi,
+        build_multi_checkpointed,
+    )
+
+    feats = pages.selectExpr("url", "length(text) as text_len")
+    specs = {
+        "bloom_url": ("url", bloom_factory(2048, 0.01)),
+        "hll_url": ("url", hll_factory(precision=12)),
+        "kll_textlen": ("text_len", kll_factory(k=200)),
+        "tdigest_textlen": ("text_len", tdigest_factory(delta=200)),
+    }
+    ckpt = str(tmp_path / "mckpt")
+
+    with pytest.raises(Exception):
+        build_multi_checkpointed(
+            feats, specs, ckpt, fail_on=lambda pid: pid >= 4
+        )
+    done1 = {
+        int(f[len("partial-"):-len(".bin")])
+        for f in os.listdir(ckpt)
+        if f.startswith("partial-") and f.endswith(".bin")
+    }
+    assert done1 and done1 <= {0, 1, 2, 3}
+
+    merged, lineage = build_multi_checkpointed(feats, specs, ckpt)
+    lin = lineage.toPandas().set_index("partition_id")
+    assert set(lin.index) == set(range(8))
+    for pid in done1:
+        assert bool(lin.loc[pid, "resumed"]) is True  # not re-scanned
+    for pid in set(range(8)) - done1:
+        assert bool(lin.loc[pid, "resumed"]) is False
+
+    direct = build_multi(feats, specs)
+    for name in specs:
+        assert merged[name].to_bytes() == direct[name].to_bytes(), name
+
+    # third run: everything resumes, and the result is still identical
+    merged2, lineage2 = build_multi_checkpointed(feats, specs, ckpt)
+    assert lineage2.toPandas().resumed.all()
+    for name in specs:
+        assert merged2[name].to_bytes() == direct[name].to_bytes(), name
+
+
+def test_build_multi_manifest_guard(spark, pages, tmp_path):
+    from bloomfilter_spark.operators.pipeline import build_multi_checkpointed
+
+    feats = pages.selectExpr("url", "length(text) as text_len")
+    ckpt = str(tmp_path / "mckpt2")
+    specs = {"bloom_url": ("url", bloom_factory(2048, 0.01))}
+    build_multi_checkpointed(feats, specs, ckpt)
+    other = {"bloom_url": ("url", bloom_factory(65536, 0.01))}
+    with pytest.raises(ValueError, match="different suite build"):
+        build_multi_checkpointed(feats, other, ckpt)
+
+
 def test_incomplete_checkpoint_detected(spark, pages, tmp_path):
     ckpt = str(tmp_path / "ckpt3")
     factory = bloom_factory(2048, 0.01)
