@@ -168,6 +168,14 @@ def build_grouped(
       tasks building partial sketches; stage 2 merges the ≤s partials per
       key. This is map-side-combine semantics expressed as sketches, the
       salted-repartition pattern the north rule names.
+
+    Determinism: shuffle FETCH order is not stable across runs, so both the
+    rows inside a group and the ≤s partials per key can arrive in any
+    order.  Commutative sketches (Bloom/HLL/CMS) don't care; the compaction
+    sketches (KLL/t-digest) do.  We canonicalize both: group values are
+    sorted before the fold, and salted partials carry their `_salt` and are
+    merged in salt order — so a grouped build is a pure function of each
+    group's value multiset, run-to-run and schedule-to-schedule.
     """
     from pyspark.sql import functions as F
 
@@ -176,10 +184,11 @@ def build_grouped(
     key_schema_src = df.select(*key_cols).schema
     key_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in key_schema_src)
     out_schema = f"{key_ddl}, blob binary, rows long"
+    partial_schema = f"{key_ddl}, `_salt` bigint, blob binary, rows long"
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = factory()
-        _numeric_update(sk, pdf[value_col])
+        _numeric_update(sk, pdf[value_col].sort_values(kind="stable"))
         out = {c: [pdf[c].iloc[0]] for c in key_cols}
         out["blob"] = [sk.to_bytes()]
         out["rows"] = [len(pdf)]
@@ -197,13 +206,16 @@ def build_grouped(
     )
 
     def build_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-        return build_group(pdf.drop(columns=["_salt"]))
+        out = build_group(pdf.drop(columns=["_salt"]))
+        out.insert(len(key_cols), "_salt", [int(pdf["_salt"].iloc[0])])
+        return out
 
     partials = salted.groupBy(*key_cols, "_salt").applyInPandas(
-        build_salted, schema=out_schema
+        build_salted, schema=partial_schema
     )
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_salt")  # canonical partial order
         acc = factory()
         sketches = [serde.deserialize(b) for b in pdf["blob"]]
         if hasattr(acc, "merge_all"):

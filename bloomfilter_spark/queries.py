@@ -402,6 +402,65 @@ FROM qv ORDER BY q
 """
 
 
+def q_quantiles_by_lang_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped + SALTED quantile sketches — the merge-order-sensitive case
+    the determinism design exists for.  Per-lang KLL and t-digest over doc
+    length are built through the two-stage salted path (salts=8: a hot lang
+    fans out over 8 partial-sketch tasks, stage 2 merges partials in salt
+    order), then each sketch's rank of the exact per-lang quantile must sit
+    within its published rank-error bound.  Exact values oracle-checked via
+    per-group quantile_cont; determinism (two salted builds bit-identical)
+    is pytest-pinned in tests/test_spark_build.py."""
+    docs = _t(spark, sf_dir, "documents")
+    kll_g = build_grouped(
+        docs, "lang", "n_chars", kll_factory(k=200), salts=8
+    ).toPandas()
+    td_g = build_grouped(
+        docs, "lang", "n_chars", tdigest_factory(delta=200), salts=8
+    ).toPandas()
+    kll_by = {r["lang"]: serde.deserialize(r["blob"]) for _, r in kll_g.iterrows()}
+    td_by = {r["lang"]: serde.deserialize(r["blob"]) for _, r in td_g.iterrows()}
+    exact = (
+        docs.groupBy("lang")
+        .agg(F.percentile("n_chars", F.array(*[F.lit(q) for q in _QS])).alias("ex"))
+        .orderBy("lang")
+        .collect()
+    )
+    rows = []
+    for r in exact:
+        lang = r["lang"]
+        kll, td = kll_by[lang], td_by[lang]
+        for i, q in enumerate(_QS):
+            ev = float(r["ex"][i])
+            rows.append(
+                (
+                    lang,
+                    q,
+                    round(ev, 6),
+                    bool(abs(kll.rank(ev) - q) <= kll.rank_error() + 0.015),
+                    bool(abs(td.rank(ev) - q) <= 0.02),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "lang string, q double, exact_value double, "
+        "kll_ok boolean, tdigest_ok boolean",
+    )
+
+
+_QUANTILES_BY_LANG_SQL = """
+WITH qv AS (
+  SELECT lang, quantile_cont(n_chars, [0.01, 0.25, 0.5, 0.75, 0.99]) AS vals
+  FROM documents GROUP BY lang
+)
+SELECT lang,
+       UNNEST([0.01, 0.25, 0.5, 0.75, 0.99])  AS q,
+       ROUND(CAST(UNNEST(vals) AS DOUBLE), 6) AS exact_value,
+       TRUE AS kll_ok, TRUE AS tdigest_ok
+FROM qv ORDER BY lang, q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Bloom semi-join (the sketch's join role) — exact after FP pruning
 # ---------------------------------------------------------------------------
@@ -610,6 +669,7 @@ QUERIES = {
     "heavy_hitters_event_types": q_heavy_hitters_event_types,
     "kll_quantiles_n_chars": q_kll_quantiles_n_chars,
     "tdigest_quantiles_value": q_tdigest_quantiles_value,
+    "quantiles_by_lang_salted": q_quantiles_by_lang_salted,
     "bloom_semijoin_orders": q_bloom_semijoin_orders,
     "dedup_exact": q_dedup_exact,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -631,6 +691,7 @@ ORACLES = {
     "heavy_hitters_event_types": _HEAVY_HITTERS_SQL,
     "kll_quantiles_n_chars": _KLL_SQL,
     "tdigest_quantiles_value": _TDIGEST_SQL,
+    "quantiles_by_lang_salted": _QUANTILES_BY_LANG_SQL,
     "bloom_semijoin_orders": _SEMIJOIN_SQL,
     "dedup_exact": _DEDUP_SQL,
     "lineitem_pricing_summary": _Q1_SQL,

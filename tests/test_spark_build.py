@@ -177,3 +177,28 @@ def test_grouped_salted_equals_unsalted(spark, documents):
         sb = serde.deserialize(b["blob"][i])
         assert np.array_equal(sa.registers, sb.registers)
     assert (a["rows"] == b["rows"]).all()
+
+
+def test_grouped_salted_compaction_sketches_deterministic(spark, documents):
+    """The merge-order-sensitive case: grouped + salted KLL/t-digest.
+    Shuffle fetch order varies run-to-run, so determinism rests on the
+    canonicalization in build_grouped (values sorted within each partial,
+    partials merged in salt order).  Two independent builds must be
+    BIT-identical, and each group sketch must honor its rank bound."""
+    from bloomfilter_spark.operators.build import kll_factory, tdigest_factory
+
+    docs_pdf = documents.toPandas()
+    for fac, slack in ((kll_factory(k=160), 0.04), (tdigest_factory(delta=100), 0.03)):
+        a = build_grouped(documents, "lang", "n_chars", fac, salts=8).toPandas()
+        b = build_grouped(documents, "lang", "n_chars", fac, salts=8).toPandas()
+        a = a.sort_values("lang").reset_index(drop=True)
+        b = b.sort_values("lang").reset_index(drop=True)
+        assert (a["lang"] == b["lang"]).all()
+        for i in range(len(a)):
+            assert bytes(a["blob"][i]) == bytes(b["blob"][i]), a["lang"][i]
+        for _, row in a.iterrows():
+            sk = serde.deserialize(row["blob"])
+            vals = docs_pdf[docs_pdf["lang"] == row["lang"]]["n_chars"]
+            med = float(vals.median())
+            err = getattr(sk, "rank_error", lambda: 0.02)()
+            assert abs(sk.rank(med) - 0.5) <= err + slack, row["lang"]
