@@ -107,18 +107,23 @@ class BloomFilter:
         """(n, k) bit positions via double hashing — bloomfilter.go:124-126."""
         i = np.arange(self.k, dtype=U64)
         with np.errstate(over="ignore"):
-            return (h1[:, None] + i[None, :] * h2[:, None]) % U64(self.m)
+            pos = i[None, :] * h2[:, None]
+            pos += h1[:, None]
+            pos %= U64(self.m)  # in-place: one (n,k) temp, not three
+            return pos
 
     def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
         if len(h1) == 0:
             return
         pos = self._positions(h1, h2)
-        word_idx = (pos >> U64(6)).astype(np.int64)
         masks = U64(1) << (pos & U64(63))
+        word_idx = (pos >> U64(6)).astype(np.int64)
         # unbuffered scatter-OR: duplicate-safe (ufunc.at applies every
         # element), the vectorized replacement for per-bit CAS
         # (bloomfilter.go:352-383).  Measured 6x faster than the
-        # sort+unique+reduceat formulation it replaces.
+        # sort+unique+reduceat formulation it replaces.  (A 2n-division
+        # "reduce h1,h2 mod m first" rewrite is NOT equivalent: positions
+        # are defined on the uint64-WRAPPED h1 + i*h2, per the reference.)
         np.bitwise_or.at(self.words, word_idx, masks)
         self.n_added += len(h1)
 
@@ -134,8 +139,8 @@ class BloomFilter:
         if len(h1) == 0:
             return np.zeros(0, dtype=bool)
         pos = self._positions(h1, h2)
-        word_idx = (pos >> U64(6)).astype(np.int64)
         masks = U64(1) << (pos & U64(63))
+        word_idx = (pos >> U64(6)).astype(np.int64)
         vals = self.words[word_idx]
         return ((vals & masks) != 0).all(axis=1)
 
