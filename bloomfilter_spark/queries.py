@@ -622,6 +622,37 @@ SELECT (SELECT COUNT(*) FROM documents)                       AS n_docs,
 """
 
 
+def q_bloom_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-as-cardinality-estimator (-m/k · ln(1 - X/m) from PopCount —
+    the reference derives the same from its popcount,
+    /root/reference/bloomfilter.go:242-261).  Keys inserted with duplicates
+    (each doc key twice) so the estimate must track DISTINCT keys, not
+    insert calls; the exact distinct count is SQL-checked and the estimate
+    must land within 5%."""
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(F.col("doc_id").cast("string").alias("key"))
+    n = max(1024, keys.count())
+    doubled = keys.unionAll(keys)  # duplicates must not inflate the estimate
+    sk = build_sketch(doubled, "key", bloom_factory(n, 0.01))
+    est = sk.estimated_cardinality()
+    exact = keys.agg(F.countDistinct("key").alias("exact_distinct"))
+    return exact.select(
+        "exact_distinct",
+        (
+            F.abs(F.lit(float(est)) - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("cardinality_ok"),
+    )
+
+
+_BLOOM_CARDINALITY_SQL = """
+SELECT COUNT(DISTINCT CAST(doc_id AS VARCHAR)) AS exact_distinct,
+       TRUE AS cardinality_ok
+FROM documents
+"""
+
+
 def q_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sizing math itself (m = -n·lnp/ln²2, k = m·ln2/n, m rounded up
     to 512-bit blocks — /root/reference/bloomfilter.go:62-81) as data the
@@ -674,6 +705,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "bloom_set_algebra": q_bloom_set_algebra,
+    "bloom_cardinality": q_bloom_cardinality,
     "bloom_sizing": q_bloom_sizing,
 }
 
@@ -696,6 +728,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_SQL,
     "lineitem_pricing_summary": _Q1_SQL,
     "bloom_set_algebra": _SET_ALGEBRA_SQL,
+    "bloom_cardinality": _BLOOM_CARDINALITY_SQL,
     "bloom_sizing": _SIZING_SQL,
 }
 

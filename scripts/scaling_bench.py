@@ -92,8 +92,10 @@ def main() -> None:
     eff_tbl = "\n".join(
         f"| {p['n']}→{p['n4']} cores | {p['efficiency']:.3f} |" for p in pairs
     )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — scaling efficiency (north rule: N→4N ≥ 0.8)
+    # separate file: BENCH.md is the hand-curated report (it documents the
+    # executor-emulation pass) and must not be clobbered by a re-run
+    with open(os.path.join(REPO, "BENCH_THREADS.md"), "w") as f:
+        f.write(f"""# BENCH_THREADS — thread-scaling efficiency (north rule: N→4N ≥ 0.8)
 
 Job: full sketch-suite build (Bloom + HLL×2 + CMS×2 + KLL + t-digest, ONE
 scan) over {args.rows:,} synthetic Common-Crawl-style pages via
@@ -119,11 +121,11 @@ Sketch correctness at this scale (from the widest run): Bloom FPP estimate
 {result['hll_url_est']} vs {args.rows:,} true distinct urls.
 
 Measured {result['measured_at']} on a 32-core container, Spark local mode,
-`spark.sql.files.maxPartitionBytes=8m` so the ~1 GB fixture fans out
-across all cores (at petabyte scale the 128 MB default gives the same
-fan-out naturally).
+`spark.sql.files.maxPartitionBytes=64m` (submit_sketch_job.py default) so
+the ~GB-scale fixture fans out across all cores (at petabyte scale the
+128 MB default gives the same fan-out naturally).
 """)
-    print("wrote BENCH.md / BENCH.json", file=sys.stderr)
+    print("wrote BENCH_THREADS.md / BENCH.json", file=sys.stderr)
 
 
 if __name__ == "__main__":
