@@ -96,27 +96,29 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 # Rolling-hash fingerprinting (Rabin-Karp + winnowing) — vectorized numpy
 # ---------------------------------------------------------------------------
 
-_RK_BASE = np.uint64(1000003)
+_RK_BASE = 1000003
+_RK_MOD = 2147483647  # 2^31-1 (Mersenne): products/sums stay far below 2^63,
+# so the identical arithmetic is expressible in ANSI-SQL BIGINT (DuckDB
+# raises on 64-bit overflow — wrap-around 2^64 hashing would not be
+# oracle-able).  31-bit fingerprints are the classic MOSS regime.
 _K_DEFAULT = 8  # gram size in bytes
 _W_DEFAULT = 16  # winnowing window
 
 
 def _rolling_hashes(flat: np.ndarray, offsets: np.ndarray, k: int) -> tuple:
-    """All k-byte Rabin-Karp hashes per doc, computed on the whole batch at
-    once: sliding windows over the flat byte buffer (matmul with the power
-    vector, wrap-around uint64 arithmetic), then doc-boundary windows
-    masked out via offsets."""
+    """All k-byte Rabin-Karp hashes (mod 2^31-1) per doc, computed on the
+    whole batch at once: sliding windows over the flat byte buffer (matmul
+    with the power vector), then doc-boundary windows masked out via
+    offsets.  h = (Σ_j byte_j · BASE^(k-1-j) mod P) mod P — byte·power <
+    2^39, the 8-term sum < 2^42: exact in uint64 AND in SQL BIGINT."""
     n_docs = len(offsets) - 1
     if len(flat) < k:
         return np.empty(0, np.uint64), np.zeros(n_docs + 1, np.int64)
     win = np.lib.stride_tricks.sliding_window_view(flat, k).astype(np.uint64)
-    powers = np.empty(k, np.uint64)
-    powers[k - 1] = 1
-    with np.errstate(over="ignore"):
-        for j in range(k - 2, -1, -1):
-            powers[j] = powers[j + 1] * _RK_BASE
-    with np.errstate(over="ignore"):
-        hashes = (win * powers).sum(axis=1, dtype=np.uint64)
+    powers = np.array(
+        [pow(_RK_BASE, k - 1 - j, _RK_MOD) for j in range(k)], dtype=np.uint64
+    )
+    hashes = (win * powers).sum(axis=1, dtype=np.uint64) % np.uint64(_RK_MOD)
     # valid window starts per doc: [offsets[i], offsets[i+1] - k]
     starts = offsets[:-1]
     ends = np.maximum(offsets[1:] - k + 1, starts)

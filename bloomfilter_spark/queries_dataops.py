@@ -270,6 +270,11 @@ ORDER BY id_a, id_b
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (MOSS) document fingerprints.  The rolling hash is mod
+    2^31-1 Rabin-Karp over the text bytes — arithmetic DuckDB BIGINT can
+    replay exactly, so this carries a full value oracle (the SQL below
+    recomputes every window minimum from ord() code points; fixture text is
+    ASCII so bytes == code points)."""
     docs = _t(spark, sf_dir, "documents")
     return (
         with_fingerprints(docs.select("doc_id", "text"))
@@ -280,6 +285,45 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _fingerprints_oracle_sql() -> str:
+    from bloomfilter_spark.functions.textstats import (
+        _K_DEFAULT as K,
+        _RK_BASE as B,
+        _RK_MOD as P,
+        _W_DEFAULT as W,
+    )
+
+    powers = [pow(B, K - 1 - j, P) for j in range(K)]
+    terms = " + ".join(f"bs[i+{j + 1}]*{powers[j]}" for j in range(K))
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(length(text)),
+                        i -> ord(substr(text, i+1, 1))::BIGINT) AS bs,
+         length(text) AS n
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+    CASE WHEN n >= {K} THEN list_transform(range(n - {K - 1}),
+                                           i -> ({terms}) % {P})
+         ELSE CAST([] AS BIGINT[]) END AS h
+  FROM b
+), mn AS (
+  SELECT doc_id,
+    CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(h) <= {W} THEN [list_min(h)]
+         ELSE list_transform(range(len(h) - {W - 1}),
+                             i -> list_min(h[i+1:i+{W}]))
+    END AS mins
+  FROM hs
+)
+SELECT doc_id,
+       len(list_distinct(mins))         AS n_fingerprints,
+       CAST(list_min(mins) AS BIGINT)   AS min_fp
+FROM mn ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -511,6 +555,7 @@ ORACLES2 = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash_verified": _MINHASH_VERIFIED_SQL,
     "dedup_simhash": _SIMHASH_SQL,
+    "doc_fingerprints": _fingerprints_oracle_sql(),
     "ann_topk_cosine": _ANN_TOPK_SQL,
     "ann_neardup_pairs": _ANN_NEARDUP_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),

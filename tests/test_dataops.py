@@ -161,14 +161,20 @@ def test_ngram_jaccard_exactness(spark):
 def test_fingerprints_deterministic_and_sensitive():
     from bloomfilter_spark.functions.textstats import fingerprint_series
 
-    a = fingerprint_series(pd.Series(["hello world this is a document " * 5]))
-    b = fingerprint_series(pd.Series(["hello world this is a document " * 5]))
+    # non-degenerate text: winnowing only guarantees a *substring match*
+    # property, so sensitivity is asserted on a varied 200-token doc where
+    # the edit's grams are window minima (a 5x-repeated phrase can hide a
+    # one-char edit behind unchanged minima — that's correct behavior)
+    t1 = " ".join(f"tok{i}" for i in range(200))
+    t2 = " ".join(("CHANGED" if i == 100 else f"tok{i}") for i in range(200))
+    a = fingerprint_series(pd.Series([t1]))
+    b = fingerprint_series(pd.Series([t1]))
     assert a.iloc[0] == b.iloc[0]
-    c = fingerprint_series(pd.Series(["hello world this is X document " * 5]))
+    c = fingerprint_series(pd.Series([t2]))
     assert a.iloc[0] != c.iloc[0]
     # near-dup texts share most fingerprints (the winnowing property)
     sa, sc = set(a.iloc[0]), set(c.iloc[0])
-    assert len(sa & sc) / len(sa | sc) > 0.3
+    assert len(sa & sc) / len(sa | sc) > 0.9
     # short/empty
     e = fingerprint_series(pd.Series(["", "abc"]))
     assert e.iloc[0] == []
