@@ -74,6 +74,13 @@ def bloom_semi_join(
     At 100TB scale this is the payoff operator: the exact semi-join only
     shuffles the ≤(match + fpp) fraction of the probe side that survives the
     sketch, instead of the full table.
+
+    Sizing: pass n_expected whenever build_df is a FILTERED relation —
+    the default count() of a filtered scan is a real extra pass over the
+    build side (on unfiltered parquet it's metadata-only and cheap).  An
+    UPPER bound is always safe: an oversized filter costs memory but only
+    lowers the FPP, so the unfiltered table's metadata row count is the
+    recommended zero-scan default.
     """
     from bloomfilter_spark.operators.build import bloom_factory, build_sketch
 

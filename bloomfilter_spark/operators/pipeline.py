@@ -393,7 +393,12 @@ def with_page_features(df: DataFrame) -> DataFrame:
 def build_suite(
     df: DataFrame, n_expected: int | None = None, fanin: int | None = None
 ) -> dict[str, object]:
-    """Full sketch suite over a pages DataFrame in one scan."""
+    """Full sketch suite over a pages DataFrame in one scan.
+
+    Pass n_expected when df is filtered/derived: the fallback count() is
+    metadata-only on plain parquet but a real extra scan on a filtered or
+    snapshot-pinned input.  Upper bounds are safe (Bloom just runs at a
+    lower FPP)."""
     if n_expected is None:
         n_expected = df.count()
     feats = with_page_features(df)

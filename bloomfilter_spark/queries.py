@@ -470,7 +470,12 @@ def q_bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     hot = orders.filter(F.col("o_totalprice") > 200000)
-    joined = bloom_semi_join(li, "l_orderkey", hot, "o_orderkey", fpp=0.01)
+    # size the filter from the UNFILTERED table's metadata count (no scan);
+    # counting `hot` would re-scan the filtered build side just for sizing
+    joined = bloom_semi_join(
+        li, "l_orderkey", hot, "o_orderkey",
+        n_expected=max(1, orders.count()), fpp=0.01,
+    )
     return joined.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orderkeys"),
