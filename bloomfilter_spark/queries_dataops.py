@@ -531,6 +531,98 @@ FROM read_parquet('{path}/*.parquet')
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming (Structured Streaming stateful sketch path)
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type running HLL built through the STREAMING stateful path
+    (applyInPandasWithState, 3 micro-batches over a staged file stream),
+    checked against exact COUNT(*)/COUNT(DISTINCT): the streamed sketch's
+    estimate must honor the HLL bound and the folded row counts must be
+    exact.  Commutative max-merge ⇒ the streamed state is register-identical
+    to a batch build (pytest-pinned in tests/test_streaming_stateful.py)."""
+    import shutil
+    import tempfile
+
+    from bloomfilter_spark.operators.build import hll_factory
+    from bloomfilter_spark.streaming.stateful import grouped_sketch_stream
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="bfs_stream_q_")
+    src = f"{work}/src"
+    name = "bfs_q_stream_grouped"
+    try:
+        for i in range(3):
+            # pmod, not %: Spark % keeps the dividend's sign, which would
+            # silently drop every negative hash from the staged stream
+            ev.filter(
+                F.pmod(F.xxhash64("event_id"), F.lit(3)) == i
+            ).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            grouped_sketch_stream(
+                stream.select("event_type", "user_id"),
+                "event_type",
+                "user_id",
+                hll_factory(precision=14),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
+    exact = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("rows_total"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    bound = 4 * (1.04 / (2**14) ** 0.5)
+    rows = [
+        (
+            str(r["event_type"]),
+            int(r["rows_total"]),
+            int(exact.loc[r["event_type"], "exact_users"]),
+            bool(
+                abs(r["estimate"] - exact.loc[r["event_type"], "exact_users"])
+                / max(1, exact.loc[r["event_type"], "exact_users"])
+                <= bound
+            ),
+        )
+        for _, r in final.iterrows()
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "event_type string, rows_total long, exact_users long, hll_ok boolean",
+    )
+
+
+_STREAMING_GROUPED_SQL = """
+SELECT event_type,
+       COUNT(*)                 AS rows_total,
+       COUNT(DISTINCT user_id)  AS exact_users,
+       TRUE                     AS hll_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES2 = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -546,6 +638,7 @@ QUERIES2 = {
     "multimodal_features": q_multimodal_features,
     "pages_sketch_suite": q_pages_sketch_suite,
     "pages_suite_checkpointed": q_pages_suite_checkpointed,
+    "streaming_grouped_hll": q_streaming_grouped_hll,
 }
 
 ORACLES2 = {
@@ -560,4 +653,5 @@ ORACLES2 = {
     "ann_neardup_pairs": _ANN_NEARDUP_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),
     "pages_suite_checkpointed": _pages_resume_oracle_sql(),
+    "streaming_grouped_hll": _STREAMING_GROUPED_SQL,
 }

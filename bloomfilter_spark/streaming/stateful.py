@@ -1,0 +1,164 @@
+"""Custom stateful streaming sketch operators (applyInPandasWithState).
+
+Two operators on top of the sketch monoids:
+
+- `grouped_sketch_stream`: a running sketch PER KEY, updated every
+  micro-batch (update mode, no timeout).  The state store holds one
+  serialized sketch blob per key; each trigger folds the key's new Arrow
+  batches into it vectorized and emits the refreshed estimate.  This is
+  the Spark-native replacement for the reference's "thread-safe shared
+  filter you keep inserting into" (/root/reference/README.md:69): state
+  lives in the checkpointed state store, not a shared array, so it
+  survives restarts and scales per-key across executors.
+
+- `windowed_sketch_stream`: tumbling event-time windows + watermark with
+  EXACTLY-ONCE finalized emission (append mode).  Rows fold into their
+  window's sketch state; when the watermark passes window_end the state
+  times out (GroupStateTimeout.EventTimeTimeout), the operator emits the
+  finalized window row once, and drops the state.  Late rows within the
+  watermark merge into the still-open window; rows later than the
+  watermark are filtered by Spark before the operator ever sees them —
+  the standard late-data contract, expressed over sketches.
+
+Determinism: commutative sketches (Bloom/HLL/CMS) are bit-identical to a
+batch build over the same rows regardless of micro-batch slicing — the
+streaming tests pin that.  Compaction sketches (KLL/t-digest) depend on
+the batch slicing (documented; their bounds still hold).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from bloomfilter_spark.operators.build import _numeric_update
+from bloomfilter_spark.sketches import serde
+
+
+def _fold_state(sketch, pdfs: Iterator[pd.DataFrame], value_col: str) -> int:
+    rows = 0
+    for pdf in pdfs:
+        _numeric_update(sketch, pdf[value_col])
+        rows += len(pdf)
+    return rows
+
+
+def _estimate_of(sketch) -> float:
+    for attr in ("estimate", "estimated_cardinality"):
+        if hasattr(sketch, attr):
+            return float(getattr(sketch, attr)())
+    return float("nan")
+
+
+def grouped_sketch_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+) -> DataFrame:
+    """Running per-key sketch over a stream.
+
+    Output (update mode): one row per key per trigger —
+    (key, rows_total, estimate, blob).  `blob` is the key's full running
+    sketch, so downstream consumers can merge across keys or persist.
+    """
+    out_schema = (
+        f"{key_col} string, rows_total long, estimate double, blob binary"
+    )
+    state_schema = "blob binary, rows long"
+
+    def update(key, pdfs, state):
+        if state.exists:
+            blob, rows = state.get
+            sk = serde.deserialize(bytes(blob))
+        else:
+            sk, rows = factory(), 0
+        rows += _fold_state(sk, pdfs, value_col)
+        state.update((sk.to_bytes(), rows))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "rows_total": [rows],
+                "estimate": [_estimate_of(sk)],
+                "blob": [sk.to_bytes()],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def windowed_sketch_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+    window_seconds: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Finalized tumbling-window sketches with watermarked late data.
+
+    Append mode: a window's single output row
+    (window_start, rows, estimate, blob) is emitted exactly once, when the
+    event-time watermark passes the window end (state timeout), after
+    which its state is freed.  Late rows inside the watermark still merge;
+    later-than-watermark rows are dropped by Spark's watermark filter
+    upstream of the operator.
+    """
+    w = F.lit(window_seconds)
+    with_win = (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn(
+            "window_start",
+            F.to_timestamp(
+                F.floor(F.unix_timestamp(F.col(ts_col)) / w) * w
+            ),
+        )
+    )
+    out_schema = (
+        "window_start timestamp, rows long, estimate double, blob binary"
+    )
+    state_schema = "blob binary, rows long"
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            blob, rows = state.get
+            sk = serde.deserialize(bytes(blob))
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_start": [key[0]],
+                    "rows": [rows],
+                    "estimate": [_estimate_of(sk)],
+                    "blob": [sk.to_bytes()],
+                }
+            )
+            return
+        if state.exists:
+            blob, rows = state.get
+            sk = serde.deserialize(bytes(blob))
+        else:
+            sk, rows = factory(), 0
+        rows += _fold_state(sk, pdfs, value_col)
+        state.update((sk.to_bytes(), rows))
+        # finalize when the watermark passes this window's end
+        window_end_ms = (int(key[0].timestamp()) + window_seconds) * 1000
+        state.setTimeoutTimestamp(window_end_ms)
+        return
+        yield  # pragma: no cover — makes `update` a generator on all paths
+
+    return with_win.groupBy("window_start").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

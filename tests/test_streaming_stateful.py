@@ -1,0 +1,131 @@
+"""applyInPandasWithState operators: running per-key sketches (update
+mode) and watermarked tumbling-window finalization (append mode)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.operators.build import build_grouped, hll_factory
+from bloomfilter_spark.sketches import serde
+from bloomfilter_spark.streaming.stateful import (
+    grouped_sketch_stream,
+    windowed_sketch_stream,
+)
+
+
+@pytest.fixture()
+def staged_events(spark, tmp_path):
+    """Events split into 3 files → 3 micro-batches (maxFilesPerTrigger=1)."""
+    src = str(tmp_path / "ev")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for i in range(3):
+        ev.filter(
+            F.pmod(F.xxhash64("event_id"), F.lit(3)) == i
+        ).coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def _run(spark, src, build_stream, query_name, ckpt, out_mode):
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        build_stream(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(out_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}").toPandas()
+
+
+def test_grouped_stream_equals_batch_grouped(spark, staged_events, tmp_path):
+    """The per-key running HLL after the last trigger must be register-
+    identical to a batch grouped build over the same rows (max-merge is
+    order/slicing insensitive)."""
+    fac = hll_factory(precision=12)
+    out = _run(
+        spark,
+        staged_events,
+        lambda s: grouped_sketch_stream(
+            s.select("event_type", "user_id"), "event_type", "user_id", fac
+        ),
+        "grp_sketches",
+        str(tmp_path / "ck1"),
+        "update",
+    )
+    # update mode emits one row per key per trigger — the LAST emission per
+    # key (max rows_total) carries the final state
+    final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
+    batch = build_grouped(
+        spark.read.parquet(staged_events), "event_type", "user_id", fac
+    ).toPandas()
+    assert set(final["event_type"]) == set(batch["event_type"])
+    b_by = batch.set_index("event_type")
+    for _, row in final.iterrows():
+        s_stream = serde.deserialize(bytes(row["blob"]))
+        s_batch = serde.deserialize(bytes(b_by.loc[row["event_type"], "blob"]))
+        assert (s_stream.registers == s_batch.registers).all(), row["event_type"]
+        assert int(row["rows_total"]) == int(b_by.loc[row["event_type"], "rows"])
+
+
+def test_windowed_stream_finalizes_on_watermark(spark, tmp_path):
+    """Windows emit exactly once when the watermark passes window_end;
+    in-watermark late rows merge; the still-open tail window stays
+    unemitted (append-mode contract)."""
+    import pandas as pd
+
+    src = str(tmp_path / "wsrc")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "ts": [base + pd.Timedelta(seconds=s) for s, _ in rows],
+                    "user_id": [u for _, u in rows],
+                }
+            )
+        )
+
+    # file 1: windows [0,600) and [600,1200)
+    mk([(10, "a"), (20, "b"), (700, "c")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # file 2: a LATE row for window 0 (within the 10-min watermark of max
+    # event 700s) plus data far ahead that pushes the watermark past both
+    # early windows (3600-600 > 1200)
+    mk([(30, "d"), (3600, "z1"), (3620, "z2")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = _run(
+        spark,
+        src,
+        lambda s: windowed_sketch_stream(
+            s, "ts", "user_id", hll_factory(precision=12),
+            window_seconds=600, watermark="10 minutes",
+        ),
+        "win_sketches",
+        str(tmp_path / "ck2"),
+        "append",
+    )
+    got = {r["window_start"]: r for _, r in out.iterrows()}
+    w0 = base
+    w1 = base + pd.Timedelta(seconds=600)
+    w_tail = base + pd.Timedelta(seconds=3600)
+    assert w0 in got and w1 in got, sorted(got)
+    assert w_tail not in got  # still open — never finalized
+    assert int(got[w0]["rows"]) == 3  # a, b + late d merged
+    assert int(got[w1]["rows"]) == 1
+    assert abs(got[w0]["estimate"] - 3) < 0.2
+    # exactly-once: one row per finalized window
+    assert len(out) == 2
