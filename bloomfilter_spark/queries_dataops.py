@@ -531,6 +531,40 @@ FROM read_parquet('{path}/*.parquet')
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → analyze pipeline over the deterministic fake-codec media
+    table (BFIM images / BFAU audio).  The decoded dimensions are pure
+    functions of media_id (synthetic_media docstring), so the DuckDB
+    oracle recomputes them from the id alone — a genuine end-to-end check
+    that the binary headers round-trip through Arrow and the decoder."""
+    from bloomfilter_spark.operators.multimodal import (
+        decode_media_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 300)
+    return (
+        decode_media_features(media)
+        .select("media_id", "kind", "width", "height", "channels", "decode_ok")
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_DECODE_SQL = """
+WITH ids AS (SELECT UNNEST(range(300)) AS media_id)
+SELECT media_id,
+  CASE WHEN media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+  CAST(CASE WHEN media_id % 2 = 0 THEN 16 + (media_id % 5) * 8
+            ELSE 400 + (media_id % 50) * 16 END AS BIGINT) AS width,
+  CAST(CASE WHEN media_id % 2 = 0 THEN 12 + (media_id % 7) * 4
+            ELSE 1 END AS BIGINT) AS height,
+  CAST(CASE WHEN media_id % 2 = 0 THEN 1 + media_id % 3
+            ELSE 1 END AS BIGINT) AS channels,
+  TRUE AS decode_ok
+FROM ids ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Streaming (Structured Streaming stateful sketch path)
 # ---------------------------------------------------------------------------
@@ -636,6 +670,7 @@ QUERIES2 = {
     "ann_neardup_pairs": q_ann_neardup_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "multimodal_decode": q_multimodal_decode,
     "pages_sketch_suite": q_pages_sketch_suite,
     "pages_suite_checkpointed": q_pages_suite_checkpointed,
     "streaming_grouped_hll": q_streaming_grouped_hll,
@@ -651,6 +686,7 @@ ORACLES2 = {
     "doc_fingerprints": _fingerprints_oracle_sql(),
     "ann_topk_cosine": _ANN_TOPK_SQL,
     "ann_neardup_pairs": _ANN_NEARDUP_SQL,
+    "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),
     "pages_suite_checkpointed": _pages_resume_oracle_sql(),
     "streaming_grouped_hll": _STREAMING_GROUPED_SQL,

@@ -303,11 +303,78 @@ def test_sample_frames(spark):
 
 
 def test_decode_stub_raises():
+    """Real-codec blobs still raise without pillow — never silently faked."""
     from bloomfilter_spark.operators.multimodal import decode_image, _HAS_PIL
 
     if not _HAS_PIL:
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG")
+            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+
+
+def test_fake_codec_roundtrip():
+    from bloomfilter_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_audio_array,
+        encode_image_array,
+    )
+
+    img = (np.arange(5 * 7 * 3) % 256).astype(np.uint8).reshape(5, 7, 3)
+    assert (decode_image(encode_image_array(img)) == img).all()
+    gray = (np.arange(4 * 6) % 256).astype(np.uint8).reshape(4, 6)
+    assert (decode_image(encode_image_array(gray))[:, :, 0] == gray).all()
+    pcm = (np.arange(-500, 500, 7)).astype(np.int16)
+    s, sr = decode_audio(encode_audio_array(pcm, 16000))
+    assert sr == 16000 and (s == pcm).all()
+
+
+def test_resize_area_exact_on_blocks():
+    """2x downsample of a block pattern = exact block means."""
+    from bloomfilter_spark.operators.multimodal import resize_area
+
+    a = np.zeros((4, 4, 1), dtype=np.uint8)
+    a[:2, :2] = 10
+    a[:2, 2:] = 20
+    a[2:, :2] = 30
+    a[2:, 2:] = 40
+    out = resize_area(a, 2, 2)[:, :, 0]
+    assert out.tolist() == [[10.0, 20.0], [30.0, 40.0]]
+    # uniform image stays uniform at any output size
+    u = np.full((9, 13, 2), 77, dtype=np.uint8)
+    assert (resize_area(u, 3, 5) == 77.0).all()
+
+
+def test_decode_media_features_pipeline(spark):
+    """Synthetic media decode end-to-end: dims match the generator formulas,
+    corrupt blobs get decode_ok=false without failing the job."""
+    from bloomfilter_spark.operators.multimodal import (
+        decode_media_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 40)
+    corrupt = spark.createDataFrame(
+        [(999, "image", b"not-a-container")], "media_id long, kind string, blob binary"
+    )
+    out = (
+        decode_media_features(media.unionAll(corrupt))
+        .toPandas()
+        .set_index("media_id")
+    )
+    for i in range(40):
+        r = out.loc[i]
+        assert bool(r["decode_ok"]) is True
+        if i % 2 == 0:
+            assert r["width"] == 16 + (i % 5) * 8
+            assert r["height"] == 12 + (i % 7) * 4
+            assert r["channels"] == 1 + i % 3
+            assert len(r["moments"]) == 2 + 16  # mean, std + 4x4 thumb
+        else:
+            assert r["width"] == 400 + (i % 50) * 16
+            assert (r["height"], r["channels"]) == (1, 1)
+            assert len(r["moments"]) == 2  # rms, zcr
+    assert bool(out.loc[999, "decode_ok"]) is False
+    assert out.loc[999, "moments"] is None
 
 
 # ---------------------------------------------------------------------------
