@@ -544,6 +544,68 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style six-table join: revenue by nation for one region and
+    year.  Join strategy exercised deliberately: the tiny dims (nation,
+    region) are EXPLICITLY broadcast — no shuffle for them at any scale —
+    while the three fact joins shuffle on their keys and AQE re-plans
+    (customer/supplier would be runtime-broadcast when a filter makes them
+    small).  Decimal arithmetic keeps the aggregate exact so the DuckDB
+    oracle hash-matches."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    revenue_term = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(c["c_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue_term).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+_REGIONAL_REVENUE_SQL = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Reference parity: set algebra + sizing math (SURVEY.md §2 rows 1, 7-12)
 # ---------------------------------------------------------------------------
@@ -709,6 +771,7 @@ QUERIES = {
     "bloom_semijoin_orders": q_bloom_semijoin_orders,
     "dedup_exact": q_dedup_exact,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "regional_revenue": q_regional_revenue,
     "bloom_set_algebra": q_bloom_set_algebra,
     "bloom_cardinality": q_bloom_cardinality,
     "bloom_sizing": q_bloom_sizing,
@@ -732,6 +795,7 @@ ORACLES = {
     "bloom_semijoin_orders": _SEMIJOIN_SQL,
     "dedup_exact": _DEDUP_SQL,
     "lineitem_pricing_summary": _Q1_SQL,
+    "regional_revenue": _REGIONAL_REVENUE_SQL,
     "bloom_set_algebra": _SET_ALGEBRA_SQL,
     "bloom_cardinality": _BLOOM_CARDINALITY_SQL,
     "bloom_sizing": _SIZING_SQL,
