@@ -148,6 +148,47 @@ def build_sketch(
     )
 
 
+def build_sketch_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    factory: Callable[[], object],
+):
+    """Weighted distributed build (CMS): each key row adds `weight_col`
+    instead of 1.  Same partial-blob + merge path as build_sketch."""
+    from bloomfilter_spark.plans.skew import ensure_parallelism
+
+    pruned = ensure_parallelism(df.select(key_col, weight_col))
+
+    def build_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        t0 = time.perf_counter()
+        sk = factory()
+        rows = 0
+        for pdf in batches:
+            clean = pdf.dropna(subset=[key_col])
+            sk.update(
+                clean[key_col],
+                weights=clean[weight_col].fillna(0).astype("int64"),
+            )
+            rows += len(clean)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "blob": [sk.to_bytes()],
+                "rows": [rows],
+                "input_bytes": [0],
+                "wall_ms": [(time.perf_counter() - t0) * 1000.0],
+            }
+        )
+
+    partials = pruned.mapInPandas(build_iter, schema=PARTIAL_SCHEMA)
+    return merge_partials(partials, factory)
+
+
 # ---------------------------------------------------------------------------
 # Grouped sketches: one sketch per key, with optional salting for skew
 # ---------------------------------------------------------------------------

@@ -288,6 +288,80 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation from two independently built CMS
+    sketches (inner product, Cormode & Muthukrishnan §4.2) — the planner
+    primitive: estimate |A ⋈ B| without touching either table again.
+    Exercised on the self-join events ⋈ events ON user_id (many-to-many,
+    true size = Σ_u f(u)²); the estimate must be ≥ the true size and
+    within the ε·N_A·N_B bound."""
+    ev = _t(spark, sf_dir, "events")
+    sk_a = build_sketch(ev, "user_id", cms_factory(epsilon=0.0001, delta=0.001))
+    sk_b = build_sketch(ev, "user_id", cms_factory(epsilon=0.0001, delta=0.001))
+    est = sk_a.inner_product(sk_b)
+    bound = sk_a.inner_product_bound(sk_b)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("c")).agg(
+        F.sum(F.col("c") * F.col("c")).alias("true_join_size")
+    )
+    return exact.select(
+        "true_join_size",
+        (F.lit(int(est)) >= F.col("true_join_size")).alias("no_underestimate"),
+        (F.lit(int(est)) <= F.col("true_join_size") + F.lit(float(bound))).alias(
+            "within_bound"
+        ),
+    )
+
+
+_CMS_JOIN_SIZE_SQL = """
+SELECT CAST(SUM(c * c) AS BIGINT) AS true_join_size,
+       TRUE AS no_underestimate,
+       TRUE AS within_bound
+FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)
+"""
+
+
+def q_cms_weighted_lang_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED count-min: each key contributes its weight, not 1 — here
+    total characters per language (update(lang, weights=n_chars) through
+    the distributed build).  Estimates are overestimate-only within
+    ε·total_weight; exact sums oracle-checked."""
+    from bloomfilter_spark.operators.build import build_sketch_weighted
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = build_sketch_weighted(
+        docs, "lang", "n_chars", cms_factory(epsilon=0.0005, delta=0.001)
+    )
+    exact = docs.groupBy("lang").agg(F.sum("n_chars").alias("exact_chars"))
+    bc = spark.sparkContext.broadcast(sk.to_bytes())
+    bound = sk.error_bound()
+
+    @F.pandas_udf(T.LongType())
+    def _query(keys):
+        import pandas as pd
+
+        s = serde.deserialize(bc.value)
+        return pd.Series(s.query(keys))
+
+    return (
+        exact.withColumn("est", _query("lang"))
+        .select(
+            "lang",
+            F.col("exact_chars").cast("long").alias("exact_chars"),
+            (
+                (F.col("est") >= F.col("exact_chars"))
+                & (F.col("est") <= F.col("exact_chars") + F.lit(float(bound)) + 1)
+            ).alias("cms_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CMS_WEIGHTED_SQL = """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS exact_chars, TRUE AS cms_ok
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter top-k: exact counts (Catalyst partial-agg + one
     shuffle), CMS point-estimates attached with their εN bound check.
@@ -764,6 +838,8 @@ QUERIES = {
     "hll_users_by_day": q_hll_users_by_day,
     "hll_users_by_type_salted": q_hll_users_by_type_salted,
     "cms_event_type_counts": q_cms_event_type_counts,
+    "cms_join_size": q_cms_join_size,
+    "cms_weighted_lang_chars": q_cms_weighted_lang_chars,
     "heavy_hitters_event_types": q_heavy_hitters_event_types,
     "kll_quantiles_n_chars": q_kll_quantiles_n_chars,
     "tdigest_quantiles_value": q_tdigest_quantiles_value,
@@ -788,6 +864,8 @@ ORACLES = {
     "hll_users_by_day": _HLL_DAY_SQL,
     "hll_users_by_type_salted": _HLL_SALTED_SQL,
     "cms_event_type_counts": _CMS_SQL,
+    "cms_join_size": _CMS_JOIN_SIZE_SQL,
+    "cms_weighted_lang_chars": _CMS_WEIGHTED_SQL,
     "heavy_hitters_event_types": _HEAVY_HITTERS_SQL,
     "kll_quantiles_n_chars": _KLL_SQL,
     "tdigest_quantiles_value": _TDIGEST_SQL,

@@ -128,6 +128,21 @@ class CountMinSketch:
         """εN: additive overestimate bound holding w.p. ≥ 1−δ."""
         return self.epsilon * self.total
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size estimate Σ_k fA(k)·fB(k) (Cormode & Muthukrishnan §4.2):
+        min over rows of the rowwise count-vector dot products.
+
+        Overestimate-only, ≤ true + ε·totalA·totalB w.p. ≥ 1−δ.  This is
+        the sketch a planner consults for equi-join cardinality without
+        touching either table: build one CMS per join column (one scan
+        each, mergeable across partitions), then dot them."""
+        self._check_geometry(other)
+        dots = np.einsum("dw,dw->d", self.counts, other.counts)
+        return int(dots.min())
+
+    def inner_product_bound(self, other: "CountMinSketch") -> float:
+        return self.epsilon * self.total * other.total
+
     # -- merge ----------------------------------------------------------------
 
     def _check_geometry(self, other: "CountMinSketch") -> None:

@@ -363,3 +363,42 @@ class TestTDigest:
         # across centroid midpoints may land epsilon below it
         assert 2.9 <= td.quantile(0.5) <= 3.0
         assert td.quantile(0.9) == 3.0
+
+
+class TestCMSInnerProduct:
+    def test_exact_on_wide_sketch(self):
+        """With width >> distinct keys, no collisions: inner product is
+        exactly Σ fA(k)·fB(k)."""
+        import pandas as pd
+
+        a = CountMinSketch.create(epsilon=0.0001, delta=0.001)
+        b = a.empty_like()
+        keys_a = pd.Series(["x"] * 3 + ["y"] * 2 + ["z"])
+        keys_b = pd.Series(["x"] * 5 + ["z"] * 4 + ["w"])
+        a.update(keys_a)
+        b.update(keys_b)
+        # Σ = 3*5 (x) + 0 (y·0) + 1*4 (z) + 0 (w) = 19
+        assert a.inner_product(b) == 19
+
+    def test_overestimate_and_bound(self):
+        import pandas as pd
+
+        rng = np.random.RandomState(7)
+        ka = pd.Series(rng.randint(0, 500, 20_000).astype(str))
+        kb = pd.Series(rng.randint(0, 500, 15_000).astype(str))
+        a = CountMinSketch.create(epsilon=0.001, delta=0.001)
+        b = a.empty_like()
+        a.update(ka)
+        b.update(kb)
+        fa = ka.value_counts()
+        fb = kb.value_counts()
+        true = int(sum(fa[k] * fb[k] for k in fa.index.intersection(fb.index)))
+        est = a.inner_product(b)
+        assert est >= true
+        assert est <= true + a.inner_product_bound(b)
+
+    def test_geometry_check(self):
+        a = CountMinSketch.create(epsilon=0.001, delta=0.001)
+        b = CountMinSketch.create(epsilon=0.01, delta=0.001)
+        with pytest.raises(ValueError, match="same dimensions"):
+            a.inner_product(b)
