@@ -254,21 +254,70 @@ def ivf_topk(
 ) -> DataFrame:
     """ANN top-k probing only the nprobe nearest buckets per query.
 
-    Partition pruning analog: with the table written bucketed/partitioned
-    by `bucket`, the filter below prunes file groups at the scan."""
+    Partition pruning analog: with the table written partitioned by
+    `bucket` (see write_ivf_index / ivf_topk_indexed), the same filter
+    prunes whole directories at the scan."""
     if centroids is None:
         centroids = train_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    return _score_probed_buckets(
+        assigned, queries, centroids, k, nprobe, id_col, vec_col
+    )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the table written PARTITIONED BY bucket.
+
+    This turns the probe-time bucket filter into genuine partition pruning
+    — at 100 TB an nprobe/n_centroids fraction of the files is read, the
+    rest never leave storage."""
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: pd.DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a materialized IVF index: the bucket filter is pushed to
+    the partitioned scan (PartitionFilters in the plan — directories for
+    unprobed buckets are never listed into the read)."""
+    assigned = spark.read.parquet(index_path)
+    return _score_probed_buckets(
+        assigned, queries, centroids, k, nprobe, id_col, vec_col
+    )
+
+
+def _score_probed_buckets(
+    assigned: DataFrame,
+    queries: pd.DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     qids = queries["qid"].to_numpy()
     qm = _normalize(np.vstack(queries["vector"].to_numpy()))
     probe_buckets = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
     wanted = sorted({int(b) for row in probe_buckets for b in row})
-    # ONE job: scan only the union of probed buckets (with the table
-    # written partitioned by bucket this is partition pruning at the
-    # source), score every query against its own buckets via a mask —
-    # not a per-query job loop.
+    # ONE job: scan only the union of probed buckets (partition pruning
+    # when the table is written partitioned by bucket), score every query
+    # against its own buckets via a mask — not a per-query job loop.
     pruned = assigned.filter(F.col("bucket").isin(wanted))
-    spark = emb.sparkSession
+    spark = assigned.sparkSession
     bc = spark.sparkContext.broadcast((qids, qm, probe_buckets))
 
     def score_iter(batches):

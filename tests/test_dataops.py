@@ -436,3 +436,27 @@ def test_minhash_verified_equals_exact(spark):
     assert g.keys() == x.keys() and len(g) >= 10
     for k in g:
         assert abs(g[k] - x[k]) < 1e-6
+
+
+def test_ivf_indexed_partition_pruning(spark, emb, tmp_path):
+    """A materialized IVF index (partitioned by bucket) returns the same
+    top-k as the in-memory path AND the probe scan shows PartitionFilters
+    — unprobed bucket directories are pruned, never read."""
+    from bloomfilter_spark.operators.ann import (
+        ivf_topk,
+        ivf_topk_indexed,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    cents = train_centroids(emb, n_centroids=8)
+    q = _queries_from(emb, 3)
+    mem = ivf_topk(emb, q, k=5, nprobe=3, centroids=cents).toPandas()
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, idx)
+    got_df = ivf_topk_indexed(spark, idx, q, cents, k=5, nprobe=3)
+    got = got_df.toPandas()
+    key = lambda p: sorted(map(tuple, p[["qid", "rank", "vec_id"]].values))
+    assert key(got) == key(mem)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
