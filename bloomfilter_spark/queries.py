@@ -249,6 +249,98 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: union (lossless register-max) and intersection
+    (inclusion-exclusion) of the click-user and purchase-user sketches,
+    each built distributed in its own scan-filtered pass.  Exact
+    union/intersection oracle-checked; the estimates must sit within
+    4·(1.04/√m) of exact for the union and within 6·(1.04/√m)·|A∪B|
+    absolute for the intersection (its error scales with the union)."""
+    ev = _t(spark, sf_dir, "events")
+    a = build_sketch(
+        ev.filter(F.col("event_type") == "click"), "user_id", hll_factory(14)
+    )
+    b = build_sketch(
+        ev.filter(F.col("event_type") == "purchase"), "user_id", hll_factory(14)
+    )
+    est_u = a.union_estimate(b)
+    est_i = a.intersection_estimate(b)
+    rel = 1.04 / (2**14) ** 0.5
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        clicks.union(buys).agg(F.countDistinct("user_id").alias("exact_union"))
+        .crossJoin(
+            clicks.intersect(buys).agg(
+                F.countDistinct("user_id").alias("exact_intersection")
+            )
+        )
+    )
+    return exact.select(
+        "exact_union",
+        "exact_intersection",
+        (
+            F.abs(F.lit(est_u) - F.col("exact_union")) / F.col("exact_union")
+            <= 4 * rel
+        ).alias("union_ok"),
+        (
+            F.abs(F.lit(est_i) - F.col("exact_intersection"))
+            <= 6 * rel * F.col("exact_union")
+        ).alias("intersection_ok"),
+    )
+
+
+_HLL_SET_OPS_SQL = """
+SELECT
+  (SELECT COUNT(DISTINCT user_id) FROM events
+    WHERE event_type IN ('click', 'purchase'))        AS exact_union,
+  (SELECT COUNT(*) FROM
+     (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+                                                      AS exact_intersection,
+  TRUE AS union_ok,
+  TRUE AS intersection_ok
+"""
+
+
+def q_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP: the global quantile sketch is re-aggregated by
+    merging the per-lang grouped sketches (deterministic lang-order n-ary
+    merge) — the finer aggregate answers the coarser query without
+    touching the base table again, the core mergeability payoff for
+    hypertable-style rollups.  The rolled-up sketch's rank of each exact
+    global quantile must honor the rank-error bound."""
+    docs = _t(spark, sf_dir, "documents")
+    per_lang = build_grouped(docs, "lang", "n_chars", kll_factory(k=200)).toPandas()
+    per_lang = per_lang.sort_values("lang")
+    acc = kll_factory(k=200)()
+    acc.merge_all([serde.deserialize(b) for b in per_lang["blob"]])
+    exact = docs.agg(
+        F.percentile("n_chars", F.array(*[F.lit(q) for q in _QS])).alias("ex")
+    ).first()["ex"]
+    rows = []
+    for i, q in enumerate(_QS):
+        ev = float(exact[i])
+        ok = abs(acc.rank(ev) - q) <= acc.rank_error() + 0.015
+        rows.append((q, round(ev, 6), bool(ok)))
+    return spark.createDataFrame(
+        rows, "q double, exact_value double, rollup_ok boolean"
+    )
+
+
+_ROLLUP_SQL = """
+WITH qv AS (
+  SELECT quantile_cont(n_chars, [0.01, 0.25, 0.5, 0.75, 0.99]) AS vals
+  FROM documents
+)
+SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.99])      AS q,
+       ROUND(CAST(UNNEST(vals) AS DOUBLE), 6)     AS exact_value,
+       TRUE                                       AS rollup_ok
+FROM qv ORDER BY q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Count-min heavy hitters
 # ---------------------------------------------------------------------------
@@ -837,6 +929,8 @@ QUERIES = {
     "hll_distinct_doc_id": q_hll_distinct_doc_id,
     "hll_users_by_day": q_hll_users_by_day,
     "hll_users_by_type_salted": q_hll_users_by_type_salted,
+    "hll_set_ops": q_hll_set_ops,
+    "rollup_quantiles": q_rollup_quantiles,
     "cms_event_type_counts": q_cms_event_type_counts,
     "cms_join_size": q_cms_join_size,
     "cms_weighted_lang_chars": q_cms_weighted_lang_chars,
@@ -863,6 +957,8 @@ ORACLES = {
     "hll_distinct_doc_id": _HLL_DOC_SQL,
     "hll_users_by_day": _HLL_DAY_SQL,
     "hll_users_by_type_salted": _HLL_SALTED_SQL,
+    "hll_set_ops": _HLL_SET_OPS_SQL,
+    "rollup_quantiles": _ROLLUP_SQL,
     "cms_event_type_counts": _CMS_SQL,
     "cms_join_size": _CMS_JOIN_SIZE_SQL,
     "cms_weighted_lang_chars": _CMS_WEIGHTED_SQL,

@@ -531,6 +531,58 @@ FROM read_parquet('{path}/*.parquet')
 """
 
 
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one query: language ID →
+    quality filter → exact dedup → token accounting.  Every stage is pure
+    Catalyst (no Python), so the whole chain stays in one codegen'd plan
+    with a single shuffle for the dedup groupBy; the oracle replays the
+    identical SQL semantics end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    enriched = quality_features(docs.select("doc_id", "text")).withColumn(
+        "lang_pred", lang_id("text")
+    )
+    kept = enriched.filter(
+        (F.col("lang_pred") == "en") & F.col("quality_ok")
+    )
+    dd = kept.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    return dd.agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+_CLEAN_CORPUS_SQL = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END
+           AS n_tokens,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))    AS digit,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('es')} AS s_es
+  FROM documents
+), kept AS (
+  SELECT doc_id, text, n_tokens FROM f
+  WHERE n_tokens >= 5
+    AND alpha / GREATEST(n_chars, 1) >= 0.5
+    AND digit / GREATEST(n_chars, 1) <= 0.3
+    AND GREATEST(s_en, s_de, s_fr, s_es) > 0
+    AND s_en = GREATEST(s_en, s_de, s_fr, s_es)
+), dd AS (
+  SELECT MIN(doc_id) AS keep_doc_id, arg_min(n_tokens, doc_id) AS t
+  FROM kept GROUP BY md5(text)
+)
+SELECT COUNT(*) AS n_docs_kept, CAST(SUM(t) AS BIGINT) AS total_tokens FROM dd
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → analyze pipeline over the deterministic fake-codec media
     table (BFIM images / BFAU audio).  The decoded dimensions are pure
@@ -669,6 +721,7 @@ QUERIES2 = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_neardup_pairs": q_ann_neardup_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "pages_sketch_suite": q_pages_sketch_suite,
@@ -686,6 +739,7 @@ ORACLES2 = {
     "doc_fingerprints": _fingerprints_oracle_sql(),
     "ann_topk_cosine": _ANN_TOPK_SQL,
     "ann_neardup_pairs": _ANN_NEARDUP_SQL,
+    "pipeline_clean_corpus": _CLEAN_CORPUS_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),
     "pages_suite_checkpointed": _pages_resume_oracle_sql(),

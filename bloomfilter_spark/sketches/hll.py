@@ -132,6 +132,28 @@ class HyperLogLog:
         self.n_added += other.n_added
         return self
 
+    def union_estimate(self, other: "HyperLogLog") -> float:
+        """|A ∪ B| without mutating either side (register max is lossless:
+        the union sketch IS the sketch of the union stream)."""
+        self._check_geometry(other)
+        u = HyperLogLog(
+            self.p, self.seed,
+            registers=np.maximum(self.registers, other.registers),
+        )
+        return u.estimate()
+
+    def intersection_estimate(self, other: "HyperLogLog") -> float:
+        """|A ∩ B| by inclusion-exclusion: |A| + |B| − |A ∪ B|.
+
+        Unlike union this is NOT lossless — the absolute error is relative
+        to the UNION size (each term carries ±1.04/√m of its own value), so
+        it degrades when the intersection is tiny vs the union.  Clamped at
+        0 (inclusion-exclusion can go negative for disjoint sets)."""
+        return max(
+            0.0,
+            self.estimate() + other.estimate() - self.union_estimate(other),
+        )
+
     def clear(self) -> None:
         self.registers.fill(0)
         self.n_added = 0
