@@ -25,17 +25,22 @@ def test_kill_and_resume_bit_identical(spark, pages, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     factory = bloom_factory(2048, 0.01)
 
-    # run 1: partitions ≥ 4 blow up after 0-3 have checkpointed.
-    # (local-mode scheduling runs some tasks concurrently; all we rely on is
-    # that the failing partitions never checkpoint)
-    with pytest.raises(Exception):
-        build_sketch_checkpointed(
-            pages, "url", factory, ckpt, fail_on=lambda pid: pid >= 4
-        )
-    prog = checkpoint_progress(ckpt)
-    done1 = set(prog["completed_partitions"])
+    # killed runs: partitions ≥ 4 always blow up; 0-3 checkpoint when they
+    # get far enough before the job abort cancels them.  Local-mode abort
+    # timing can cancel everything on a given attempt, so retry the killed
+    # job until a durable prefix exists — monotone progress across killed
+    # runs is itself the resume contract.
+    done1: set[int] = set()
+    for _ in range(5):
+        with pytest.raises(Exception):
+            build_sketch_checkpointed(
+                pages, "url", factory, ckpt, fail_on=lambda pid: pid >= 4
+            )
+        done1 = set(checkpoint_progress(ckpt)["completed_partitions"])
+        if done1:
+            break
     assert done1 and done1 <= {0, 1, 2, 3}
-    assert prog["rows"] > 0
+    assert checkpoint_progress(ckpt)["rows"] > 0
 
     # run 2: no injected failure — finishes the missing partitions only
     sk, lineage = build_sketch_checkpointed(pages, "url", factory, ckpt)
@@ -86,15 +91,19 @@ def test_build_multi_kill_and_resume_bit_identical(spark, pages, tmp_path):
     }
     ckpt = str(tmp_path / "mckpt")
 
-    with pytest.raises(Exception):
-        build_multi_checkpointed(
-            feats, specs, ckpt, fail_on=lambda pid: pid >= 4
-        )
-    done1 = {
-        int(f[len("partial-"):-len(".bin")])
-        for f in os.listdir(ckpt)
-        if f.startswith("partial-") and f.endswith(".bin")
-    }
+    done1: set[int] = set()
+    for _ in range(5):  # see test_kill_and_resume_bit_identical on retries
+        with pytest.raises(Exception):
+            build_multi_checkpointed(
+                feats, specs, ckpt, fail_on=lambda pid: pid >= 4
+            )
+        done1 = {
+            int(f[len("partial-"):-len(".bin")])
+            for f in os.listdir(ckpt)
+            if f.startswith("partial-") and f.endswith(".bin")
+        }
+        if done1:
+            break
     assert done1 and done1 <= {0, 1, 2, 3}
 
     merged, lineage = build_multi_checkpointed(feats, specs, ckpt)
