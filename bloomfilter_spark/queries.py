@@ -388,10 +388,10 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     true size = Σ_u f(u)²); the estimate must be ≥ the true size and
     within the ε·N_A·N_B bound."""
     ev = _t(spark, sf_dir, "events")
-    sk_a = build_sketch(ev, "user_id", cms_factory(epsilon=0.0001, delta=0.001))
-    sk_b = build_sketch(ev, "user_id", cms_factory(epsilon=0.0001, delta=0.001))
-    est = sk_a.inner_product(sk_b)
-    bound = sk_a.inner_product_bound(sk_b)
+    # self-join ⇒ ONE distributed build serves both sides of the product
+    sk = build_sketch(ev, "user_id", cms_factory(epsilon=0.0001, delta=0.001))
+    est = sk.inner_product(sk)
+    bound = sk.inner_product_bound(sk)
     exact = ev.groupBy("user_id").agg(F.count("*").alias("c")).agg(
         F.sum(F.col("c") * F.col("c")).alias("true_join_size")
     )

@@ -24,6 +24,13 @@ Determinism: commutative sketches (Bloom/HLL/CMS) are bit-identical to a
 batch build over the same rows regardless of micro-batch slicing — the
 streaming tests pin that.  Compaction sketches (KLL/t-digest) depend on
 the batch slicing (documented; their bounds still hold).
+
+API note: Spark 4's successor API (transformWithStateInPandas +
+StatefulProcessor) was probed and is unusable in this container — its
+driver worker requires google.protobuf, which is not installed
+(STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).  The operators below
+port mechanically to a StatefulProcessor (ValueState blob + event-time
+timer) when that runtime is available.
 """
 
 from __future__ import annotations
