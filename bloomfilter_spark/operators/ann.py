@@ -39,6 +39,20 @@ def _emb_matrix(pdf: pd.DataFrame, col: str) -> np.ndarray:
     return np.vstack(pdf[col].to_numpy())
 
 
+def _local_topk(s: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Top-kk indices by (sim desc, id asc) — O(B) argpartition, then a
+    lexsort over only the candidates at/above the kk-th sim (so boundary
+    ties are broken identically to the global window/oracle ordering,
+    without the full-batch O(B log B) sort)."""
+    if kk >= len(s):
+        return np.lexsort((ids, -s))[:kk]
+    part = np.argpartition(-s, kk - 1)[:kk]
+    thresh = s[part].min()
+    cand = np.nonzero(s >= thresh)[0]
+    order = np.lexsort((ids[cand], -s[cand]))[:kk]
+    return cand[order]
+
+
 def brute_topk(
     emb: DataFrame,
     queries: pd.DataFrame,
@@ -64,13 +78,9 @@ def brute_topk(
             sims = qm_ @ vm.T  # (Q, B)
             ids = pdf[id_col].to_numpy()
             kk = min(k, sims.shape[1])
-            # local top-k per query with the SAME tie-break as the global
-            # window (sim desc, vec_id asc): argpartition on sim alone could
-            # drop the smaller-id candidate of an exact tie at the k
-            # boundary, diverging from the oracle's deterministic ordering
             out_q, out_id, out_s = [], [], []
             for qi in range(len(qids_)):
-                idx = np.lexsort((ids, -sims[qi]))[:kk]
+                idx = _local_topk(sims[qi], ids, kk)
                 out_q.extend([qids_[qi]] * len(idx))
                 out_id.extend(ids[idx])
                 out_s.extend(sims[qi, idx])
@@ -335,7 +345,7 @@ def _score_probed_buckets(
                 if not mask.any():
                     continue
                 s = sims[qi][mask]
-                idx = np.lexsort((ids[mask], -s))[: min(k, len(s))]
+                idx = _local_topk(s, ids[mask], min(k, len(s)))
                 out_q.extend([qids_[qi]] * len(idx))
                 out_id.extend(ids[mask][idx])
                 out_s.extend(s[idx])

@@ -54,14 +54,22 @@ def _numeric_update(sketch, series: pd.Series) -> None:
 
 
 def partial_build(
-    df: DataFrame, cols: list[str] | str, factory: Callable[[], object]
+    df: DataFrame,
+    cols: list[str] | str,
+    factory: Callable[[], object],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One blob row per input partition: (partition_id, blob, rows,
-    input_bytes, wall_ms). Column pruning: we select only `cols`, so the
-    parquet scan reads nothing else."""
+    input_bytes, wall_ms). Column pruning: we select only `cols` (plus
+    weight_col when set), so the parquet scan reads nothing else.
+
+    weight_col: each key row contributes its weight instead of 1 (CMS
+    weighted updates); only valid with a single key column."""
     if isinstance(cols, str):
         cols = [cols]
-    pruned = df.select(*cols)
+    if weight_col is not None and len(cols) != 1:
+        raise ValueError("weighted build takes exactly one key column")
+    pruned = df.select(*cols, *([weight_col] if weight_col else []))
 
     def build_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -71,8 +79,15 @@ def partial_build(
         rows = 0
         nbytes = 0
         for pdf in batches:
-            for c in cols:
-                _numeric_update(sk, pdf[c])
+            if weight_col is not None:
+                clean = pdf.dropna(subset=[cols[0]])
+                sk.update(
+                    clean[cols[0]],
+                    weights=clean[weight_col].fillna(0).astype("int64"),
+                )
+            else:
+                for c in cols:
+                    _numeric_update(sk, pdf[c])
             rows += len(pdf)
             nbytes += int(pdf.memory_usage(deep=False).sum())
         ctx = TaskContext.get()
@@ -133,7 +148,10 @@ def merge_partials(partials: DataFrame, factory: Callable[[], object]):
 
 
 def build_sketch(
-    df: DataFrame, cols: list[str] | str, factory: Callable[[], object]
+    df: DataFrame,
+    cols: list[str] | str,
+    factory: Callable[[], object],
+    weight_col: str | None = None,
 ):
     """End-to-end: scan → per-partition vectorized partial build → merge.
     Returns the merged sketch object.
@@ -144,7 +162,8 @@ def build_sketch(
     from bloomfilter_spark.plans.skew import ensure_parallelism
 
     return merge_partials(
-        partial_build(ensure_parallelism(df), cols, factory), factory
+        partial_build(ensure_parallelism(df), cols, factory, weight_col),
+        factory,
     )
 
 
@@ -156,37 +175,7 @@ def build_sketch_weighted(
 ):
     """Weighted distributed build (CMS): each key row adds `weight_col`
     instead of 1.  Same partial-blob + merge path as build_sketch."""
-    from bloomfilter_spark.plans.skew import ensure_parallelism
-
-    pruned = ensure_parallelism(df.select(key_col, weight_col))
-
-    def build_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        t0 = time.perf_counter()
-        sk = factory()
-        rows = 0
-        for pdf in batches:
-            clean = pdf.dropna(subset=[key_col])
-            sk.update(
-                clean[key_col],
-                weights=clean[weight_col].fillna(0).astype("int64"),
-            )
-            rows += len(clean)
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else -1
-        yield pd.DataFrame(
-            {
-                "partition_id": [pid],
-                "blob": [sk.to_bytes()],
-                "rows": [rows],
-                "input_bytes": [0],
-                "wall_ms": [(time.perf_counter() - t0) * 1000.0],
-            }
-        )
-
-    partials = pruned.mapInPandas(build_iter, schema=PARTIAL_SCHEMA)
-    return merge_partials(partials, factory)
+    return build_sketch(df, key_col, factory, weight_col=weight_col)
 
 
 # ---------------------------------------------------------------------------

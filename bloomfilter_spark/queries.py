@@ -347,21 +347,16 @@ FROM qv ORDER BY q
 
 
 def q_cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.operators.membership import query_counts_udf
+
     ev = _t(spark, sf_dir, "events")
     sk = build_sketch(ev, "event_type", cms_factory(epsilon=0.0005, delta=0.001))
     exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_cnt"))
-    bc = spark.sparkContext.broadcast(sk.to_bytes())
     bound = sk.error_bound()
-
-    @F.pandas_udf(T.LongType())
-    def _query(keys):
-        import pandas as pd
-
-        s = serde.deserialize(bc.value)
-        return pd.Series(s.query(keys))
+    est = query_counts_udf(spark, sk)
 
     return (
-        exact.withColumn("est", _query("event_type"))
+        exact.withColumn("est", est("event_type"))
         .select(
             "event_type",
             "exact_cnt",
@@ -419,23 +414,18 @@ def q_cms_weighted_lang_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ε·total_weight; exact sums oracle-checked."""
     from bloomfilter_spark.operators.build import build_sketch_weighted
 
+    from bloomfilter_spark.operators.membership import query_counts_udf
+
     docs = _t(spark, sf_dir, "documents")
     sk = build_sketch_weighted(
         docs, "lang", "n_chars", cms_factory(epsilon=0.0005, delta=0.001)
     )
     exact = docs.groupBy("lang").agg(F.sum("n_chars").alias("exact_chars"))
-    bc = spark.sparkContext.broadcast(sk.to_bytes())
     bound = sk.error_bound()
-
-    @F.pandas_udf(T.LongType())
-    def _query(keys):
-        import pandas as pd
-
-        s = serde.deserialize(bc.value)
-        return pd.Series(s.query(keys))
+    est = query_counts_udf(spark, sk)
 
     return (
-        exact.withColumn("est", _query("lang"))
+        exact.withColumn("est", est("lang"))
         .select(
             "lang",
             F.col("exact_chars").cast("long").alias("exact_chars"),

@@ -135,10 +135,19 @@ class CountMinSketch:
         Overestimate-only, ≤ true + ε·totalA·totalB w.p. ≥ 1−δ.  This is
         the sketch a planner consults for equi-join cardinality without
         touching either table: build one CMS per join column (one scan
-        each, mergeable across partitions), then dot them."""
+        each, mergeable across partitions), then dot them.
+
+        Accumulated in exact Python ints: an int64 einsum would wrap at
+        hot-key frequencies ≥ ~2^31.5 per side (row dot ≥ 2^63) — exactly
+        the petabyte-join regime this estimator exists for.  The arrays
+        are depth × width (a few hundred KB) and this runs at planner
+        rate, so the object-dtype pass is irrelevant to throughput."""
         self._check_geometry(other)
-        dots = np.einsum("dw,dw->d", self.counts, other.counts)
-        return int(dots.min())
+        dots = [
+            int((self.counts[r].astype(object) * other.counts[r].astype(object)).sum())
+            for r in range(self.depth)
+        ]
+        return min(dots)
 
     def inner_product_bound(self, other: "CountMinSketch") -> float:
         return self.epsilon * self.total * other.total

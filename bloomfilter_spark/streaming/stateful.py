@@ -72,8 +72,9 @@ def grouped_sketch_stream(
     (key, rows_total, estimate, blob).  `blob` is the key's full running
     sketch, so downstream consumers can merge across keys or persist.
     """
+    key_ddl = stream_df.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} string, rows_total long, estimate double, blob binary"
+        f"`{key_col}` {key_ddl}, rows_total long, estimate double, blob binary"
     )
     state_schema = "blob binary, rows long"
 
@@ -114,24 +115,29 @@ def windowed_sketch_stream(
     """Finalized tumbling-window sketches with watermarked late data.
 
     Append mode: a window's single output row
-    (window_start, rows, estimate, blob) is emitted exactly once, when the
-    event-time watermark passes the window end (state timeout), after
-    which its state is freed.  Late rows inside the watermark still merge;
-    later-than-watermark rows are dropped by Spark's watermark filter
-    upstream of the operator.
+    (window_start_s epoch seconds, rows, estimate, blob) is emitted exactly
+    once, when the event-time watermark passes the window end (state
+    timeout), after which its state is freed.  Late rows inside the
+    watermark still merge; later-than-watermark rows are dropped by
+    Spark's watermark filter upstream of the operator.
+
+    The group key is the window start as EPOCH SECONDS (a long), not a
+    rendered timestamp: unix_timestamp is timezone-unambiguous, so the
+    event-time timeout (window_end in epoch ms) is correct under any
+    spark.sql.session.timeZone — a tz-naive timestamp key re-parsed with
+    .timestamp() would shift by the session offset and either trip the
+    'timeout below watermark' check or finalize windows hours late.
     """
     w = F.lit(window_seconds)
     with_win = (
         stream_df.withWatermark(ts_col, watermark)
         .withColumn(
-            "window_start",
-            F.to_timestamp(
-                F.floor(F.unix_timestamp(F.col(ts_col)) / w) * w
-            ),
+            "window_start_s",
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / w) * w).cast("long"),
         )
     )
     out_schema = (
-        "window_start timestamp, rows long, estimate double, blob binary"
+        "window_start_s long, rows long, estimate double, blob binary"
     )
     state_schema = "blob binary, rows long"
 
@@ -142,7 +148,7 @@ def windowed_sketch_stream(
             state.remove()
             yield pd.DataFrame(
                 {
-                    "window_start": [key[0]],
+                    "window_start_s": [int(key[0])],
                     "rows": [rows],
                     "estimate": [_estimate_of(sk)],
                     "blob": [sk.to_bytes()],
@@ -156,13 +162,12 @@ def windowed_sketch_stream(
             sk, rows = factory(), 0
         rows += _fold_state(sk, pdfs, value_col)
         state.update((sk.to_bytes(), rows))
-        # finalize when the watermark passes this window's end
-        window_end_ms = (int(key[0].timestamp()) + window_seconds) * 1000
-        state.setTimeoutTimestamp(window_end_ms)
+        # finalize when the watermark passes this window's end (epoch ms)
+        state.setTimeoutTimestamp((int(key[0]) + window_seconds) * 1000)
         return
         yield  # pragma: no cover — makes `update` a generator on all paths
 
-    return with_win.groupBy("window_start").applyInPandasWithState(
+    return with_win.groupBy("window_start_s").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

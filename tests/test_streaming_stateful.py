@@ -118,10 +118,11 @@ def test_windowed_stream_finalizes_on_watermark(spark, tmp_path):
         str(tmp_path / "ck2"),
         "append",
     )
-    got = {r["window_start"]: r for _, r in out.iterrows()}
-    w0 = base
-    w1 = base + pd.Timedelta(seconds=600)
-    w_tail = base + pd.Timedelta(seconds=3600)
+    got = {int(r["window_start_s"]): r for _, r in out.iterrows()}
+    epoch0 = int(base.timestamp())
+    w0 = epoch0
+    w1 = epoch0 + 600
+    w_tail = epoch0 + 3600
     assert w0 in got and w1 in got, sorted(got)
     assert w_tail not in got  # still open — never finalized
     assert int(got[w0]["rows"]) == 3  # a, b + late d merged
