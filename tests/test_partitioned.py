@@ -68,3 +68,35 @@ def test_sharded_matches_broadcast_filter(spark, keys):
         .count()
     )
     assert broadcast_hits == 0 and sharded_miss == 0
+
+
+def test_shard_table_parquet_roundtrip(spark, tmp_path):
+    """The shard table's documented durable form: persist as parquet,
+    reload in a fresh DataFrame, probe — identical answers (the sink/
+    source story for sketch state)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from bloomfilter_spark.operators.partitioned import (
+        bloom_build_sharded,
+        sharded_might_contain,
+    )
+
+    keys = spark.range(2000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")
+    )
+    shards = bloom_build_sharded(keys, "key", n_expected=2000, fpp=0.01,
+                                 n_shards=4)
+    path = str(tmp_path / "shards")
+    shards.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+
+    probes = spark.range(3000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+        (F.col("id") < 2000).alias("inserted"),
+    )
+    out = sharded_might_contain(probes, "key", reloaded).toPandas()
+    assert bool(out[out["inserted"]]["might_contain"].all())  # no false negs
+    fp = out[~out["inserted"]]["might_contain"].mean()
+    assert fp <= 0.03
