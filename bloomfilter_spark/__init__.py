@@ -40,7 +40,12 @@ from bloomfilter_spark.operators.membership import (
     filter_might_contain,
     might_contain_udf,
 )
-from bloomfilter_spark.operators.pipeline import build_multi, build_suite
+from bloomfilter_spark.operators.build import build_sketch_weighted
+from bloomfilter_spark.operators.pipeline import (
+    build_multi,
+    build_multi_checkpointed,
+    build_suite,
+)
 from bloomfilter_spark.operators.checkpoint import build_sketch_checkpointed
 
 __all__ = [
@@ -55,8 +60,10 @@ __all__ = [
     "kll_factory",
     "tdigest_factory",
     "build_sketch",
+    "build_sketch_weighted",
     "build_grouped",
     "build_multi",
+    "build_multi_checkpointed",
     "build_suite",
     "build_sketch_checkpointed",
     "bloom_semi_join",
