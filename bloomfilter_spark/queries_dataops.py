@@ -709,6 +709,70 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest through the streaming Bloom state: documents stream
+    in 3 micro-batches keyed by md5(text); the operator must emit each
+    distinct text exactly once (zero false negatives ⇒ duplicate emission
+    is impossible) and may suppress at most ~fpp of the distinct texts.
+    The exact distinct count is the oracle-checked column."""
+    import shutil
+    import tempfile
+
+    from bloomfilter_spark.streaming.stateful import streaming_first_seen
+
+    docs = _t(spark, sf_dir, "documents").withColumn("k", F.md5("text"))
+    work = tempfile.mkdtemp(prefix="bfs_dedup_stream_")
+    name = "bfs_q_first_seen"
+    try:
+        for i in range(3):
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(f"{work}/src")
+        schema = spark.read.parquet(f"{work}/src").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{work}/src")
+        )
+        q = (
+            streaming_first_seen(stream, "k", n_expected=100_000, fpp=0.01)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql(f"SELECT k FROM {name}").toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    exact = int(docs.select(F.countDistinct("k")).first()[0])
+    emitted = len(out)
+    rows = [
+        (
+            exact,
+            bool(out["k"].is_unique),
+            bool(emitted <= exact),
+            bool(emitted >= (1 - 3 * 0.01) * exact),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "exact_distinct long, no_duplicate_emissions boolean, "
+        "no_overcount boolean, coverage_ok boolean",
+    )
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT COUNT(DISTINCT md5(text)) AS exact_distinct,
+       TRUE AS no_duplicate_emissions,
+       TRUE AS no_overcount,
+       TRUE AS coverage_ok
+FROM documents
+"""
+
+
 QUERIES2 = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -727,6 +791,7 @@ QUERIES2 = {
     "pages_sketch_suite": q_pages_sketch_suite,
     "pages_suite_checkpointed": q_pages_suite_checkpointed,
     "streaming_grouped_hll": q_streaming_grouped_hll,
+    "streaming_dedup_first_seen": q_streaming_dedup_first_seen,
 }
 
 ORACLES2 = {
@@ -744,4 +809,5 @@ ORACLES2 = {
     "pages_sketch_suite": _pages_suite_oracle_sql(),
     "pages_suite_checkpointed": _pages_resume_oracle_sql(),
     "streaming_grouped_hll": _STREAMING_GROUPED_SQL,
+    "streaming_dedup_first_seen": _STREAMING_DEDUP_SQL,
 }

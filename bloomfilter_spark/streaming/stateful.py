@@ -60,6 +60,69 @@ def _estimate_of(sketch) -> float:
     return float("nan")
 
 
+def streaming_first_seen(
+    stream_df: DataFrame,
+    key_col: str,
+    n_expected: int,
+    fpp: float = 0.01,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Streaming dedup-on-ingest: emit each key's FIRST occurrence only.
+
+    State = one Bloom filter per hash shard (pmod(xxhash64(key), n_shards)
+    — the sharded-membership layout of operators/partitioned.py, applied
+    to the state store): per trigger, a shard's rows probe its filter
+    vectorized, misses are emitted and inserted.  Zero false negatives ⇒
+    a seen key is NEVER emitted twice (suppression is perfect); the trade
+    is that ~fpp of genuinely novel keys are wrongly suppressed — the
+    standard Bloom-dedup contract for trillion-row ingest where per-key
+    exact state (one state-store entry per distinct key) is the expensive
+    alternative.  State is O(n_shards × shard filter bytes), independent
+    of stream length beyond the sized capacity.
+
+    Within one micro-batch, a shard's duplicate keys are deduped against
+    each other too (first row in batch order wins).
+    """
+    from bloomfilter_spark.sketches.bloom import BloomFilter
+
+    proto = BloomFilter.create(max(1024, n_expected // n_shards), fpp)
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in stream_df.schema
+    )
+    out_schema = fields
+    state_schema = "blob binary, n_seen long"
+    sharded = stream_df.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            blob, n_seen = state.get
+            sk = serde.deserialize(bytes(blob))
+        else:
+            sk, n_seen = proto.empty_like(), 0
+        for pdf in pdfs:
+            pdf = pdf.drop(columns=["__shard"])
+            keys = pdf[key_col].astype(str)
+            novel = ~sk.contains(keys)
+            # first-in-batch wins among same-batch duplicates
+            novel &= ~keys.duplicated().to_numpy()
+            out = pdf[novel]
+            if len(out):
+                sk.update(out[key_col].astype(str))
+                n_seen += len(out)
+                yield out
+        state.update((sk.to_bytes(), n_seen))
+
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def grouped_sketch_stream(
     stream_df: DataFrame,
     key_col: str,

@@ -77,6 +77,41 @@ def test_grouped_stream_equals_batch_grouped(spark, staged_events, tmp_path):
         assert int(row["rows_total"]) == int(b_by.loc[row["event_type"], "rows"])
 
 
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """Bloom-backed ingest dedup: no key emitted twice (zero false
+    negatives ⇒ perfect suppression), ≥ (1 - a few·fpp) of distinct keys
+    survive, cross-micro-batch duplicates suppressed."""
+    import pandas as pd
+
+    from bloomfilter_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "dsrc")
+    # 3 files; file i carries keys [0, 400+200i) → later files REPEAT
+    # earlier keys plus add new ones
+    for i in range(3):
+        n = 400 + 200 * i
+        pd_df = pd.DataFrame(
+            {"k": [f"key-{j}" for j in range(n)], "payload": range(n)}
+        )
+        spark.createDataFrame(pd_df).coalesce(1).write.mode("append").parquet(src)
+
+    out = _run(
+        spark,
+        src,
+        lambda s: streaming_first_seen(s, "k", n_expected=2000, fpp=0.01),
+        "first_seen",
+        str(tmp_path / "ck0"),
+        "append",
+    )
+    assert out["k"].is_unique  # NEVER a duplicate emission
+    distinct = 800
+    assert len(out) >= (1 - 3 * 0.01) * distinct
+    assert len(out) <= distinct
+    # the very first batch has an empty filter: its 400 keys all emit
+    first_file_keys = {f"key-{j}" for j in range(400)}
+    assert first_file_keys <= set(out["k"])
+
+
 def test_windowed_stream_finalizes_on_watermark(spark, tmp_path):
     """Windows emit exactly once when the watermark passes window_end;
     in-watermark late rows merge; the still-open tail window stays
