@@ -631,6 +631,7 @@ def q_streaming_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a batch build (pytest-pinned in tests/test_streaming_stateful.py)."""
     import shutil
     import tempfile
+    import uuid
 
     from bloomfilter_spark.operators.build import hll_factory
     from bloomfilter_spark.streaming.stateful import grouped_sketch_stream
@@ -638,7 +639,9 @@ def q_streaming_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="bfs_stream_q_")
     src = f"{work}/src"
-    name = "bfs_q_stream_grouped"
+    # unique per invocation: a fixed memory-sink name would read stale rows
+    # if the driver runs the catalog twice in one session
+    name = f"bfs_q_stream_grouped_{uuid.uuid4().hex[:12]}"
     try:
         for i in range(3):
             # pmod, not %: Spark % keeps the dividend's sign, which would
@@ -668,6 +671,7 @@ def q_streaming_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         out = spark.sql(f"SELECT * FROM {name}").toPandas()
+        spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
@@ -717,12 +721,13 @@ def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact distinct count is the oracle-checked column."""
     import shutil
     import tempfile
+    import uuid
 
     from bloomfilter_spark.streaming.stateful import streaming_first_seen
 
     docs = _t(spark, sf_dir, "documents").withColumn("k", F.md5("text"))
     work = tempfile.mkdtemp(prefix="bfs_dedup_stream_")
-    name = "bfs_q_first_seen"
+    name = f"bfs_q_first_seen_{uuid.uuid4().hex[:12]}"  # see grouped query
     try:
         for i in range(3):
             docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).coalesce(
@@ -745,6 +750,7 @@ def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         out = spark.sql(f"SELECT k FROM {name}").toPandas()
+        spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     exact = int(docs.select(F.countDistinct("k")).first()[0])
