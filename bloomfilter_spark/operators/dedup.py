@@ -427,6 +427,10 @@ def hamming_pairs(
         raise ValueError(
             f"n_segments={n_segments} must exceed max_hamming={max_hamming}"
         )
+    # materialize (id, simhash) once: both self-join branches read it,
+    # instead of recomputing the upstream hash (for simhash_sql that's the
+    # whole explode + 60-aggregate groupBy, twice)
+    sh = sh.localCheckpoint()
     slices = _segment_slices(bits, n_segments)
     seg_cols = [
         F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(
