@@ -250,9 +250,12 @@ def minhash_dedup_pairs_verified(
     join w.h.p., which is what lets this path carry a SQL oracle while
     staying sub-quadratic."""
     rows_per_band = num_perm // bands
+    # materialize once: the signature+shingle relation feeds the LSH
+    # self-join (both branches) AND both verify joins — without this the
+    # shingling/minhash mapInPandas pass runs up to 4×
     sigs = minhash_signatures_with_shingles(
         df, id_col, text_col, num_perm=num_perm, n=n
-    )
+    ).localCheckpoint()
     cands = lsh_candidate_pairs(
         sigs.select("id", "sig"), bands=bands, rows_per_band=rows_per_band
     )
@@ -336,7 +339,10 @@ def minhash_dedup_pairs(
     """End-to-end near-dup pairs: signatures → LSH candidates → estimate ≥
     threshold.  Sub-quadratic: only colliding pairs are ever scored."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm=num_perm, n=n)
+    # materialized once — feeds the LSH self-join and both estimate joins
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm=num_perm, n=n
+    ).localCheckpoint()
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     return estimated_jaccard(sigs, cands).filter(
         F.col("est_jaccard") >= threshold
