@@ -102,6 +102,20 @@ def test_simhash_multi_index_segments_equivalent(spark):
     assert len(base) >= 5
 
 
+def test_simhash_sql_uneven_segments_equivalent(spark):
+    """60-bit hash with n_segments=8 → uneven widths (8×4 + 7×4 bits);
+    the pigeonhole guarantee must hold for any slicing."""
+    from bloomfilter_spark.operators.dedup import simhash_dedup_pairs_sql
+
+    df, _ = _corpus(spark, n_base=40, n_dups=10)
+    base = simhash_dedup_pairs_sql(df, "doc_id", "text", max_hamming=3).toPandas()
+    wide = simhash_dedup_pairs_sql(
+        df, "doc_id", "text", max_hamming=3, n_segments=8
+    ).toPandas()
+    key = lambda p: sorted(map(tuple, p[["id_a", "id_b", "hamming"]].values))
+    assert key(base) == key(wide)
+
+
 def test_simhash_sql_matches_python_md5(spark):
     """Differential oracle for the Catalyst md5 simhash: an independent
     per-row python hashlib computation must agree bit-for-bit."""
