@@ -61,8 +61,8 @@ def shingles_col(text_col: str, n: int = 3):
     NOTE: `text_col` here should be a MATERIALIZED token-array column when
     used in a hot path — referencing split() directly makes the tokenizer
     re-evaluate under the transform lambda (no CSE through higher-order
-    functions), measured ~1.4× slower.  Use _with_toks + shingles_of_toks
-    for the hot path; this wrapper stays for ad-hoc use."""
+    functions), measured ~1.4× slower.  Project the token array first and use shingles_of_toks for the hot
+    path (as ngram_jaccard_pairs does); this wrapper stays for ad-hoc use."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     return _shingles_of(toks, n)
 
@@ -136,7 +136,7 @@ def ngram_jaccard_pairs(
     ex = (
         sh.select("id", "sz", F.explode("sh").alias("_s"))
         .select("id", "sz", F.xxhash64("_s").alias("s"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = ex.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("s")
@@ -274,7 +274,7 @@ def minhash_dedup_pairs_verified(
     # shingling/minhash mapInPandas pass runs up to 4×
     sigs = minhash_signatures_with_shingles(
         df, id_col, text_col, num_perm=num_perm, n=n
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(
         sigs.select("id", "sig"), bands=bands, rows_per_band=rows_per_band
     )
@@ -361,7 +361,7 @@ def minhash_dedup_pairs(
     # materialized once — feeds the LSH self-join and both estimate joins
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm=num_perm, n=n
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     return estimated_jaccard(sigs, cands).filter(
         F.col("est_jaccard") >= threshold
@@ -454,8 +454,12 @@ def hamming_pairs(
         )
     # materialize (id, simhash) once: both self-join branches read it,
     # instead of recomputing the upstream hash (for simhash_sql that's the
-    # whole explode + 60-aggregate groupBy, twice)
-    sh = sh.localCheckpoint()
+    # whole explode + 60-aggregate groupBy, twice).  eager=False: no job at
+    # plan-construction time.  Executor-local blocks are lost with an
+    # executor — on long-lived clusters with decommissioning, swap for a
+    # reliable checkpoint() dir; recompute-on-loss is acceptable here
+    # because the upstream is deterministic.
+    sh = sh.localCheckpoint(eager=False)
     slices = _segment_slices(bits, n_segments)
     seg_cols = [
         F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(

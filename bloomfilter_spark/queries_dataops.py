@@ -671,8 +671,11 @@ def q_streaming_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         out = spark.sql(f"SELECT * FROM {name}").toPandas()
-        spark.catalog.dropTempView(name)
     finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # sink never registered (query failed before start)
         shutil.rmtree(work, ignore_errors=True)
     final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
     exact = (
@@ -726,6 +729,10 @@ def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomfilter_spark.streaming.stateful import streaming_first_seen
 
     docs = _t(spark, sf_dir, "documents").withColumn("k", F.md5("text"))
+    fpp = 0.01
+    # size from the table (metadata count), never a constant: a hard-coded
+    # capacity saturates at larger scale factors and blows the fpp budget
+    n_expected = max(10_000, 2 * docs.count())
     work = tempfile.mkdtemp(prefix="bfs_dedup_stream_")
     name = f"bfs_q_first_seen_{uuid.uuid4().hex[:12]}"  # see grouped query
     try:
@@ -740,7 +747,7 @@ def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{work}/src")
         )
         q = (
-            streaming_first_seen(stream, "k", n_expected=100_000, fpp=0.01)
+            streaming_first_seen(stream, "k", n_expected=n_expected, fpp=fpp)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
@@ -750,8 +757,11 @@ def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         out = spark.sql(f"SELECT k FROM {name}").toPandas()
-        spark.catalog.dropTempView(name)
     finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # sink never registered (query failed before start)
         shutil.rmtree(work, ignore_errors=True)
     exact = int(docs.select(F.countDistinct("k")).first()[0])
     emitted = len(out)
@@ -760,7 +770,7 @@ def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact,
             bool(out["k"].is_unique),
             bool(emitted <= exact),
-            bool(emitted >= (1 - 3 * 0.01) * exact),
+            bool(emitted >= (1 - 3 * fpp) * exact),
         )
     ]
     return spark.createDataFrame(

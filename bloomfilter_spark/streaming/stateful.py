@@ -81,38 +81,45 @@ def streaming_first_seen(
     of stream length beyond the sized capacity.
 
     Within one micro-batch, a shard's duplicate keys are deduped against
-    each other too (first row in batch order wins).
+    each other too (first row in batch order wins).  NULL keys carry no
+    identity to dedup on — they are always emitted, never inserted.  The
+    dedup identity is the JVM `CAST(key AS STRING)` form (computed once,
+    Catalyst-side), so non-string key types dedup on Spark's canonical
+    rendering, not pandas repr (str(None) == "None" would otherwise
+    collide a null with the literal string "None").
     """
     from bloomfilter_spark.sketches.bloom import BloomFilter
 
     proto = BloomFilter.create(max(1024, n_expected // n_shards), fpp)
-    fields = ", ".join(
+    out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in stream_df.schema
     )
-    out_schema = fields
-    state_schema = "blob binary, n_seen long"
-    sharded = stream_df.withColumn(
-        "__shard", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+    state_schema = "blob binary"
+    key_str = F.col(key_col).cast("string")
+    sharded = stream_df.withColumn("__key_str", key_str).withColumn(
+        "__shard", F.coalesce(F.pmod(F.xxhash64(key_str), F.lit(n_shards)), F.lit(-1))
     )
 
     def update(key, pdfs, state):
         if state.exists:
-            blob, n_seen = state.get
-            sk = serde.deserialize(bytes(blob))
+            sk = serde.deserialize(bytes(state.get[0]))
         else:
-            sk, n_seen = proto.empty_like(), 0
+            sk = proto.empty_like()
         for pdf in pdfs:
-            pdf = pdf.drop(columns=["__shard"])
-            keys = pdf[key_col].astype(str)
-            novel = ~sk.contains(keys)
+            keys = pdf["__key_str"]
+            pdf = pdf.drop(columns=["__shard", "__key_str"])
+            null_mask = keys.isna().to_numpy()
+            novel = ~sk.contains(keys.fillna(""))
             # first-in-batch wins among same-batch duplicates
             novel &= ~keys.duplicated().to_numpy()
-            out = pdf[novel]
+            keep = (novel & ~null_mask) | null_mask
+            out = pdf[keep]
+            insert = keys[novel & ~null_mask]
+            if len(insert):
+                sk.update(insert)
             if len(out):
-                sk.update(out[key_col].astype(str))
-                n_seen += len(out)
                 yield out
-        state.update((sk.to_bytes(), n_seen))
+        state.update((sk.to_bytes(),))
 
     return sharded.groupBy("__shard").applyInPandasWithState(
         update,

@@ -74,7 +74,6 @@ def test_shard_table_parquet_roundtrip(spark, tmp_path):
     """The shard table's documented durable form: persist as parquet,
     reload in a fresh DataFrame, probe — identical answers (the sink/
     source story for sketch state)."""
-    import pandas as pd
 
     from pyspark.sql import functions as F
 
