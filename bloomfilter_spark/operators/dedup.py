@@ -13,9 +13,12 @@ Three families, by exactness/scale trade-off:
   Probabilistic recall (tested on planted near-dups), so it gets a
   rows-only driver check, not a SQL oracle.
 - SimHash (`simhash64`, `simhash_dedup_pairs`): 64-bit sign-sum sketch per
-  doc; Hamming-distance candidate pairs via the pigeonhole block join
-  (4 × 16-bit segments finds every pair with distance ≤ 3 exactly), final
-  distance check with JVM-side bit_count(xor).
+  doc; Hamming-distance candidate pairs via the generalized pigeonhole
+  multi-index join (`hamming_pairs`: C(n_segments, n_segments-max_hamming)
+  segment-combination keys — n_segments is the bucket-width scale knob),
+  final distance check with JVM-side bit_count(xor).  `simhash_sql` /
+  `simhash_dedup_pairs_sql` are the Catalyst-only md5 variants whose hash
+  DuckDB recomputes bit-for-bit (the SQL-oracle path).
 
 All per-doc heavy lifting is Arrow-batched numpy (no per-row Python,
 BASELINE.json:15); candidate joins/buckets ride Catalyst shuffles so AQE
