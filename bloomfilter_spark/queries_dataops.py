@@ -583,6 +583,54 @@ SELECT COUNT(*) AS n_docs_kept, CAST(SUM(t) AS BIGINT) AS total_tokens FROM dd
 """
 
 
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+_SAMPLE_SEED = 7
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (per-lang rates) by md5 content
+    hash — reproducible across runs/partitionings/engines, so the DuckDB
+    oracle recomputes the EXACT per-stratum sampled counts, not just a
+    statistical bound."""
+    from bloomfilter_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, "doc_id", "lang", _SAMPLE_RATES, default_rate=0.05,
+        seed=_SAMPLE_SEED,
+    )
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    counts = sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    return (
+        totals.join(counts, "lang", "left")
+        .select("lang", "n_total", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+def _sample_oracle_sql() -> str:
+    from bloomfilter_spark.operators.sampling import sample_hash_threshold
+
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {sample_hash_threshold(r)}"
+        for v, r in sorted(_SAMPLE_RATES.items())
+    )
+    default_thr = sample_hash_threshold(0.05)
+    return f"""
+WITH h AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SAMPLE_SEED}'), 1, 15))::BIGINT
+           AS kh,
+         CASE {cases} ELSE {default_thr} END AS thr
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN kh < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM h GROUP BY lang ORDER BY lang
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → analyze pipeline over the deterministic fake-codec media
     table (BFIM images / BFAU audio).  The decoded dimensions are pure
@@ -802,6 +850,7 @@ QUERIES2 = {
     "ann_neardup_pairs": q_ann_neardup_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "sample_stratified": q_sample_stratified,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "pages_sketch_suite": q_pages_sketch_suite,
@@ -821,6 +870,7 @@ ORACLES2 = {
     "ann_topk_cosine": _ANN_TOPK_SQL,
     "ann_neardup_pairs": _ANN_NEARDUP_SQL,
     "pipeline_clean_corpus": _CLEAN_CORPUS_SQL,
+    "sample_stratified": _sample_oracle_sql(),
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),
     "pages_suite_checkpointed": _pages_resume_oracle_sql(),

@@ -474,3 +474,36 @@ def test_ivf_indexed_partition_pruning(spark, emb, tmp_path):
     assert key(got) == key(mem)
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "bucket" in plan
+
+
+def test_deterministic_sample_properties(spark):
+    """Rate accuracy, partitioning invariance, nesting, and seed
+    sensitivity of hash-threshold sampling."""
+    from bloomfilter_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(20_000).select(F.col("id").alias("k"))
+    s10 = deterministic_sample(df, "k", 0.10).toPandas()
+    # binomial: 2000 ± 5σ (σ ≈ 42)
+    assert abs(len(s10) - 2000) < 220
+    # partitioning invariance: identical sample from a different layout
+    s10b = deterministic_sample(df.repartition(17), "k", 0.10).toPandas()
+    assert sorted(s10["k"]) == sorted(s10b["k"])
+    # nesting: a higher rate strictly contains the lower-rate sample
+    s25 = deterministic_sample(df, "k", 0.25).toPandas()
+    assert set(s10["k"]) <= set(s25["k"])
+    # seed changes the sample
+    s10_seed = deterministic_sample(df, "k", 0.10, seed=99).toPandas()
+    assert set(s10["k"]) != set(s10_seed["k"])
+
+    # stratified: per-stratum rates honored
+    strat = df.withColumn("g", (F.col("k") % 2 == 0).cast("string"))
+    out = stratified_sample(
+        strat, "k", "g", {"true": 0.5, "false": 0.05}
+    ).toPandas()
+    n_true = (out["g"] == "true").sum()
+    n_false = (out["g"] == "false").sum()
+    assert abs(n_true - 5000) < 500
+    assert abs(n_false - 500) < 200
