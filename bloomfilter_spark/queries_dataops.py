@@ -391,7 +391,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: text→blob (stand-in for a media payload) →
-    byte-histogram features + frame sampling; deterministic, rows-only."""
+    byte-histogram features + frame sampling.  Fixture text is ASCII, so
+    blob bytes == code points and DuckDB recomputes the first histogram
+    bin and the frame count exactly — full value oracle."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -580,6 +582,23 @@ WITH f AS (
   FROM kept GROUP BY md5(text)
 )
 SELECT COUNT(*) AS n_docs_kept, CAST(SUM(t) AS BIGINT) AS total_tokens FROM dd
+"""
+
+
+# byte-histogram bin 0 = bytes < 256/16; frame count: ≤64-byte blobs yield
+# one frame per byte offset (≤4), longer blobs always fill all 4 windows
+_MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(16 AS INTEGER) AS n_features,
+       ROUND(CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(list_filter(
+                         list_transform(range(length(text)),
+                                        i -> ord(substr(text, i+1, 1))),
+                         x -> x < 16)) * 1.0 / length(text)
+             END, 6) AS f0,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+                 ELSE LEAST(4, length(text)) END AS INTEGER) AS n_frames
+FROM documents ORDER BY media_id
 """
 
 
@@ -871,6 +890,7 @@ ORACLES2 = {
     "ann_neardup_pairs": _ANN_NEARDUP_SQL,
     "pipeline_clean_corpus": _CLEAN_CORPUS_SQL,
     "sample_stratified": _sample_oracle_sql(),
+    "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),
     "pages_suite_checkpointed": _pages_resume_oracle_sql(),
