@@ -172,6 +172,47 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Permutation-matrix memory cap: the (shingles × num_perm) uint64 block is
+# the minhash working set.  2^18 shingles × 128 perms × 8 B = 256 MB peak —
+# without the cap a 10k-row Arrow batch of multi-KB pages (~300 shingles
+# each) would materialize a ~3 GB matrix per python worker and thrash.
+_MINHASH_CHUNK_SHINGLES = 1 << 18
+
+
+def _minhash_fold(
+    h: np.ndarray,
+    offsets: np.ndarray,
+    a_p: np.ndarray,
+    b_p: np.ndarray,
+    sink,
+) -> None:
+    """Per-doc signature mins over doc chunks bounded by shingle count.
+
+    sink(row_index, mins_uint64_row) is called once per non-empty doc;
+    chunking changes peak memory only — per-doc results are identical."""
+    n_docs = len(offsets) - 1
+    start = 0
+    with np.errstate(over="ignore"):
+        while start < n_docs:
+            end = start + 1
+            while (
+                end < n_docs
+                and offsets[end + 1] - offsets[start] <= _MINHASH_CHUNK_SHINGLES
+            ):
+                end += 1
+            lo, hi = offsets[start], offsets[end]
+            if hi > lo:
+                pm = (h[lo:hi, None] * a_p[None, :] + b_p[None, :]) & _MERSENNE61
+                seg = offsets[start:end]
+                counts = offsets[start + 1 : end + 1] - seg
+                nz = np.nonzero(counts > 0)[0]
+                if len(nz):
+                    mins = np.minimum.reduceat(pm, seg[nz] - lo, axis=0)
+                    for row, m in zip(nz, mins):
+                        sink(start + int(row), m)
+            start = end
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -183,29 +224,23 @@ def minhash_signatures(
     """(id, sig array<long>[num_perm]) — empty array when doc has no shingle.
 
     Per Arrow batch: murmur3 over all distinct shingles at once, then the
-    num_perm 2-universal permutations as one (S × P) broadcast multiply and
-    a per-doc segmented min (np.minimum.reduceat) — no per-row Python."""
+    num_perm 2-universal permutations as a broadcast multiply chunked to a
+    bounded working set (_MINHASH_CHUNK_SHINGLES) and a per-doc segmented
+    min (np.minimum.reduceat) — no per-row Python."""
     a_p, b_p = _perm_params(num_perm, seed)
 
     def sig_iter(batches):
         for pdf in batches:
             texts = pdf[text_col]
             flat, offsets = _shingle_sets(texts, n)
-            sigs: list[list[int]] = []
+            sigs: list[list[int]] = [[] for _ in range(len(texts))]
             if len(flat):
                 fb, fo = bytes_view_of_strings(pd.Series(flat))
                 h, _ = murmur3_x64_128(fb, fo, seed=seed)
-                with np.errstate(over="ignore"):
-                    pm = (h[:, None] * a_p[None, :] + b_p[None, :]) & _MERSENNE61
-                counts = offsets[1:] - offsets[:-1]
-                nz = np.nonzero(counts > 0)[0]
-                mins = np.minimum.reduceat(pm, offsets[:-1][nz], axis=0)
-                sig_arr = [[] for _ in range(len(texts))]
-                for row, m in zip(nz, mins):
-                    sig_arr[row] = m.view(np.int64).tolist()
-                sigs = sig_arr
-            else:
-                sigs = [[] for _ in range(len(texts))]
+                _minhash_fold(
+                    h, offsets, a_p, b_p,
+                    lambda row, m: sigs.__setitem__(row, m.view(np.int64).tolist()),
+                )
             yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
 
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
@@ -235,16 +270,14 @@ def minhash_signatures_with_shingles(
             if len(flat):
                 fb, fo = bytes_view_of_strings(pd.Series(flat))
                 h, _ = murmur3_x64_128(fb, fo, seed=seed)
-                with np.errstate(over="ignore"):
-                    pm = (h[:, None] * a_p[None, :] + b_p[None, :]) & _MERSENNE61
-                counts = offsets[1:] - offsets[:-1]
-                nz = np.nonzero(counts > 0)[0]
-                mins = np.minimum.reduceat(pm, offsets[:-1][nz], axis=0)
-                for row, m in zip(nz, mins):
+
+                def sink(row, m):
                     sigs[row] = m.view(np.int64).tolist()
                     shs[row] = np.sort(
                         h[offsets[row] : offsets[row + 1]].view(np.int64)
                     ).tolist()
+
+                _minhash_fold(h, offsets, a_p, b_p, sink)
             yield pd.DataFrame(
                 {"id": pdf[id_col], "sig": sigs, "shingles": shs}
             )
