@@ -412,7 +412,13 @@ def minhash_dedup_pairs(
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, seed: int = DEFAULT_SEED
 ) -> DataFrame:
-    """(id, simhash long): sign-sum of token-hash bit vectors per doc."""
+    """(id, simhash long): sign-sum of token-hash bit vectors per doc.
+
+    The (tokens × 64) ±1 matrix is the working set — folded over doc
+    chunks bounded by token count (same memory discipline as
+    _minhash_fold: a batch of multi-KB pages would otherwise materialize
+    GBs per python worker)."""
+    chunk_tokens = 1 << 19  # 512k tokens × 64 lanes × 8 B = 256 MB peak
 
     def sim_iter(batches):
         bit_idx = np.arange(64, dtype=np.uint64)
@@ -424,18 +430,31 @@ def simhash64(
             if flat_tokens:
                 fb, fo = bytes_view_of_strings(pd.Series(flat_tokens))
                 h, _ = murmur3_x64_128(fb, fo, seed=seed)
-                bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
-                    np.int64
-                ) * 2 - 1  # ±1 per bit
-                offsets = np.zeros(len(pdf), dtype=np.int64)
-                np.cumsum(counts[:-1], out=offsets[1:])
-                nz = np.nonzero(counts > 0)[0]
-                if len(nz):
-                    sums = np.add.reduceat(bits, offsets[nz], axis=0)
-                    packed = ((sums > 0).astype(np.uint64) << bit_idx).sum(
-                        axis=1, dtype=np.uint64
-                    )
-                    out[nz] = packed.view(np.int64)
+                offsets = np.zeros(len(pdf) + 1, dtype=np.int64)
+                np.cumsum(counts, out=offsets[1:])
+                n_docs = len(pdf)
+                start = 0
+                while start < n_docs:
+                    end = start + 1
+                    while (
+                        end < n_docs
+                        and offsets[end + 1] - offsets[start] <= chunk_tokens
+                    ):
+                        end += 1
+                    lo, hi = offsets[start], offsets[end]
+                    if hi > lo:
+                        bits = (
+                            (h[lo:hi, None] >> bit_idx[None, :]) & np.uint64(1)
+                        ).astype(np.int64) * 2 - 1  # ±1 per bit
+                        seg = offsets[start:end]
+                        nz = np.nonzero(counts[start:end] > 0)[0]
+                        if len(nz):
+                            sums = np.add.reduceat(bits, seg[nz] - lo, axis=0)
+                            packed = ((sums > 0).astype(np.uint64) << bit_idx).sum(
+                                axis=1, dtype=np.uint64
+                            )
+                            out[start + nz] = packed.view(np.int64)
+                    start = end
             yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
 
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
