@@ -114,11 +114,18 @@ def _rolling_hashes(flat: np.ndarray, offsets: np.ndarray, k: int) -> tuple:
     n_docs = len(offsets) - 1
     if len(flat) < k:
         return np.empty(0, np.uint64), np.zeros(n_docs + 1, np.int64)
-    win = np.lib.stride_tricks.sliding_window_view(flat, k).astype(np.uint64)
     powers = np.array(
         [pow(_RK_BASE, k - 1 - j, _RK_MOD) for j in range(k)], dtype=np.uint64
     )
-    hashes = (win * powers).sum(axis=1, dtype=np.uint64) % np.uint64(_RK_MOD)
+    # k shifted-column passes instead of a windowed matrix: the
+    # sliding_window_view + astype(uint64) form materialized 64 bytes per
+    # input byte (GBs on page-sized batches); this accumulates into one
+    # N-vector.  Sum < k·255·2³¹ < 2⁴² — exact in uint64 before the mod.
+    n_win = len(flat) - k + 1
+    hashes = np.zeros(n_win, dtype=np.uint64)
+    for j in range(k):
+        hashes += flat[j : j + n_win].astype(np.uint64) * powers[j]
+    hashes %= np.uint64(_RK_MOD)
     # valid window starts per doc: [offsets[i], offsets[i+1] - k]
     starts = offsets[:-1]
     ends = np.maximum(offsets[1:] - k + 1, starts)
