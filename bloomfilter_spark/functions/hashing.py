@@ -237,6 +237,26 @@ def bytes_view_of_int64(values) -> tuple[np.ndarray, np.ndarray]:
     return flat, offsets
 
 
+# ---------------------------------------------------------------------------
+# Cross-engine-reproducible 60-bit hash (the one rule DuckDB can replay)
+# ---------------------------------------------------------------------------
+
+# DuckDB fragment computing the IDENTICAL value as md5_hash60 — every SQL
+# oracle that replays the hash must be built from this, not hand-copied.
+MD5_HASH60_SQL = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def md5_hash60(col):
+    """Catalyst Column: first 60 bits of md5(col) as a bigint.
+
+    md5 is the only hash Spark and DuckDB both expose, and 15 hex chars
+    fit a signed 64-bit int in both engines — the foundation of every
+    SQL-oracle-able hash rule (sampling thresholds, the md5 simhash)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def hash_any(values, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
     """Dispatch on batch dtype and return (h1, h2) — the reference's
     byte-collapse rule (string→utf8, int→8 bytes, bytes→bytes)."""

@@ -106,11 +106,11 @@ _W_DEFAULT = 16  # winnowing window
 
 
 def _rolling_hashes(flat: np.ndarray, offsets: np.ndarray, k: int) -> tuple:
-    """All k-byte Rabin-Karp hashes (mod 2^31-1) per doc, computed on the
-    whole batch at once: sliding windows over the flat byte buffer (matmul
-    with the power vector), then doc-boundary windows masked out via
-    offsets.  h = (Σ_j byte_j · BASE^(k-1-j) mod P) mod P — byte·power <
-    2^39, the 8-term sum < 2^42: exact in uint64 AND in SQL BIGINT."""
+    """All k-byte Rabin-Karp hashes (mod 2^31-1) per doc: k shifted-column
+    accumulation passes over the flat byte buffer into one N-vector, then
+    doc-boundary windows masked out via offsets.
+    h = (Σ_j byte_j · BASE^(k-1-j) mod P) mod P — byte·power < 2^39, the
+    8-term sum < 2^42: exact in uint64 AND in SQL BIGINT."""
     n_docs = len(offsets) - 1
     if len(flat) < k:
         return np.empty(0, np.uint64), np.zeros(n_docs + 1, np.int64)

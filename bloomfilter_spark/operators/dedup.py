@@ -172,11 +172,28 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-# Permutation-matrix memory cap: the (shingles × num_perm) uint64 block is
-# the minhash working set.  2^18 shingles × 128 perms × 8 B = 256 MB peak —
-# without the cap a 10k-row Arrow batch of multi-KB pages (~300 shingles
-# each) would materialize a ~3 GB matrix per python worker and thrash.
+# Permutation-matrix memory cap: the (items × lanes) uint64 block is the
+# fold's working set.  2^18 items × 128 lanes × 8 B = 256 MB peak — without
+# the cap a 10k-row Arrow batch of multi-KB pages (~300 shingles each)
+# would materialize a ~3 GB matrix per python worker and thrash.
 _MINHASH_CHUNK_SHINGLES = 1 << 18
+_SIMHASH_CHUNK_TOKENS = 1 << 19  # 512k tokens × 64 lanes × 8 B = 256 MB peak
+
+
+def _chunked_doc_ranges(offsets: np.ndarray, cap: int):
+    """Yield (doc_start, doc_end) ranges whose total item span ≤ cap.
+
+    A single doc larger than cap gets its own range — callers must
+    sub-block inside it (see _minhash_fold / simhash64) so the cap is a
+    TRUE per-worker bound, not 'bounded unless one row is huge'."""
+    n_docs = len(offsets) - 1
+    start = 0
+    while start < n_docs:
+        end = start + 1
+        while end < n_docs and offsets[end + 1] - offsets[start] <= cap:
+            end += 1
+        yield start, end
+        start = end
 
 
 def _minhash_fold(
@@ -185,32 +202,40 @@ def _minhash_fold(
     a_p: np.ndarray,
     b_p: np.ndarray,
     sink,
+    cap: int | None = None,
 ) -> None:
     """Per-doc signature mins over doc chunks bounded by shingle count.
 
     sink(row_index, mins_uint64_row) is called once per non-empty doc;
-    chunking changes peak memory only — per-doc results are identical."""
-    n_docs = len(offsets) - 1
-    start = 0
+    chunking (including the oversized-single-doc sub-blocks, combined
+    with a running np.minimum) changes peak memory only — per-doc
+    results are identical."""
+    cap = _MINHASH_CHUNK_SHINGLES if cap is None else cap
     with np.errstate(over="ignore"):
-        while start < n_docs:
-            end = start + 1
-            while (
-                end < n_docs
-                and offsets[end + 1] - offsets[start] <= _MINHASH_CHUNK_SHINGLES
-            ):
-                end += 1
+        for start, end in _chunked_doc_ranges(offsets, cap):
             lo, hi = offsets[start], offsets[end]
-            if hi > lo:
-                pm = (h[lo:hi, None] * a_p[None, :] + b_p[None, :]) & _MERSENNE61
-                seg = offsets[start:end]
-                counts = offsets[start + 1 : end + 1] - seg
-                nz = np.nonzero(counts > 0)[0]
-                if len(nz):
-                    mins = np.minimum.reduceat(pm, seg[nz] - lo, axis=0)
-                    for row, m in zip(nz, mins):
-                        sink(start + int(row), m)
-            start = end
+            if hi <= lo:
+                continue
+            if end == start + 1 and hi - lo > cap:
+                # one doc wider than the cap: running min over sub-blocks
+                acc = None
+                for blo in range(lo, hi, cap):
+                    bhi = min(blo + cap, hi)
+                    pm = (
+                        h[blo:bhi, None] * a_p[None, :] + b_p[None, :]
+                    ) & _MERSENNE61
+                    m = pm.min(axis=0)
+                    acc = m if acc is None else np.minimum(acc, m)
+                sink(start, acc)
+                continue
+            pm = (h[lo:hi, None] * a_p[None, :] + b_p[None, :]) & _MERSENNE61
+            seg = offsets[start:end]
+            counts = offsets[start + 1 : end + 1] - seg
+            nz = np.nonzero(counts > 0)[0]
+            if len(nz):
+                mins = np.minimum.reduceat(pm, seg[nz] - lo, axis=0)
+                for row, m in zip(nz, mins):
+                    sink(start + int(row), m)
 
 
 def minhash_signatures(
@@ -220,6 +245,7 @@ def minhash_signatures(
     num_perm: int = 128,
     n: int = 3,
     seed: int = DEFAULT_SEED,
+    chunk_shingles: int | None = None,
 ) -> DataFrame:
     """(id, sig array<long>[num_perm]) — empty array when doc has no shingle.
 
@@ -240,6 +266,7 @@ def minhash_signatures(
                 _minhash_fold(
                     h, offsets, a_p, b_p,
                     lambda row, m: sigs.__setitem__(row, m.view(np.int64).tolist()),
+                    cap=chunk_shingles,
                 )
             yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
 
@@ -410,7 +437,11 @@ def minhash_dedup_pairs(
 
 
 def simhash64(
-    df: DataFrame, id_col: str, text_col: str, seed: int = DEFAULT_SEED
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: int = DEFAULT_SEED,
+    chunk_tokens: int | None = None,
 ) -> DataFrame:
     """(id, simhash long): sign-sum of token-hash bit vectors per doc.
 
@@ -418,7 +449,7 @@ def simhash64(
     chunks bounded by token count (same memory discipline as
     _minhash_fold: a batch of multi-KB pages would otherwise materialize
     GBs per python worker)."""
-    chunk_tokens = 1 << 19  # 512k tokens × 64 lanes × 8 B = 256 MB peak
+    chunk_tokens = _SIMHASH_CHUNK_TOKENS if chunk_tokens is None else chunk_tokens
 
     def sim_iter(batches):
         bit_idx = np.arange(64, dtype=np.uint64)
@@ -432,29 +463,35 @@ def simhash64(
                 h, _ = murmur3_x64_128(fb, fo, seed=seed)
                 offsets = np.zeros(len(pdf) + 1, dtype=np.int64)
                 np.cumsum(counts, out=offsets[1:])
-                n_docs = len(pdf)
-                start = 0
-                while start < n_docs:
-                    end = start + 1
-                    while (
-                        end < n_docs
-                        and offsets[end + 1] - offsets[start] <= chunk_tokens
-                    ):
-                        end += 1
+
+                def sign_bits(lo, hi):
+                    return (
+                        (h[lo:hi, None] >> bit_idx[None, :]) & np.uint64(1)
+                    ).astype(np.int64) * 2 - 1  # ±1 per bit
+
+                def pack(sums):
+                    return ((sums > 0).astype(np.uint64) << bit_idx).sum(
+                        axis=1, dtype=np.uint64
+                    )
+
+                for start, end in _chunked_doc_ranges(offsets, chunk_tokens):
                     lo, hi = offsets[start], offsets[end]
-                    if hi > lo:
-                        bits = (
-                            (h[lo:hi, None] >> bit_idx[None, :]) & np.uint64(1)
-                        ).astype(np.int64) * 2 - 1  # ±1 per bit
-                        seg = offsets[start:end]
-                        nz = np.nonzero(counts[start:end] > 0)[0]
-                        if len(nz):
-                            sums = np.add.reduceat(bits, seg[nz] - lo, axis=0)
-                            packed = ((sums > 0).astype(np.uint64) << bit_idx).sum(
-                                axis=1, dtype=np.uint64
-                            )
-                            out[start + nz] = packed.view(np.int64)
-                    start = end
+                    if hi <= lo:
+                        continue
+                    if end == start + 1 and hi - lo > chunk_tokens:
+                        # one doc wider than the cap: running sign-sum
+                        acc = np.zeros(64, dtype=np.int64)
+                        for blo in range(lo, hi, chunk_tokens):
+                            bhi = min(blo + chunk_tokens, hi)
+                            acc += sign_bits(blo, bhi).sum(axis=0)
+                        out[start] = pack(acc[None, :]).view(np.int64)[0]
+                        continue
+                    bits = sign_bits(lo, hi)
+                    seg = offsets[start:end]
+                    nz = np.nonzero(counts[start:end] > 0)[0]
+                    if len(nz):
+                        sums = np.add.reduceat(bits, seg[nz] - lo, axis=0)
+                        out[start + nz] = pack(sums).view(np.int64)
             yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
 
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
@@ -598,10 +635,11 @@ def simhash_sql(
     explode tokens → 60-bit md5-prefix hash → one groupBy(id) computing the
     per-bit sign sums → pack bits.  One shuffle on id; no Python at all.
     """
+    from bloomfilter_spark.functions.hashing import md5_hash60
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    ex = ex.select("id", h.alias("h"))
+    ex = ex.select("id", md5_hash60(F.col("tok")).alias("h"))
     sums = ex.groupBy("id").agg(
         *[
             F.sum(

@@ -23,12 +23,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from bloomfilter_spark.functions.hashing import md5_hash60
+
 _HASH_SPACE = 1 << 60  # 15 hex chars of md5
 
 
 def _key_hash(key_col: str, seed: int) -> Column:
-    keyed = F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))
-    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+    # NULL keys hash as the empty string: all nulls share one fate per
+    # seed (rate=1.0 keeps every row — a NULL-propagating hash would
+    # silently DROP null-keyed rows at any rate)
+    keyed = F.concat(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+        F.lit(f":{seed}"),
+    )
+    return md5_hash60(keyed)
 
 
 def sample_hash_threshold(rate: float) -> int:

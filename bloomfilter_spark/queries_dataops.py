@@ -245,12 +245,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_SQL = """
+from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
+
+_SIMHASH_SQL = f"""
 WITH toks AS (
   SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
   FROM documents
 ), th AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+  SELECT doc_id, {MD5_HASH60_SQL.format(expr="tok")} AS h FROM toks
 ), bitsums AS (
   SELECT doc_id, b,
          SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
@@ -635,10 +637,13 @@ def _sample_oracle_sql() -> str:
         for v, r in sorted(_SAMPLE_RATES.items())
     )
     default_thr = sample_hash_threshold(0.05)
+    key_expr = (
+        f"COALESCE(CAST(doc_id AS VARCHAR), '') || ':{_SAMPLE_SEED}'"
+    )
     return f"""
 WITH h AS (
   SELECT lang,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SAMPLE_SEED}'), 1, 15))::BIGINT
+         {MD5_HASH60_SQL.format(expr=key_expr)}
            AS kh,
          CASE {cases} ELSE {default_thr} END AS thr
   FROM documents

@@ -507,3 +507,39 @@ def test_deterministic_sample_properties(spark):
     n_false = (out["g"] == "false").sum()
     assert abs(n_true - 5000) < 500
     assert abs(n_false - 500) < 200
+
+
+def test_sampling_null_keys_kept_at_full_rate(spark):
+    """NULL keys hash as the empty string — all share one fate; rate=1.0
+    must keep every row (a NULL-propagating hash would silently drop
+    null-keyed rows)."""
+    from bloomfilter_spark.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id long, k string"
+    )
+    assert deterministic_sample(df, "k", 1.0).count() == 4
+    # determinism: nulls either all in or all out at a given (rate, seed)
+    got = deterministic_sample(df, "k", 0.5, seed=3).toPandas()
+    n_null = got["k"].isna().sum()
+    assert n_null in (0, 2)
+
+
+def test_chunked_folds_tiny_cap_identical(spark):
+    """The working-set caps are execution knobs, not semantics: forcing
+    pathological chunking (cap=7 → every doc is 'oversized' and
+    sub-blocked) must give bit-identical signatures and simhashes."""
+    import bloomfilter_spark.operators.dedup as D
+
+    df, _ = _corpus(spark, n_base=15, n_dups=4)
+    sig_ref = D.minhash_signatures(df, "doc_id", "text").toPandas()
+    sim_ref = D.simhash64(df, "doc_id", "text").toPandas()
+    # explicit params (captured by the closure, so they REACH the python
+    # workers — a module-level monkeypatch would not survive pickling)
+    sig_tiny = D.minhash_signatures(
+        df, "doc_id", "text", chunk_shingles=7
+    ).toPandas()
+    sim_tiny = D.simhash64(df, "doc_id", "text", chunk_tokens=7).toPandas()
+    key = lambda p, c: sorted(zip(p["id"], p[c].map(tuple) if p[c].dtype == object else p[c]))
+    assert key(sig_ref, "sig") == key(sig_tiny, "sig")
+    assert key(sim_ref, "simhash") == key(sim_tiny, "simhash")
