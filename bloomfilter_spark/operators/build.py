@@ -40,6 +40,9 @@ from bloomfilter_spark.sketches.tdigest import TDigest
 # kinds whose pairwise merge is commutative+associative (safe for any tree)
 _COMMUTATIVE_KINDS = {serde.KIND_BLOOM, serde.KIND_HLL, serde.KIND_CMS}
 
+# max blobs any single merge task (or the driver) holds at once
+DEFAULT_MERGE_FANIN = 64
+
 PARTIAL_SCHEMA = (
     "partition_id long, blob binary, rows long, input_bytes long, wall_ms double"
 )
@@ -81,10 +84,14 @@ def partial_build(
         for pdf in batches:
             if weight_col is not None:
                 clean = pdf.dropna(subset=[cols[0]])
-                sk.update(
-                    clean[cols[0]],
-                    weights=clean[weight_col].fillna(0).astype("int64"),
-                )
+                w = clean[weight_col].fillna(0)
+                if (w < 0).any():
+                    # negative weights would break the CMS overestimate-only
+                    # invariant (inner_product / point-query bounds)
+                    raise ValueError(
+                        f"weighted build: negative weight in '{weight_col}'"
+                    )
+                sk.update(clean[cols[0]], weights=w.round().astype("int64"))
             else:
                 for c in cols:
                     _numeric_update(sk, pdf[c])
@@ -105,46 +112,136 @@ def partial_build(
     return pruned.mapInPandas(build_iter, schema=PARTIAL_SCHEMA)
 
 
-def merge_partials(partials: DataFrame, factory: Callable[[], object]):
-    """Combine partial blobs into one sketch.
-
-    Commutative kinds ride a depth-2 treeAggregate (executor-side partial
-    merges, 'treeAggregate-style UDAF' per BASELINE.json:6). Compaction
-    kinds (KLL/t-digest) are collected in canonical partition order and
-    merged with one n-ary merge_all.
-    """
-    probe = factory()
-    n_parts = partials.rdd.getNumPartitions()
-    if probe.KIND in _COMMUTATIVE_KINDS and n_parts > 64:
-        # big fan-in: executor-side partial merges via depth-2 treeAggregate
-        # (safe for any merge order — OR/max/sum are commutative)
-        zero = probe.to_bytes()
-
-        def comb(a_blob: bytes, b_blob: bytes) -> bytes:
-            a = serde.deserialize(a_blob)
-            a.merge(serde.deserialize(b_blob))
-            return a.to_bytes()
-
-        merged_blob = (
-            partials.select("blob")
-            .rdd.map(lambda r: r.blob)
-            .treeAggregate(zero, comb, comb, depth=2)
-        )
-        return serde.deserialize(merged_blob)
-    # small fan-in (single collect beats extra tree stages) and all
-    # compaction kinds: n-ary multiset-deterministic merge on the driver,
-    # sorted by partition_id so the result is independent of task
-    # completion order
-    rows = partials.select("partition_id", "blob").collect()
-    rows.sort(key=lambda r: r.partition_id)
+def _nary_merge(factory: Callable[[], object], sketches: list):
+    """Canonical n-ary combine: fresh accumulator, merge_all when the kind
+    supports it (multiset-deterministic), else sequential merge."""
     acc = factory()
-    sketches = [serde.deserialize(r.blob) for r in rows]
     if hasattr(acc, "merge_all"):
         acc.merge_all(sketches)
     else:
         for s in sketches:
             acc.merge(s)
     return acc
+
+
+def tree_merge_blobs(
+    partials: DataFrame,
+    factory: Callable[[], object],
+    n_parts: int,
+    fanin: int = DEFAULT_MERGE_FANIN,
+):
+    """Deterministic bounded-fan-in reduction of (partition_id, blob) rows —
+    no task or driver ever holds more than `fanin` blobs (at 100 TB /
+    128 MB splits P ≈ 800k partials; a driver collect() of KB-sized KLL
+    blobs would be GBs of driver heap).
+
+    Bucket composition (pid // fanin) and intra-bucket merge order (sorted
+    pid) are pure functions of partition_id, so the result is a pure
+    function of the {(partition_id, blob)} set and the fanin — independent
+    of task scheduling, and reproducible driver-side (tree_merge_replay is
+    the pytest oracle).  For compaction sketches (KLL/t-digest) a tree of
+    n-ary merges is NOT bit-identical to one flat n-ary merge — the
+    intermediate compaction schedules differ; both honor the published
+    rank-error bound — so this canonical tree IS the defined merge semantic
+    at scale.  (Reference analog: Union as the only merge operator for any
+    fan-in topology, /root/reference/bloomfilter.go:196-216.)
+    """
+    from pyspark.sql import functions as F
+
+    level = partials.select("partition_id", "blob")
+    remaining = n_parts
+    while remaining > fanin:
+
+        def make_merge_bucket(step: int):
+            def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("partition_id")
+                merged = _nary_merge(
+                    factory, [serde.deserialize(b) for b in pdf["blob"]]
+                )
+                return pd.DataFrame(
+                    {
+                        "partition_id": [int(pdf["partition_id"].min()) // step],
+                        "blob": [merged.to_bytes()],
+                    }
+                )
+
+            return merge_bucket
+
+        level = (
+            level.withColumn(
+                "_bucket", (F.col("partition_id") / fanin).cast("long")
+            )
+            .groupBy("_bucket")
+            .applyInPandas(
+                make_merge_bucket(fanin), schema="partition_id long, blob binary"
+            )
+        )
+        remaining = -(-remaining // fanin)
+
+    rows = level.collect()  # ≤ fanin rows by construction
+    rows = sorted(rows, key=lambda r: r.partition_id)
+    return _nary_merge(factory, [serde.deserialize(r.blob) for r in rows])
+
+
+def tree_merge_replay(
+    pairs: list[tuple[int, bytes]],
+    factory: Callable[[], object],
+    fanin: int = DEFAULT_MERGE_FANIN,
+    n_parts: int | None = None,
+):
+    """Driver-side replay of tree_merge_blobs' canonical tree — the
+    determinism oracle: the distributed result must be bit-identical."""
+    pairs = sorted(pairs)
+    remaining = n_parts if n_parts is not None else len(pairs)
+    while remaining > fanin:
+        buckets: dict[int, list[tuple[int, bytes]]] = {}
+        for pid, blob in pairs:
+            buckets.setdefault(pid // fanin, []).append((pid, blob))
+        nxt = []
+        for grp in buckets.values():
+            grp.sort()
+            merged = _nary_merge(
+                factory, [serde.deserialize(b) for _, b in grp]
+            )
+            nxt.append((grp[0][0] // fanin, merged.to_bytes()))
+        pairs = sorted(nxt)
+        remaining = -(-remaining // fanin)
+    return _nary_merge(factory, [serde.deserialize(b) for _, b in pairs])
+
+
+def merge_partials(partials: DataFrame, factory: Callable[[], object]):
+    """Combine partial blobs into one sketch.
+
+    Commutative kinds (Bloom OR / HLL max / CMS sum) ride a depth-2
+    treeAggregate (executor-side partial merges, 'treeAggregate-style UDAF'
+    per BASELINE.json:6) — safe under any merge order.  Compaction kinds
+    (KLL/t-digest) at large fan-in reduce through the deterministic
+    bounded-fan-in tree (tree_merge_blobs) so no build path ever collects
+    all partial blobs to the driver.  Small fan-ins (≤ DEFAULT_MERGE_FANIN
+    blobs — already driver-sized) merge n-ary in canonical partition order.
+    """
+    probe = factory()
+    n_parts = partials.rdd.getNumPartitions()
+    if n_parts > DEFAULT_MERGE_FANIN:
+        if probe.KIND in _COMMUTATIVE_KINDS:
+            zero = probe.to_bytes()
+
+            def comb(a_blob: bytes, b_blob: bytes) -> bytes:
+                a = serde.deserialize(a_blob)
+                a.merge(serde.deserialize(b_blob))
+                return a.to_bytes()
+
+            merged_blob = (
+                partials.select("blob")
+                .rdd.map(lambda r: r.blob)
+                .treeAggregate(zero, comb, comb, depth=2)
+            )
+            return serde.deserialize(merged_blob)
+        return tree_merge_blobs(partials, factory, n_parts)
+    # small fan-in: single bounded collect beats extra tree stages
+    rows = partials.select("partition_id", "blob").collect()
+    rows.sort(key=lambda r: r.partition_id)
+    return _nary_merge(factory, [serde.deserialize(r.blob) for r in rows])
 
 
 def build_sketch(
@@ -259,6 +356,61 @@ def build_grouped(
         return pd.DataFrame(out)
 
     return partials.groupBy(*key_cols).applyInPandas(merge_group, schema=out_schema)
+
+
+def rollup_grouped(
+    grouped_blobs: DataFrame,
+    key_cols: list[str] | str,
+    factory: Callable[[], object],
+    n_buckets: int = 256,
+    fanin: int = DEFAULT_MERGE_FANIN,
+):
+    """Roll the per-key blobs of build_grouped up into ONE merged sketch —
+    the finer aggregate answers the coarser query without rescanning the
+    base table (hypertable-rollup payoff) — WITHOUT collecting the per-group
+    blobs to the driver (a per-host key at 10^12 docs is ~10^8 groups).
+
+    Stage 1 buckets groups by pmod(xxhash64(key), n_buckets) and merges each
+    bucket's blobs in canonical (key_str, blob) order; stage 2 reduces the
+    bucket sketches through the same deterministic bounded-fan-in tree as
+    merge_partials, with bucket id as the ordering key.  Every stage's
+    grouping and ordering is a pure function of the group keys, so the
+    rollup is a pure function of the {(key, blob)} set + (n_buckets, fanin):
+    bit-identical run-to-run regardless of scheduling.  For commutative
+    sketches (Bloom/HLL/CMS) it is additionally bit-identical to a direct
+    global build; compaction sketches (KLL/t-digest) follow the canonical
+    tree semantic (see tree_merge_blobs) and honor their rank-error bound.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_str = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols]
+    )
+    bucketed = grouped_blobs.select(
+        key_str.alias("__key_str"), "blob"
+    ).withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col("__key_str")), F.lit(n_buckets))
+    )
+
+    def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # (key_str, blob) sort fully canonicalizes even hash-equal keys
+        pdf = pdf.sort_values(["__key_str", "blob"], kind="stable")
+        merged = _nary_merge(
+            factory, [serde.deserialize(b) for b in pdf["blob"]]
+        )
+        return pd.DataFrame(
+            {
+                "partition_id": [int(pdf["__bucket"].iloc[0])],
+                "blob": [merged.to_bytes()],
+            }
+        )
+
+    partials = bucketed.groupBy("__bucket").applyInPandas(
+        merge_bucket, schema="partition_id long, blob binary"
+    )
+    return tree_merge_blobs(partials, factory, n_buckets, fanin=fanin)
 
 
 def grouped_estimates(grouped_blobs: DataFrame, finalize: str = "estimate") -> DataFrame:

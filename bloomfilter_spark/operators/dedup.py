@@ -632,29 +632,51 @@ def simhash_sql(
     pattern of /root/reference/tests/integration/
     bloomfilter_simd_comparison_test.go:280-381).  The murmur3 numpy
     `simhash64` stays the throughput path; this one is pure JVM codegen:
-    explode tokens → 60-bit md5-prefix hash → one groupBy(id) computing the
-    per-bit sign sums → pack bits.  One shuffle on id; no Python at all.
+    explode tokens → 60-bit md5-prefix hash → one groupBy(id) computing
+    packed per-bit one-counts → unpack + majority-vote bits.  One shuffle
+    on id; no Python at all.
+
+    Count packing (r2 VERDICT item 6): the per-bit ±1 sign sum s_j = 2c_j−n
+    (c_j = count of tokens with bit j set, n = token count), so bit j of the
+    simhash is just the majority vote 2c_j > n.  Three 21-bit c_j lanes pack
+    into one BIGINT SUM, shrinking the aggregate from 60 sign-sum buffers to
+    20 packed buffers + n.  Lane width caps a document at 2^21−1 (≈2M)
+    tokens — beyond any web page a cleaning pipeline keeps; larger docs
+    would overflow a lane and must be length-filtered first (the standard
+    pipeline_clean_corpus stage does).
     """
     from bloomfilter_spark.functions.hashing import md5_hash60
+
+    LANES = 3
+    LANE_W = 21
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
     ex = ex.select("id", md5_hash60(F.col("tok")).alias("h"))
-    sums = ex.groupBy("id").agg(
-        *[
-            F.sum(
+    n_aggs = -(-bits // LANES)
+    aggs = []
+    for a in range(n_aggs):
+        term = None
+        for lane in range(LANES):
+            j = a * LANES + lane
+            if j >= bits:
+                break
+            bit = (
                 F.shiftrightunsigned(F.col("h"), j)
                 .bitwiseAND(F.lit(1))
                 .cast("long")
-                * 2
-                - 1
-            ).alias(f"s{j}")
-            for j in range(bits)
-        ]
-    )
+            )
+            t = bit * F.lit(1 << (LANE_W * lane))
+            term = t if term is None else term + t
+        aggs.append(F.sum(term).alias(f"p{a}"))
+    sums = ex.groupBy("id").agg(F.count("*").alias("n_tok"), *aggs)
     packed = None
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        a, lane = divmod(j, LANES)
+        c_j = F.shiftrightunsigned(F.col(f"p{a}"), LANE_W * lane).bitwiseAND(
+            F.lit((1 << LANE_W) - 1)
+        )
+        term = F.when(c_j * 2 > F.col("n_tok"), F.lit(1 << j)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
     return sums.select("id", packed.cast("long").alias("simhash"))
 

@@ -213,7 +213,15 @@ def build_multi_checkpointed(
         if fail_on is not None and fail_on(pid):
             raise RuntimeError(f"injected failure in partition {pid}")
         t0 = time.perf_counter()
-        sks, rows = _fold_partition(batches, names, factories, col_of)
+        nbytes = 0
+
+        def counted(bs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            nonlocal nbytes
+            for pdf in bs:
+                nbytes += int(pdf.memory_usage(deep=False).sum())
+                yield pdf
+
+        sks, rows = _fold_partition(counted(batches), names, factories, col_of)
         wall_ms = (time.perf_counter() - t0) * 1000.0
         payload = pickle.dumps(
             {"rows": rows, "blobs": {n: _pack(sks[n]) for n in names}},
@@ -237,7 +245,7 @@ def build_multi_checkpointed(
             {
                 "partition_id": [pid],
                 "rows": [rows],
-                "input_bytes": [int(payload.__sizeof__())],
+                "input_bytes": [nbytes],
                 "wall_ms": [wall_ms],
                 "resumed": [False],
             }

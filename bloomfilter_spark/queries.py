@@ -309,13 +309,16 @@ def q_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     merging the per-lang grouped sketches (deterministic lang-order n-ary
     merge) — the finer aggregate answers the coarser query without
     touching the base table again, the core mergeability payoff for
-    hypertable-style rollups.  The rolled-up sketch's rank of each exact
-    global quantile must honor the rank-error bound."""
+    hypertable-style rollups.  The per-group blobs are merged through the
+    distributed rollup_grouped tree (bucketed canonical-order merges — the
+    driver never sees the grouped blobs, which at a per-host key would be
+    ~10^8 rows).  The rolled-up sketch's rank of each exact global quantile
+    must honor the rank-error bound."""
+    from bloomfilter_spark.operators.build import rollup_grouped
+
     docs = _t(spark, sf_dir, "documents")
-    per_lang = build_grouped(docs, "lang", "n_chars", kll_factory(k=200)).toPandas()
-    per_lang = per_lang.sort_values("lang")
-    acc = kll_factory(k=200)()
-    acc.merge_all([serde.deserialize(b) for b in per_lang["blob"]])
+    per_lang = build_grouped(docs, "lang", "n_chars", kll_factory(k=200))
+    acc = rollup_grouped(per_lang, "lang", kll_factory(k=200))
     exact = docs.agg(
         F.percentile("n_chars", F.array(*[F.lit(q) for q in _QS])).alias("ex")
     ).first()["ex"]
@@ -564,44 +567,62 @@ def q_quantiles_by_lang_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     length are built through the two-stage salted path (salts=8: a hot lang
     fans out over 8 partial-sketch tasks, stage 2 merges partials in salt
     order), then each sketch's rank of the exact per-lang quantile must sit
-    within its published rank-error bound.  Exact values oracle-checked via
-    per-group quantile_cont; determinism (two salted builds bit-identical)
-    is pytest-pinned in tests/test_spark_build.py."""
+    within its published rank-error bound.  The bound checks run
+    DISTRIBUTED: the grouped blobs are joined to the per-group exact
+    quantiles and finalized inside mapInPandas — the driver never collects a
+    blob, so the same plan serves a per-host key with 10^8 groups.  Exact
+    values oracle-checked via per-group quantile_cont; determinism (two
+    salted builds bit-identical) is pytest-pinned in
+    tests/test_spark_build.py."""
+    import pandas as pd
+
     docs = _t(spark, sf_dir, "documents")
-    kll_g = build_grouped(
-        docs, "lang", "n_chars", kll_factory(k=200), salts=8
-    ).toPandas()
+    kll_g = build_grouped(docs, "lang", "n_chars", kll_factory(k=200), salts=8)
     td_g = build_grouped(
         docs, "lang", "n_chars", tdigest_factory(delta=200), salts=8
-    ).toPandas()
-    kll_by = {r["lang"]: serde.deserialize(r["blob"]) for _, r in kll_g.iterrows()}
-    td_by = {r["lang"]: serde.deserialize(r["blob"]) for _, r in td_g.iterrows()}
-    exact = (
-        docs.groupBy("lang")
-        .agg(F.percentile("n_chars", F.array(*[F.lit(q) for q in _QS])).alias("ex"))
-        .orderBy("lang")
-        .collect()
+    ).select(F.col("lang"), F.col("blob").alias("td_blob"))
+    exact = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.array(*[F.lit(q) for q in _QS])).alias("ex")
     )
-    rows = []
-    for r in exact:
-        lang = r["lang"]
-        kll, td = kll_by[lang], td_by[lang]
-        for i, q in enumerate(_QS):
-            ev = float(r["ex"][i])
-            rows.append(
-                (
-                    lang,
-                    q,
-                    round(ev, 6),
-                    bool(abs(kll.rank(ev) - q) <= kll.rank_error() + 0.015),
-                    bool(abs(td.rank(ev) - q) <= 0.02),
+    joined = (
+        kll_g.select("lang", F.col("blob").alias("kll_blob"))
+        .join(td_g, "lang")
+        .join(exact, "lang")
+    )
+    qs = list(_QS)
+
+    def finalize(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                kll = serde.deserialize(r["kll_blob"])
+                td = serde.deserialize(r["td_blob"])
+                for i, q in enumerate(qs):
+                    ev = float(r["ex"][i])
+                    out.append(
+                        (
+                            r["lang"],
+                            q,
+                            round(ev, 6),
+                            bool(abs(kll.rank(ev) - q) <= kll.rank_error() + 0.015),
+                            bool(abs(td.rank(ev) - q) <= 0.02),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "lang", "q", "exact_value", "kll_ok", "tdigest_ok",
+                    ],
                 )
-            )
-    return spark.createDataFrame(
-        rows,
-        "lang string, q double, exact_value double, "
-        "kll_ok boolean, tdigest_ok boolean",
-    )
+
+    return joined.mapInPandas(
+        finalize,
+        schema=(
+            "lang string, q double, exact_value double, "
+            "kll_ok boolean, tdigest_ok boolean"
+        ),
+    ).orderBy("lang", "q")
 
 
 _QUANTILES_BY_LANG_SQL = """

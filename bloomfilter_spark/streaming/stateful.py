@@ -96,8 +96,13 @@ def streaming_first_seen(
     )
     state_schema = "blob binary"
     key_str = F.col(key_col).cast("string")
+    # nulls get a dedicated shard: xxhash64(NULL) is the seed (never NULL),
+    # so a coalesce fallback would silently bucket them with real keys
     sharded = stream_df.withColumn("__key_str", key_str).withColumn(
-        "__shard", F.coalesce(F.pmod(F.xxhash64(key_str), F.lit(n_shards)), F.lit(-1))
+        "__shard",
+        F.when(key_str.isNull(), F.lit(-1)).otherwise(
+            F.pmod(F.xxhash64(key_str), F.lit(n_shards))
+        ),
     )
 
     def update(key, pdfs, state):
