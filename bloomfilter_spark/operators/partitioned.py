@@ -134,3 +134,115 @@ def sharded_might_contain(
         )
         .applyInPandas(check, schema=schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped + sharded: one sharded filter per tenant (the 10¹²-key ×
+# multi-tenant layout — per-lang / per-customer filters, each itself sharded
+# so one hot tenant never exceeds a single task's memory)
+# ---------------------------------------------------------------------------
+
+
+def bloom_build_sharded_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    fpp: float = 0.01,
+    n_shards: int = 8,
+    seed: int | None = None,
+) -> DataFrame:
+    """(group, shard, blob, n_keys, n_shards) — one Bloom per
+    (tenant, hash-shard).  Rows route by (group, pmod(xxhash64(key),
+    n_shards)); each shard filter is sized from ITS OWN row count at build
+    time (the group sizes are wildly skewed in a multi-tenant table, so a
+    global n/shards sizing would over-allocate cold tenants and blow the
+    FPP of hot ones).  Exactly-one-builder-per-key semantics are unchanged
+    from the flat sharded filter, so zero false negatives and per-shard
+    FPP ≤ configured hold per tenant."""
+    from bloomfilter_spark.functions.hashing import DEFAULT_SEED
+
+    s = DEFAULT_SEED if seed is None else seed
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = BloomFilter.create(max(1024, len(pdf)), fpp, seed=s)
+        sk.update(pdf[col].astype(str))
+        return pd.DataFrame(
+            {
+                "group": [pdf[group_col].iloc[0]],
+                "shard": [int(pdf[_SHARD_COL].iloc[0])],
+                "blob": [sk.to_bytes()],
+                "n_keys": [len(pdf)],
+                "n_shards": [n_shards],
+            }
+        )
+
+    gtype = dict(df.dtypes)[group_col]
+    return (
+        _with_shard(df.select(group_col, col), col, n_shards)
+        .groupBy(group_col, _SHARD_COL)
+        .applyInPandas(
+            build_shard,
+            schema=(
+                f"group {gtype}, shard long, blob binary, "
+                "n_keys long, n_shards long"
+            ),
+        )
+    )
+
+
+def sharded_grouped_might_contain(
+    probe_df: DataFrame,
+    group_col: str,
+    col: str,
+    shards: DataFrame,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """probe_df + boolean `might_contain`, routed by (group, key-hash).
+
+    Cogrouped applyInPandas on the composite (group, shard) key: each task
+    pairs one tenant-shard's probes with that tenant-shard's single blob
+    row.  A probe for a tenant with no filter (or an empty shard) is
+    definitely absent."""
+    head = shards.select("n_shards").first()
+    if head is None:
+        if n_shards is None:
+            raise ValueError(
+                "shard table is empty; pass n_shards explicitly to probe"
+            )
+    else:
+        built_with = int(head["n_shards"])
+        if n_shards is None:
+            n_shards = built_with
+        elif n_shards != built_with:
+            raise ValueError(
+                f"shard table was built with n_shards={built_with}, "
+                f"got n_shards={n_shards}: probes would route to wrong shards"
+            )
+    probes = _with_shard(probe_df, col, n_shards)
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in probe_df.schema
+    )
+    schema = f"{out_fields}, might_contain boolean"
+
+    def check(probe_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        probe_pdf = probe_pdf.drop(columns=[_SHARD_COL])
+        if len(probe_pdf) == 0:
+            probe_pdf["might_contain"] = pd.Series([], dtype=bool)
+            return probe_pdf
+        if len(blob_pdf) == 0:
+            probe_pdf["might_contain"] = False
+            return probe_pdf
+        sk = serde.deserialize(blob_pdf["blob"].iloc[0])
+        probe_pdf["might_contain"] = sk.contains(probe_pdf[col].astype(str))
+        return probe_pdf
+
+    return (
+        probes.groupby(group_col, _SHARD_COL)
+        .cogroup(
+            shards.withColumnRenamed("shard", _SHARD_COL)
+            .withColumnRenamed("group", group_col)
+            .groupby(group_col, _SHARD_COL)
+        )
+        .applyInPandas(check, schema=schema)
+    )

@@ -144,6 +144,80 @@ def q_bloom_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_grouped_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership through the GROUPED sharded filter — the 10¹²-key ×
+    multi-tenant layout (one sharded Bloom per lang, shard filters sized
+    from their own key counts).  Probes route by (lang, hash(key) %
+    n_shards) and meet exactly the tenant-shard that could have inserted
+    them, so the per-tenant invariants are the reference's membership gates
+    verbatim: zero false negatives and FPP ≤ 2× configured, now asserted
+    PER TENANT."""
+    from bloomfilter_spark.operators.partitioned import (
+        bloom_build_sharded_grouped,
+        sharded_grouped_might_contain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    inserted = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", F.col("doc_id").cast("string").alias("key")
+    )
+    shards = bloom_build_sharded_grouped(
+        inserted, "lang", "key", fpp=0.01, n_shards=4
+    )
+    langs = docs.select("lang").distinct()
+    probes = docs.select(
+        "lang",
+        F.col("doc_id").cast("string").alias("key"),
+        (F.col("doc_id") % 2 == 0).alias("is_inserted"),
+    ).unionAll(
+        langs.crossJoin(spark.range(2000)).select(
+            "lang",
+            F.concat(F.lit("neg-"), F.col("id").cast("string")).alias("key"),
+            F.lit(False).alias("is_inserted"),
+        )
+    )
+    checked = sharded_grouped_might_contain(probes, "lang", "key", shards,
+                                            n_shards=4)
+    return (
+        checked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(F.col("is_inserted").cast("long")).alias("inserted"),
+            F.sum(
+                (F.col("is_inserted") & F.col("might_contain")).cast("long")
+            ).alias("found_inserted"),
+            F.sum(
+                (F.col("is_inserted") & ~F.col("might_contain")).cast("long")
+            ).alias("false_negatives"),
+            (
+                F.sum(
+                    (~F.col("is_inserted") & F.col("might_contain")).cast("long")
+                )
+                / F.sum((~F.col("is_inserted")).cast("long"))
+                <= 2 * 0.01
+            ).alias("fp_rate_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+_GROUPED_MEMBERSHIP_SQL = """
+WITH counts AS (
+  SELECT lang,
+         COUNT(*)                                        AS n_docs,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS inserted
+  FROM documents GROUP BY lang
+)
+SELECT lang,
+       CAST(n_docs + 2000 AS BIGINT) AS n_probes,
+       CAST(inserted AS BIGINT)      AS inserted,
+       CAST(inserted AS BIGINT)      AS found_inserted,
+       CAST(0 AS BIGINT)             AS false_negatives,
+       TRUE                          AS fp_rate_ok
+FROM counts ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # HLL distinct counts
 # ---------------------------------------------------------------------------
@@ -666,6 +740,68 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
 """
 
 
+def q_q17_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue, with a sketch CHANGING
+    THE PLAN: the correlated per-part AVG(l_quantity) subquery only matters
+    for parts surviving the brand/size predicate (~2% of part), so lineitem
+    is Bloom-pruned BEFORE the heavy groupBy(l_partkey) aggregate — at
+    100 TB the aggregate's shuffle shrinks by the predicate's selectivity
+    instead of grouping every part.  Bloom false positives only produce
+    extra per-part averages that the final exact broadcast join discards,
+    so the answer is provably identical to the sketch-free plan — which is
+    exactly what the DuckDB oracle runs (plain SQL, no sketch).
+
+    The quantity cut l_quantity < 0.2·AVG(l_quantity) is evaluated in exact
+    decimal cross-multiplied form (qty·5·cnt < sum) so the boundary rows
+    can't flip on engine-specific float summation order."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    sel = part.filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 15)
+    ).select("p_partkey")
+    # sizing from the unfiltered table's metadata count (no extra scan)
+    pre = bloom_semi_join(
+        li, "l_partkey", sel, "p_partkey",
+        n_expected=max(1, part.count()), fpp=0.01,
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    per_part = pre.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"), F.sum(qty).alias("sq")
+    ).withColumnRenamed("l_partkey", "pp_partkey")
+    joined = (
+        pre.join(F.broadcast(sel), pre["l_partkey"] == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pp_partkey"))
+        .filter(qty * F.lit(5) * F.col("cnt") < F.col("sq"))
+    )
+    return joined.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+        F.count("*").alias("n_small_qty_rows"),
+    )
+
+
+_Q17_SQL = """
+WITH sel AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#4' AND p_size <= 15
+), pp AS (
+  SELECT l_partkey AS pp_partkey, COUNT(*) AS cnt,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM sel)
+  GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_small_qty_rows
+FROM lineitem l
+JOIN sel s ON l.l_partkey = s.p_partkey
+JOIN pp   ON l.l_partkey = pp.pp_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * pp.cnt < pp.sq
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup (training-data pipeline op)
 # ---------------------------------------------------------------------------
@@ -937,6 +1073,7 @@ FROM raw ORDER BY n, p
 QUERIES = {
     "bloom_membership": q_bloom_membership,
     "bloom_sharded_membership": q_bloom_sharded_membership,
+    "bloom_grouped_membership": q_bloom_grouped_membership,
     "hll_distinct_doc_id": q_hll_distinct_doc_id,
     "hll_users_by_day": q_hll_users_by_day,
     "hll_users_by_type_salted": q_hll_users_by_type_salted,
@@ -950,6 +1087,7 @@ QUERIES = {
     "tdigest_quantiles_value": q_tdigest_quantiles_value,
     "quantiles_by_lang_salted": q_quantiles_by_lang_salted,
     "bloom_semijoin_orders": q_bloom_semijoin_orders,
+    "q17_bloom_prefilter": q_q17_bloom_prefilter,
     "dedup_exact": q_dedup_exact,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -965,6 +1103,7 @@ QUERIES.update(QUERIES2)
 ORACLES = {
     "bloom_membership": _BLOOM_MEMBERSHIP_SQL,
     "bloom_sharded_membership": _BLOOM_MEMBERSHIP_SQL,
+    "bloom_grouped_membership": _GROUPED_MEMBERSHIP_SQL,
     "hll_distinct_doc_id": _HLL_DOC_SQL,
     "hll_users_by_day": _HLL_DAY_SQL,
     "hll_users_by_type_salted": _HLL_SALTED_SQL,
@@ -978,6 +1117,7 @@ ORACLES = {
     "tdigest_quantiles_value": _TDIGEST_SQL,
     "quantiles_by_lang_salted": _QUANTILES_BY_LANG_SQL,
     "bloom_semijoin_orders": _SEMIJOIN_SQL,
+    "q17_bloom_prefilter": _Q17_SQL,
     "dedup_exact": _DEDUP_SQL,
     "lineitem_pricing_summary": _Q1_SQL,
     "regional_revenue": _REGIONAL_REVENUE_SQL,

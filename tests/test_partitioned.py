@@ -99,3 +99,57 @@ def test_shard_table_parquet_roundtrip(spark, tmp_path):
     assert bool(out[out["inserted"]]["might_contain"].all())  # no false negs
     fp = out[~out["inserted"]]["might_contain"].mean()
     assert fp <= 0.03
+
+
+def test_grouped_sharded_membership_contract(spark):
+    """Multi-tenant layout: per-group sharded filters with skewed tenant
+    sizes.  Zero false negatives and FPP ≤ 2× configured must hold PER
+    tenant; a tenant absent from the build answers definitely-absent; shard
+    filters size from their own key counts (skew-proof sizing)."""
+    from bloomfilter_spark.operators.partitioned import (
+        bloom_build_sharded_grouped,
+        sharded_grouped_might_contain,
+    )
+
+    # skewed tenants: t0 has 16k keys, t1 has 2k, t2 has 200
+    rows = spark.range(18_200).select(
+        F.when(F.col("id") < 16_000, F.lit("t0"))
+        .when(F.col("id") < 18_000, F.lit("t1"))
+        .otherwise(F.lit("t2"))
+        .alias("tenant"),
+        F.concat(F.lit("key-"), F.col("id")).alias("k"),
+        (F.col("id") % 2 == 0).alias("inserted"),
+    )
+    inserted = rows.filter("inserted")
+    shards = bloom_build_sharded_grouped(
+        inserted, "tenant", "k", fpp=0.01, n_shards=4
+    )
+    spdf = shards.toPandas()
+    assert spdf.n_keys.sum() == 9_100
+    assert set(spdf["group"]) == {"t0", "t1", "t2"}
+    # skew-proof sizing: a t0 shard holds ~2000 keys, a t2 shard ~25 — the
+    # t0 blobs must be larger (sized from their own counts, not a global n)
+    by_tenant = spdf.groupby("group")["blob"].apply(
+        lambda s: max(len(bytes(b)) for b in s)
+    )
+    assert by_tenant["t0"] > by_tenant["t2"]
+
+    # probes include a tenant that never built a filter
+    probes = rows.unionAll(
+        spark.range(500).select(
+            F.lit("t-unknown").alias("tenant"),
+            F.concat(F.lit("key-"), F.col("id")).alias("k"),
+            F.lit(False).alias("inserted"),
+        )
+    )
+    checked = sharded_grouped_might_contain(
+        probes, "tenant", "k", shards
+    ).toPandas()
+    assert len(checked) == 18_700
+    for t in ("t0", "t1", "t2"):
+        sub = checked[checked.tenant == t]
+        assert sub[sub.inserted].might_contain.all(), t  # zero FN per tenant
+        neg = sub[~sub.inserted]
+        assert neg.might_contain.mean() <= 2 * 0.01 + 0.01, t
+    unk = checked[checked.tenant == "t-unknown"]
+    assert not unk.might_contain.any()  # no filter → definitely absent
