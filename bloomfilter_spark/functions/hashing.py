@@ -160,6 +160,44 @@ def _murmur_group(
     h2_out[idx] = gh2
 
 
+def murmur3_x64_128_u64(values, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed 8-byte-key fast path (int64/uint64 batches — the reference's
+    AddUint64 byte-collapse, /root/reference/bloomfilter.go:171-174).
+
+    An 8-byte row has zero full 16-byte blocks and a tail whose zero-padded
+    LE load is (k1=value, k2=0); a zero k2 lane mixes to zero, so the whole
+    hash collapses to the k1 tail mix + finalization — no flat buffer, no
+    window gather, no tail zeroing.  Bit-identical to
+    murmur3_x64_128(*bytes_view_of_int64(values)) (pinned in
+    tests/test_hashing.py); ~4× fewer ops than the general path.
+    """
+    v = (
+        np.ascontiguousarray(np.asarray(values))
+        .astype("<u8", copy=False)
+        .view(U64)
+    )
+    n = v.size
+    h1 = np.full(n, U64(seed), dtype=U64)
+    h2 = np.full(n, U64(seed), dtype=U64)
+    if n == 0:
+        return h1, h2
+    with np.errstate(over="ignore"):
+        k1 = v * _C1
+        k1 = _rotl64(k1, 31)
+        k1 *= _C2
+        h1 ^= k1
+        ln = U64(8)
+        h1 ^= ln
+        h2 ^= ln
+        h1 += h2
+        h2 += h1
+        h1 = _fmix64(h1)
+        h2 = _fmix64(h2)
+        h1 += h2
+        h2 += h1
+    return h1, h2
+
+
 # ---------------------------------------------------------------------------
 # Batch input adapters: pandas/Arrow/numpy -> (flat uint8, offsets int64)
 # ---------------------------------------------------------------------------
@@ -264,26 +302,22 @@ def hash_any(values, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
 
     if isinstance(values, pd.Series):
         if pd.api.types.is_integer_dtype(values.dtype):
-            return murmur3_x64_128(*bytes_view_of_int64(values.to_numpy()), seed)
+            return murmur3_x64_128_u64(values.to_numpy(), seed)
         if len(values) and isinstance(values.iloc[0], (bytes, bytearray)):
             return murmur3_x64_128(*bytes_view_of_binary(values), seed)
         return murmur3_x64_128(*bytes_view_of_strings(values), seed)
     if isinstance(values, np.ndarray) and values.dtype.kind in ("i", "u"):
-        return murmur3_x64_128(*bytes_view_of_int64(values), seed)
+        return murmur3_x64_128_u64(values, seed)
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         t = values.type
         if pa.types.is_integer(t):
-            return murmur3_x64_128(
-                *bytes_view_of_int64(values.to_numpy(zero_copy_only=False)), seed
-            )
+            return murmur3_x64_128_u64(values.to_numpy(zero_copy_only=False), seed)
         if pa.types.is_binary(t) or pa.types.is_large_binary(t):
             return murmur3_x64_128(*bytes_view_of_binary(values), seed)
         return murmur3_x64_128(*bytes_view_of_strings(values), seed)
     values = list(values)
     if values and isinstance(values[0], (int, np.integer)):
-        return murmur3_x64_128(
-            *bytes_view_of_int64(np.array(values, dtype=np.uint64)), seed
-        )
+        return murmur3_x64_128_u64(np.array(values, dtype=np.uint64), seed)
     if values and isinstance(values[0], (bytes, bytearray)):
         return murmur3_x64_128(*bytes_view_of_binary(values), seed)
     return murmur3_x64_128(*bytes_view_of_strings(values), seed)

@@ -136,6 +136,7 @@ def build_multi_checkpointed(
     ckpt_dir: str,
     fanin: int | None = None,
     fail_on: Callable[[int], bool] | None = None,
+    input_pin: str | None = None,
 ):
     """`build_multi` with per-partition checkpoint/resume — the north-rule
     resume contract on the path that actually runs at 100 TB (a killed
@@ -153,6 +154,15 @@ def build_multi_checkpointed(
     Returns (name -> merged sketch, lineage DataFrame).  Same caller
     contract as build_sketch_checkpointed: deterministic input partitioning
     across runs, ckpt_dir on shared storage.
+
+    input_pin: opaque identifier of the immutable input version — for an
+    Iceberg source, the snapshot id (sources.tables.current_snapshot_id);
+    for parquet, e.g. the path + file count.  It is recorded in the
+    checkpoint MANIFEST, and a resume whose pin differs is REJECTED — this
+    is what makes the resume contract's "input must not change between
+    runs" requirement enforceable instead of advisory (an Iceberg append
+    between kill and resume would otherwise silently produce a sketch
+    built over a mix of two snapshots).
     """
     import json
     import os
@@ -176,6 +186,7 @@ def build_multi_checkpointed(
     manifest = {
         "cols": cols,
         "n_parts": n_parts,
+        "input_pin": input_pin,
         "sketches": {
             n: [col_of[n], factories[n]().to_bytes()[:64].hex()] for n in names
         },

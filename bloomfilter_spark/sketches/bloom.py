@@ -39,6 +39,10 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 
 BITS_PER_BLOCK = 512  # mirror the reference's cache-line rounding
 
+# filters up to this many bits use the byte-per-bit staging scatter (one
+# byte per bloom bit, 16 MB cap); larger filters scatter-OR directly
+_STAGE_MAX_BITS = 1 << 27
+
 
 def popcount_words(words: np.ndarray) -> int:
     """Population count of a uint64 array (numpy<2 lacks bitwise_count)."""
@@ -49,7 +53,7 @@ def popcount_words(words: np.ndarray) -> int:
 class BloomFilter:
     """Mergeable Bloom filter over a packed uint64 word array."""
 
-    __slots__ = ("m", "k", "seed", "n_added", "words")
+    __slots__ = ("m", "k", "seed", "n_added", "_words", "_stage")
 
     _PARAMS = struct.Struct("<QI4x")  # m u64, k u32, pad
 
@@ -60,7 +64,24 @@ class BloomFilter:
         self.n_added = int(n_added)
         if words is None:
             words = np.zeros(self.m // 64, dtype=U64)
-        self.words = words
+        self._words = words
+        self._stage = None
+
+    @property
+    def words(self) -> np.ndarray:
+        """Canonical packed uint64 bit array (the north star's storage
+        contract).  Folds any pending staged bits in first, so every read
+        path — contains, union, popcount, serde, tests poking .words —
+        always sees the complete filter."""
+        st = self._stage
+        if st is not None:
+            np.bitwise_or(
+                self._words,
+                np.packbits(st, bitorder="little").view(U64),
+                out=self._words,
+            )
+            self._stage = None
+        return self._words
 
     # -- construction -------------------------------------------------------
 
@@ -113,18 +134,35 @@ class BloomFilter:
             return pos
 
     def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        # The vectorized replacement for per-bit CAS (bloomfilter.go:352-383).
+        # (A 2n-division "reduce h1,h2 mod m first" rewrite is NOT
+        # equivalent: positions are defined on the uint64-WRAPPED h1 + i*h2,
+        # per the reference.)
         if len(h1) == 0:
             return
         pos = self._positions(h1, h2)
-        masks = U64(1) << (pos & U64(63))
-        word_idx = (pos >> U64(6)).astype(np.int64)
-        # unbuffered scatter-OR: duplicate-safe (ufunc.at applies every
-        # element), the vectorized replacement for per-bit CAS
-        # (bloomfilter.go:352-383).  Measured 6x faster than the
-        # sort+unique+reduceat formulation it replaces.  (A 2n-division
-        # "reduce h1,h2 mod m first" rewrite is NOT equivalent: positions
-        # are defined on the uint64-WRAPPED h1 + i*h2, per the reference.)
-        np.bitwise_or.at(self.words, word_idx, masks)
+        if self.m <= _STAGE_MAX_BITS:
+            # Byte-per-bit staging: a blind scatter-store (stage[pos] = 1)
+            # is duplicate-safe — every colliding writer stores the same
+            # value — so it takes numpy's fast fancy-assignment path.
+            # bitwise_or.at has no indexed inner loop in numpy 1.26 and
+            # runs ~6× slower per element.  The staging buffer folds back
+            # into the canonical words lazily on first read (words
+            # property): little-endian packbits puts global bit g at bit
+            # (g&63) of word (g>>6), so the final bit pattern is identical
+            # to the direct scatter — merge-order- and batch-boundary-
+            # independent either way.
+            if self._stage is None:
+                self._stage = np.zeros(self.m, dtype=np.uint8)
+            # pos < m < 2^63: reinterpreting as int64 is free, and int64
+            # fancy indexing avoids numpy's slow uint64 path
+            self._stage[pos.view(np.int64).ravel()] = 1
+        else:
+            # giant filters (> 16 MB staging): unbuffered scatter-OR,
+            # duplicate-safe because ufunc.at applies every element
+            masks = (U64(1) << (pos & U64(63))).ravel()
+            word_idx = (pos >> U64(6)).view(np.int64).ravel()
+            np.bitwise_or.at(self._words, word_idx, masks)
         self.n_added += len(h1)
 
     def update(self, values) -> None:
@@ -140,7 +178,7 @@ class BloomFilter:
             return np.zeros(0, dtype=bool)
         pos = self._positions(h1, h2)
         masks = U64(1) << (pos & U64(63))
-        word_idx = (pos >> U64(6)).astype(np.int64)
+        word_idx = (pos >> U64(6)).view(np.int64)
         vals = self.words[word_idx]
         return ((vals & masks) != 0).all(axis=1)
 
@@ -181,7 +219,8 @@ class BloomFilter:
 
     def clear(self) -> None:
         """bloomfilter.go:183-193."""
-        self.words.fill(0)
+        self._stage = None  # staged-but-unpacked bits are cleared too
+        self._words.fill(0)
         self.n_added = 0
 
     def popcount(self) -> int:

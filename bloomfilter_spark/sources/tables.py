@@ -54,3 +54,22 @@ def read_pages(
     if snapshot_id is not None:
         reader = reader.option("snapshot-id", str(snapshot_id))
     return reader.load(source)
+
+
+def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
+    """Current snapshot id of an Iceberg catalog table (None for an empty
+    table).  Pass the result as read_pages(snapshot_id=...) AND as
+    build_multi_checkpointed(input_pin=f"iceberg:{table}@{sid}") so a
+    killed build resumes against the EXACT table version it started from —
+    an append between kill and resume changes the pin and the resume is
+    rejected instead of silently mixing snapshots."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath (see module docstring)"
+        )
+    row = (
+        spark.sql(f"SELECT snapshot_id FROM {table}.snapshots "
+                  "ORDER BY committed_at DESC LIMIT 1")
+        .first()
+    )
+    return int(row["snapshot_id"]) if row is not None else None

@@ -26,11 +26,11 @@ streaming tests pin that.  Compaction sketches (KLL/t-digest) depend on
 the batch slicing (documented; their bounds still hold).
 
 API note: Spark 4's successor API (transformWithStateInPandas +
-StatefulProcessor) was probed and is unusable in this container — its
-driver worker requires google.protobuf, which is not installed
-(STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).  The operators below
-port mechanically to a StatefulProcessor (ValueState blob + event-time
-timer) when that runtime is available.
+StatefulProcessor) requires google.protobuf in the Python runtime, which
+this container lacks (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
+`grouped_sketch_stream_tws` below is the port of the per-key operator to
+that API (ValueState blob), gated behind `tws_available()`; its pytest
+skips when the runtime can't load it.
 """
 
 from __future__ import annotations
@@ -176,6 +176,77 @@ def grouped_sketch_stream(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf="NoTimeout",
+    )
+
+
+def tws_available() -> bool:
+    """True when the transformWithStateInPandas runtime can load: the API
+    ships with Spark 4 but its Python worker speaks protobuf to the state
+    server, so `google.protobuf` must be importable."""
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def grouped_sketch_stream_tws(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+) -> DataFrame:
+    """`grouped_sketch_stream` on the Spark 4 successor API
+    (transformWithStateInPandas + StatefulProcessor): the per-key running
+    sketch lives in a ValueState blob instead of the GroupState tuple.
+    Output contract is identical — (key, rows_total, estimate, blob) per
+    key per trigger, update mode.  Raises when the runtime is unavailable
+    (gate with tws_available(); the pytest skips in that case)."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas runtime unavailable "
+            "(google.protobuf not importable)"
+        )
+    from pyspark.sql.streaming import StatefulProcessor
+
+    key_ddl = stream_df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"`{key_col}` {key_ddl}, rows_total long, estimate double, blob binary"
+    )
+
+    class _SketchProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "sketch", "blob binary, rows long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                blob, n = self._state.get()
+                sk, n = serde.deserialize(bytes(blob)), int(n)
+            else:
+                sk, n = factory(), 0
+            n += _fold_state(sk, rows, value_col)
+            self._state.update((sk.to_bytes(), n))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "rows_total": [n],
+                    "estimate": [_estimate_of(sk)],
+                    "blob": [sk.to_bytes()],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_SketchProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

@@ -150,3 +150,51 @@ def test_incomplete_checkpoint_detected(spark, pages, tmp_path):
     assert bool(lin.loc[2, "resumed"]) is True
     direct = build_sketch(pages, "url", factory)
     assert sk.to_bytes() == direct.to_bytes()
+
+
+def test_input_pin_mismatch_rejected(spark, pages, tmp_path):
+    """The resume contract's 'immutable input' requirement, enforced: a
+    checkpoint dir carries the input pin (e.g. an Iceberg snapshot id) in
+    its MANIFEST, and a resume against a different pin must be rejected
+    instead of silently mixing input versions."""
+    from bloomfilter_spark.operators.pipeline import build_multi_checkpointed
+
+    specs = {"bloom_url": ("url", bloom_factory(2000, 0.01))}
+    ckpt = str(tmp_path / "pin")
+    build_multi_checkpointed(pages, specs, ckpt, input_pin="iceberg:pages@111")
+    # same pin resumes fine
+    build_multi_checkpointed(pages, specs, ckpt, input_pin="iceberg:pages@111")
+    with pytest.raises(ValueError, match="different suite build"):
+        build_multi_checkpointed(
+            pages, specs, ckpt, input_pin="iceberg:pages@222"
+        )
+
+
+def test_iceberg_suite_build_and_resume(spark, tmp_path):
+    """Suite build + snapshot-pinned resume over a real Iceberg table.
+    Skips when the Iceberg runtime jar is absent (this container)."""
+    from bloomfilter_spark.sources.tables import (
+        current_snapshot_id,
+        iceberg_available,
+        read_pages,
+    )
+
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg runtime jar not on the classpath")
+
+    from bloomfilter_spark.operators.pipeline import build_multi_checkpointed
+    from bloomfilter_spark.sources.pages import pages_df
+
+    table = "local.db.bf_pages_test"
+    pages_df(spark, 1000, num_partitions=4).writeTo(table).createOrReplace()
+    sid = current_snapshot_id(spark, table)
+    assert sid is not None
+    df = read_pages(spark, table, snapshot_id=sid)
+    specs = {"bloom_url": ("url", bloom_factory(2000, 0.01))}
+    ckpt = str(tmp_path / "ice")
+    pin = f"iceberg:{table}@{sid}"
+    a, _ = build_multi_checkpointed(df, specs, ckpt, input_pin=pin)
+    # resume (all partials present) with the same snapshot pin
+    b, lineage = build_multi_checkpointed(df, specs, ckpt, input_pin=pin)
+    assert a["bloom_url"].to_bytes() == b["bloom_url"].to_bytes()
+    assert lineage.toPandas()["resumed"].all()

@@ -148,3 +148,28 @@ def test_distribution_uniformity():
     buckets = np.bincount((h1 >> np.uint64(56)).astype(np.int64), minlength=256)
     expected = len(items) / 256
     assert np.all(np.abs(buckets - expected) < expected * 0.2)
+
+
+def test_u64_fast_path_bit_identical_to_general():
+    """murmur3_x64_128_u64 (the int64 hot path) must match the general
+    variable-length path bit-for-bit, including negative values (two's
+    complement bytes) and empty input."""
+    import numpy as np
+
+    from bloomfilter_spark.functions.hashing import (
+        bytes_view_of_int64,
+        murmur3_x64_128,
+        murmur3_x64_128_u64,
+    )
+
+    rng = np.random.default_rng(11)
+    for vals in (
+        rng.integers(-(2**63), 2**63 - 1, size=10_000, dtype=np.int64),
+        np.array([0, 1, -1, 2**63 - 1, -(2**63)], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        rng.integers(0, 2**64, size=1000, dtype=np.uint64),
+    ):
+        for seed in (0, 0x5EED_1EAF, 12345):
+            f1, f2 = murmur3_x64_128_u64(vals, seed)
+            g1, g2 = murmur3_x64_128(*bytes_view_of_int64(vals), seed)
+            assert np.array_equal(f1, g1) and np.array_equal(f2, g2)

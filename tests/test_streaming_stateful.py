@@ -165,3 +165,40 @@ def test_windowed_stream_finalizes_on_watermark(spark, tmp_path):
     assert abs(got[w0]["estimate"] - 3) < 0.2
     # exactly-once: one row per finalized window
     assert len(out) == 2
+
+
+def test_grouped_sketch_stream_tws(spark, staged_events, tmp_path):
+    """The transformWithStateInPandas port must match the
+    applyInPandasWithState operator's final per-key state.  Skips when the
+    runtime can't load the API (google.protobuf absent — this container)."""
+    from bloomfilter_spark.streaming.stateful import (
+        grouped_sketch_stream_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithStateInPandas runtime unavailable "
+            "(google.protobuf not importable)"
+        )
+    fac = hll_factory(precision=12)
+    out = _run(
+        spark,
+        staged_events,
+        lambda s: grouped_sketch_stream_tws(
+            s.select("event_type", "user_id"), "event_type", "user_id", fac
+        ),
+        "grp_sketches_tws",
+        str(tmp_path / "ck_tws"),
+        "update",
+    )
+    final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
+    batch = build_grouped(
+        spark.read.parquet(staged_events), "event_type", "user_id", fac
+    ).toPandas()
+    b_by = batch.set_index("event_type")
+    assert set(final["event_type"]) == set(batch["event_type"])
+    for _, row in final.iterrows():
+        s_stream = serde.deserialize(bytes(row["blob"]))
+        s_batch = serde.deserialize(bytes(b_by.loc[row["event_type"], "blob"]))
+        assert (s_stream.registers == s_batch.registers).all()
