@@ -512,6 +512,75 @@ def _segment_slices(bits: int, n_segments: int) -> list[tuple[int, int]]:
     return out
 
 
+def _multi_index_blocked(
+    sh: DataFrame, bits: int, n_segments: int, r: int
+) -> DataFrame:
+    """(id, simhash, combo, v): each row replicated once per r-segment
+    combination, keyed by the combo's xxhash64 — the pigeonhole multi-index
+    shared by hamming_pairs and simhash_bucket_stats."""
+    from itertools import combinations
+
+    slices = _segment_slices(bits, n_segments)
+    seg_cols = [
+        F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        for start, w in slices
+    ]
+    combos = list(combinations(range(n_segments), r))
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("combo"),
+                F.xxhash64(F.lit(ci), *[seg_cols[j] for j in combo]).alias("h"),
+            )
+            for ci, combo in enumerate(combos)
+        ]
+    )
+    return sh.select("id", "simhash", F.explode(keys).alias("kv")).select(
+        "id",
+        "simhash",
+        F.col("kv.combo").alias("combo"),
+        F.col("kv.h").alias("v"),
+    )
+
+
+def simhash_bucket_stats(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_segments: int | None = None,
+) -> DataFrame:
+    """Candidate-bucket size distribution of the pigeonhole multi-index —
+    the diagnostic for picking the `n_segments` knee at corpus scale.
+    Candidate pairs per bucket grow ~size²/2, so the max/p99.9 bucket size
+    is what the join actually costs; widening n_segments shrinks buckets
+    exponentially at the price of C(n, n-h) replicas per row.  Returns one
+    row: (n_buckets, max_bucket, p999_bucket, candidate_pairs, replicas).
+    """
+    if n_segments is None:
+        n_segments = max_hamming + 1
+    r = n_segments - max_hamming
+    if r < 1:
+        raise ValueError(
+            f"n_segments={n_segments} must exceed max_hamming={max_hamming}"
+        )
+    sizes = (
+        _multi_index_blocked(sh, bits, n_segments, r)
+        .groupBy("combo", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("c").alias("max_bucket"),
+        F.percentile_approx("c", 0.999).alias("p999_bucket"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias(
+            "candidate_pairs"
+        ),
+        F.sum("c").alias("replicas"),
+    )
+
+
 def hamming_pairs(
     sh: DataFrame,
     max_hamming: int = 3,
@@ -535,8 +604,6 @@ def hamming_pairs(
     corpus size.  Candidates are verified with JVM-side bit_count(xor), so
     every setting returns the identical exact pair set.
     """
-    from itertools import combinations
-
     if n_segments is None:
         n_segments = max_hamming + 1
     r = n_segments - max_hamming
@@ -552,32 +619,7 @@ def hamming_pairs(
     # reliable checkpoint() dir; recompute-on-loss is acceptable here
     # because the upstream is deterministic.
     sh = sh.localCheckpoint(eager=False)
-    slices = _segment_slices(bits, n_segments)
-    seg_cols = [
-        F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(
-            F.lit((1 << w) - 1)
-        )
-        for start, w in slices
-    ]
-    combos = list(combinations(range(n_segments), r))
-    keys = F.array(
-        *[
-            F.struct(
-                F.lit(ci).alias("combo"),
-                F.xxhash64(F.lit(ci), *[seg_cols[j] for j in combo]).alias("h"),
-            )
-            for ci, combo in enumerate(combos)
-        ]
-    )
-    blocked = (
-        sh.select("id", "simhash", F.explode(keys).alias("kv"))
-        .select(
-            "id",
-            "simhash",
-            F.col("kv.combo").alias("combo"),
-            F.col("kv.h").alias("v"),
-        )
-    )
+    blocked = _multi_index_blocked(sh, bits, n_segments, r)
     l = blocked.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "combo", "v"
     )

@@ -36,6 +36,7 @@ def _mp_worker(args) -> float:
     t0 = time.perf_counter()
     for i in range(0, n, bs):
         bf.update(keys[i : i + bs])
+    bf.words  # fold the staging buffer — end-state cost belongs in the time
     return time.perf_counter() - t0
 
 
@@ -67,14 +68,14 @@ def main() -> None:
 
     bf = BloomFilter.create(n, 0.01)
     results["bloom add (int64)"] = bench(
-        lambda: [bf.update(b) for b in int_batches], n
+        lambda: ([bf.update(b) for b in int_batches], bf.words), n
     )
     results["bloom contains (int64)"] = bench(
         lambda: [bf.contains(b) for b in int_batches], n
     )
     bf2 = BloomFilter.create(n, 0.01)
     results["bloom add (url str)"] = bench(
-        lambda: [bf2.update(b) for b in str_batches], n
+        lambda: ([bf2.update(b) for b in str_batches], bf2.words), n
     )
     results["bloom contains (url str)"] = bench(
         lambda: [bf2.contains(b) for b in str_batches], n
