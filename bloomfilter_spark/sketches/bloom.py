@@ -40,8 +40,9 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 BITS_PER_BLOCK = 512  # mirror the reference's cache-line rounding
 
 # filters up to this many bits use the byte-per-bit staging scatter (one
-# byte per bloom bit, 16 MB cap); larger filters scatter-OR directly
-_STAGE_MAX_BITS = 1 << 27
+# byte per bloom bit → up to 64 MB of staging per filter, ~7 MB packed);
+# larger filters scatter-OR directly to stay executor-memory-safe
+_STAGE_MAX_BITS = 1 << 26
 
 
 def popcount_words(words: np.ndarray) -> int:
@@ -151,14 +152,15 @@ class BloomFilter:
             # property): little-endian packbits puts global bit g at bit
             # (g&63) of word (g>>6), so the final bit pattern is identical
             # to the direct scatter — merge-order- and batch-boundary-
-            # independent either way.
+            # independent either way.  (~9.6M-bit filter for 1M keys at 1%
+            # → 9.6 MB staging; a partition-private build holds one.)
             if self._stage is None:
                 self._stage = np.zeros(self.m, dtype=np.uint8)
             # pos < m < 2^63: reinterpreting as int64 is free, and int64
             # fancy indexing avoids numpy's slow uint64 path
             self._stage[pos.view(np.int64).ravel()] = 1
         else:
-            # giant filters (> 16 MB staging): unbuffered scatter-OR,
+            # giant filters (> 64 MB staging): unbuffered scatter-OR,
             # duplicate-safe because ufunc.at applies every element
             masks = (U64(1) << (pos & U64(63))).ravel()
             word_idx = (pos >> U64(6)).view(np.int64).ravel()

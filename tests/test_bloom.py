@@ -308,3 +308,24 @@ def test_blob_roundtrip():
 def test_blob_bad_magic():
     with pytest.raises(ValueError, match="bad magic"):
         serde.unpack(b"XXXX" + b"\x00" * 40)
+
+
+def test_staged_and_direct_scatter_bit_identical(monkeypatch):
+    """The byte-per-bit staging path and the >64MB-filter direct ufunc.at
+    path must produce identical bit patterns for the same inserts."""
+    import numpy as np
+
+    from bloomfilter_spark.sketches import bloom as bloom_mod
+
+    keys = np.arange(50_000, dtype=np.int64)
+    a = bloom_mod.BloomFilter.create(60_000, 0.01)
+    for i in range(0, len(keys), 8192):
+        a.update(keys[i : i + 8192])
+
+    monkeypatch.setattr(bloom_mod, "_STAGE_MAX_BITS", 0)
+    b = bloom_mod.BloomFilter.create(60_000, 0.01)
+    for i in range(0, len(keys), 8192):
+        b.update(keys[i : i + 8192])
+    assert b._stage is None  # direct path never staged
+    assert np.array_equal(a.words, b.words)
+    assert a.to_bytes() == b.to_bytes()
