@@ -231,3 +231,40 @@ def test_salted_grouped_hll_on_skewed_hosts(spark):
     for host, blob in a.items():
         est = serde.deserialize(blob).estimate()
         assert abs(est - exact[host]) <= max(2, bound * exact[host]), host
+
+
+def test_salted_grouped_kll_deterministic_at_2m(spark):
+    """r2 VERDICT item 8 — the last determinism surface above fixture
+    size: two salted grouped KLL builds over the 2M-page cached table,
+    with DIFFERENT physical row orders and partitionings, must be
+    bit-identical per group (build_grouped canonicalizes: values sorted
+    within each salt partial, partials merged in salt order)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bloomfilter_spark.operators.build import build_grouped, kll_factory
+    from bloomfilter_spark.sources.pages import ensure_pages
+
+    path = ensure_pages(spark, 2_000_000)
+    base = spark.read.parquet(path).select(
+        "lang", F.length("text").alias("text_len")
+    )
+    fac = kll_factory(k=200)
+    a = (
+        build_grouped(base.repartition(16), "lang", "text_len", fac, salts=8)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    shuffled = base.orderBy(F.rand(seed=42)).repartition(37)
+    b = (
+        build_grouped(shuffled, "lang", "text_len", fac, salts=8)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert list(a["lang"]) == list(b["lang"]) and len(a) > 0
+    for i in range(len(a)):
+        assert bytes(a["blob"][i]) == bytes(b["blob"][i]), a["lang"][i]
+    assert np.array_equal(a["rows"].to_numpy(), b["rows"].to_numpy())
