@@ -38,20 +38,26 @@ def main() -> None:
     from bloomfilter_spark.plans.session import get_spark
     from bloomfilter_spark.sources.pages import ensure_pages
 
+    from pyspark.sql import functions as F
+
     spark = get_spark(app_name="dedup-scale-bench")
     path = ensure_pages(spark, n)
-    pages = spark.read.parquet(path)
+    # the dedup operators key on a LONG id (`id long` partial schemas);
+    # urls map through xxhash64 (collision odds at 2M over 64 bits ~1e-7)
+    pages = spark.read.parquet(path).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    )
     out: dict = {"n_pages": n, "loadavg": os.getloadavg()[0]}
 
     t0 = time.perf_counter()
-    pairs = minhash_dedup_pairs(pages, "url", "text", threshold=0.7).count()
+    pairs = minhash_dedup_pairs(pages, "doc_id", "text", threshold=0.7).count()
     out["minhash_lsh"] = {
         "pairs": pairs,
         "wall_s": round(time.perf_counter() - t0, 1),
     }
 
     t0 = time.perf_counter()
-    sh = simhash64(pages, "url", "text").localCheckpoint(eager=True)
+    sh = simhash64(pages, "doc_id", "text").localCheckpoint(eager=True)
     out["simhash_compute_s"] = round(time.perf_counter() - t0, 1)
 
     for nseg in (4, 8):
