@@ -759,10 +759,13 @@ def q_q17_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = part.filter(
         (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 15)
     ).select("p_partkey")
-    # sizing from the unfiltered table's metadata count (no extra scan)
+    # sizing from the unfiltered table's metadata count (no extra scan);
+    # exact=False: the final inner join to `sel` below already discards
+    # Bloom false positives, so the semi-join's own exact pass would be a
+    # redundant broadcast join in the plan
     pre = bloom_semi_join(
         li, "l_partkey", sel, "p_partkey",
-        n_expected=max(1, part.count()), fpp=0.01,
+        n_expected=max(1, part.count()), fpp=0.01, exact=False,
     )
     qty = F.col("l_quantity").cast("decimal(12,2)")
     per_part = pre.groupBy("l_partkey").agg(
