@@ -186,13 +186,19 @@ def tree_merge_blobs(
 def tree_merge_replay(
     pairs: list[tuple[int, bytes]],
     factory: Callable[[], object],
+    n_parts: int,
     fanin: int = DEFAULT_MERGE_FANIN,
-    n_parts: int | None = None,
 ):
     """Driver-side replay of tree_merge_blobs' canonical tree — the
-    determinism oracle: the distributed result must be bit-identical."""
+    determinism oracle: the distributed result must be bit-identical.
+
+    n_parts is REQUIRED and must equal what the distributed side used
+    (partition count / n_buckets): the tree's round count is driven by
+    that DECLARED width, not the number of non-empty rows — defaulting to
+    len(pairs) would replay a shallower tree whenever ids are sparse
+    (e.g. rollup buckets with few groups) and spuriously mismatch."""
     pairs = sorted(pairs)
-    remaining = n_parts if n_parts is not None else len(pairs)
+    remaining = n_parts
     while remaining > fanin:
         buckets: dict[int, list[tuple[int, bytes]]] = {}
         for pid, blob in pairs:

@@ -720,7 +720,22 @@ def simhash_sql(
         )
         term = F.when(c_j * 2 > F.col("n_tok"), F.lit(1 << j)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
-    return sums.select("id", packed.cast("long").alias("simhash"))
+    # the lane-width cap is ENFORCED, not advisory: a ≥2^21-token document
+    # would carry one lane's count into the next and silently corrupt two
+    # bits — fail loudly instead (length-filter upstream, or use the
+    # unpacked murmur simhash64 path for pathological inputs)
+    guarded = F.when(
+        F.col("n_tok") >= F.lit(1 << LANE_W),
+        F.raise_error(
+            F.format_string(
+                "simhash_sql: document %s has %s tokens >= 2^21 — packed "
+                "lane counters would overflow; length-filter first",
+                F.col("id").cast("string"),
+                F.col("n_tok").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(packed.cast("long"))
+    return sums.select("id", guarded.alias("simhash"))
 
 
 def simhash_dedup_pairs_sql(

@@ -75,44 +75,31 @@ def bloom_build_sharded(
     )
 
 
-def sharded_might_contain(
-    probe_df: DataFrame,
-    col: str,
-    shards: DataFrame,
-    n_shards: int | None = None,
-) -> DataFrame:
-    """probe_df + boolean `might_contain`, via cogrouped applyInPandas.
-
-    Each task sees (probes of shard s, the single blob row of shard s):
-    the filter bytes move once per shard, the probes shuffle once by hash.
-    n_shards is read from the shard table (every build row records it) —
-    passing a mismatched value explicitly is an error, because routing
-    probes with the wrong modulus silently produces false negatives."""
+def _resolve_n_shards(shards: DataFrame, n_shards: int | None) -> int:
+    """Routing modulus for a probe.  When the caller passes n_shards the
+    value is validated LAZILY per task against the blob rows' recorded
+    n_shards (see _make_check) — an eager .first() here would execute the
+    whole (possibly uncached) build lineage once just to read one field,
+    doubling build cost at 10M-key scale.  Only when n_shards is omitted
+    do we pay that job to learn it."""
+    if n_shards is not None:
+        return n_shards
     head = shards.select("n_shards").first()
     if head is None:
         # empty shard table (filter built from an empty DataFrame): the
         # correct answer is "all probes absent", but routing needs a modulus
-        if n_shards is None:
-            raise ValueError(
-                "shard table is empty; pass n_shards explicitly to probe "
-                "(every probe will come back might_contain=False)"
-            )
-        built_with = n_shards
-    else:
-        built_with = int(head["n_shards"])
-    if n_shards is None:
-        n_shards = built_with
-    elif n_shards != built_with:
         raise ValueError(
-            f"shard table was built with n_shards={built_with}, "
-            f"got n_shards={n_shards}: probes would route to wrong shards"
+            "shard table is empty; pass n_shards explicitly to probe "
+            "(every probe will come back might_contain=False)"
         )
-    probes = _with_shard(probe_df, col, n_shards)
+    return int(head["n_shards"])
 
-    out_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in probe_df.schema
-    )
-    schema = f"{out_fields}, might_contain boolean"
+
+def _make_check(col: str, n_shards: int):
+    """Cogrouped probe function shared by the flat and grouped layouts:
+    pairs one shard's probe rows with that shard's single blob row.
+    Routing with the wrong modulus silently produces false negatives, so a
+    blob row whose recorded n_shards disagrees is a hard error."""
 
     def check(probe_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
         probe_pdf = probe_pdf.drop(columns=[_SHARD_COL])
@@ -123,16 +110,46 @@ def sharded_might_contain(
             # no keys were inserted into this shard → definitely absent
             probe_pdf["might_contain"] = False
             return probe_pdf
+        built_with = int(blob_pdf["n_shards"].iloc[0])
+        if built_with != n_shards:
+            raise ValueError(
+                f"shard table was built with n_shards={built_with}, "
+                f"got n_shards={n_shards}: probes would route to wrong shards"
+            )
         sk = serde.deserialize(blob_pdf["blob"].iloc[0])
         probe_pdf["might_contain"] = sk.contains(probe_pdf[col].astype(str))
         return probe_pdf
 
+    return check
+
+
+def _probe_schema(probe_df: DataFrame) -> str:
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in probe_df.schema
+    )
+    return f"{out_fields}, might_contain boolean"
+
+
+def sharded_might_contain(
+    probe_df: DataFrame,
+    col: str,
+    shards: DataFrame,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """probe_df + boolean `might_contain`, via cogrouped applyInPandas.
+
+    Each task sees (probes of shard s, the single blob row of shard s):
+    the filter bytes move once per shard, the probes shuffle once by hash.
+    n_shards defaults to what the shard table records (one lookup job);
+    passing it explicitly skips that job and is validated per task."""
+    n_shards = _resolve_n_shards(shards, n_shards)
+    probes = _with_shard(probe_df, col, n_shards)
     return (
         probes.groupby(_SHARD_COL)
         .cogroup(
             shards.withColumnRenamed("shard", _SHARD_COL).groupby(_SHARD_COL)
         )
-        .applyInPandas(check, schema=schema)
+        .applyInPandas(_make_check(col, n_shards), schema=_probe_schema(probe_df))
     )
 
 
@@ -203,40 +220,8 @@ def sharded_grouped_might_contain(
     pairs one tenant-shard's probes with that tenant-shard's single blob
     row.  A probe for a tenant with no filter (or an empty shard) is
     definitely absent."""
-    head = shards.select("n_shards").first()
-    if head is None:
-        if n_shards is None:
-            raise ValueError(
-                "shard table is empty; pass n_shards explicitly to probe"
-            )
-    else:
-        built_with = int(head["n_shards"])
-        if n_shards is None:
-            n_shards = built_with
-        elif n_shards != built_with:
-            raise ValueError(
-                f"shard table was built with n_shards={built_with}, "
-                f"got n_shards={n_shards}: probes would route to wrong shards"
-            )
+    n_shards = _resolve_n_shards(shards, n_shards)
     probes = _with_shard(probe_df, col, n_shards)
-
-    out_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in probe_df.schema
-    )
-    schema = f"{out_fields}, might_contain boolean"
-
-    def check(probe_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
-        probe_pdf = probe_pdf.drop(columns=[_SHARD_COL])
-        if len(probe_pdf) == 0:
-            probe_pdf["might_contain"] = pd.Series([], dtype=bool)
-            return probe_pdf
-        if len(blob_pdf) == 0:
-            probe_pdf["might_contain"] = False
-            return probe_pdf
-        sk = serde.deserialize(blob_pdf["blob"].iloc[0])
-        probe_pdf["might_contain"] = sk.contains(probe_pdf[col].astype(str))
-        return probe_pdf
-
     return (
         probes.groupby(group_col, _SHARD_COL)
         .cogroup(
@@ -244,5 +229,5 @@ def sharded_grouped_might_contain(
             .withColumnRenamed("group", group_col)
             .groupby(group_col, _SHARD_COL)
         )
-        .applyInPandas(check, schema=schema)
+        .applyInPandas(_make_check(col, n_shards), schema=_probe_schema(probe_df))
     )

@@ -195,6 +195,9 @@ def build_multi_checkpointed(
     if os.path.exists(man_path):
         with open(man_path) as f:
             prev = json.load(f)
+        # a checkpoint written before input_pin existed is pin-less, not
+        # mismatched — don't orphan an in-flight build across the upgrade
+        prev.setdefault("input_pin", None)
         if prev != manifest:
             raise ValueError(
                 "checkpoint dir was written by a different suite build "

@@ -658,10 +658,15 @@ def q_quantiles_by_lang_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = docs.groupBy("lang").agg(
         F.percentile("n_chars", F.array(*[F.lit(q) for q in _QS])).alias("ex")
     )
+    # eqNullSafe: a NULL-lang group is a real group (the oracle's GROUP BY
+    # emits it) — plain equi-joins would silently drop it
+    k = kll_g.select(F.col("lang").alias("k_lang"), F.col("blob").alias("kll_blob"))
     joined = (
-        kll_g.select("lang", F.col("blob").alias("kll_blob"))
-        .join(td_g, "lang")
-        .join(exact, "lang")
+        k.join(td_g, F.col("k_lang").eqNullSafe(td_g["lang"]))
+        .drop("lang")
+        .join(exact, F.col("k_lang").eqNullSafe(exact["lang"]))
+        .drop("lang")
+        .withColumnRenamed("k_lang", "lang")
     )
     qs = list(_QS)
 

@@ -142,6 +142,11 @@ def main() -> None:
     # 2→8 understates what a real 4N-node cluster (4N sockets of
     # bandwidth) would do; both pairs are recorded in BENCH.md.
     fleet_n = int(os.environ.get("EXEC_BENCH_N", "2"))
+    if fleet_n not in (1, 2):
+        # other values silently break the bench: SHARDS//n_jvms drops
+        # shards (throughput overstated) or zeroes out, and >10 JVMs wrap
+        # the 3-core cpusets onto each other
+        raise SystemExit("EXEC_BENCH_N must be 1 (1→4 pair) or 2 (2→8 pair)")
     shard_paths = ensure_shards()
     # pre-build the --py-files zip once; fleet launches reuse it (SKIP_ZIP)
     import zipfile
