@@ -572,6 +572,53 @@ ORDER BY exact_cnt DESC, event_type ASC LIMIT 5
 """
 
 
+def q_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters at HIGH key cardinality (~10k distinct users, vs the
+    5 event types above): the plan shape that matters at 10^8 hosts —
+    partial-agg + one shuffle on the key, top-k via orderBy().limit(k)
+    (TakeOrderedAndProject: per-partition heap, k rows to the driver —
+    never a row_number over an unpartitioned window).  The CMS εN bound is
+    checked for every returned hitter against its exact count."""
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketch(ev, "user_id", cms_factory(epsilon=0.0001, delta=0.001))
+    k = 10
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(k)
+        .toPandas()
+    )
+    bound = float(sk.error_bound())
+    est = sk.query(top["user_id"].astype("int64"))
+    rows = [
+        (
+            i + 1,
+            int(top["user_id"].iloc[i]),
+            int(top["exact_cnt"].iloc[i]),
+            bool(
+                int(top["exact_cnt"].iloc[i])
+                <= int(est[i])
+                <= int(top["exact_cnt"].iloc[i]) + bound + 1
+            ),
+        )
+        for i in range(len(top))
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, user_id long, exact_cnt long, cms_ok boolean"
+    )
+
+
+_HEAVY_HITTERS_USERS_SQL = """
+SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS rank,
+       user_id,
+       COUNT(*) AS exact_cnt,
+       TRUE     AS cms_ok
+FROM events GROUP BY user_id
+ORDER BY exact_cnt DESC, user_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Quantiles: KLL on documents.n_chars, t-digest on events.value
 # ---------------------------------------------------------------------------
@@ -1091,6 +1138,7 @@ QUERIES = {
     "cms_join_size": q_cms_join_size,
     "cms_weighted_lang_chars": q_cms_weighted_lang_chars,
     "heavy_hitters_event_types": q_heavy_hitters_event_types,
+    "heavy_hitters_users": q_heavy_hitters_users,
     "kll_quantiles_n_chars": q_kll_quantiles_n_chars,
     "tdigest_quantiles_value": q_tdigest_quantiles_value,
     "quantiles_by_lang_salted": q_quantiles_by_lang_salted,
@@ -1121,6 +1169,7 @@ ORACLES = {
     "cms_join_size": _CMS_JOIN_SIZE_SQL,
     "cms_weighted_lang_chars": _CMS_WEIGHTED_SQL,
     "heavy_hitters_event_types": _HEAVY_HITTERS_SQL,
+    "heavy_hitters_users": _HEAVY_HITTERS_USERS_SQL,
     "kll_quantiles_n_chars": _KLL_SQL,
     "tdigest_quantiles_value": _TDIGEST_SQL,
     "quantiles_by_lang_salted": _QUANTILES_BY_LANG_SQL,
