@@ -93,12 +93,26 @@ def pages_throughput(spark) -> dict:
     # scan, not a df.count() pre-pass
     suite = build_suite(df, n_expected=n_rows)
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "pages_rows": n_rows,
         "pages_build_sec": round(dt, 3),
         "pages_docs_per_sec": round(n_rows / dt, 1),
         "pages_bloom_fpp_est": round(suite["bloom_url"].estimated_fpp(), 6),
     }
+    # at 200k rows the wall is <1s and fixed-cost dominated; when the 2M
+    # cached table is already materialized, also report the steady-state
+    # rate (never generate here — keep the bench's runtime bounded)
+    from bloomfilter_spark.sources.pages import pages_table_path
+
+    path2m = pages_table_path(2_000_000)
+    if os.path.exists(os.path.join(path2m, "_SUCCESS")):
+        df2 = spark.read.parquet(path2m)
+        t0 = time.perf_counter()
+        build_suite(df2, n_expected=2_000_000)
+        dt2 = time.perf_counter() - t0
+        out["pages2m_build_sec"] = round(dt2, 3)
+        out["pages2m_docs_per_sec"] = round(2_000_000 / dt2, 1)
+    return out
 
 
 if __name__ == "__main__":

@@ -54,7 +54,7 @@ def popcount_words(words: np.ndarray) -> int:
 class BloomFilter:
     """Mergeable Bloom filter over a packed uint64 word array."""
 
-    __slots__ = ("m", "k", "seed", "n_added", "_words", "_stage")
+    __slots__ = ("m", "k", "seed", "n_added", "_words", "_stage", "_scattered")
 
     _PARAMS = struct.Struct("<QI4x")  # m u64, k u32, pad
 
@@ -67,6 +67,7 @@ class BloomFilter:
             words = np.zeros(self.m // 64, dtype=U64)
         self._words = words
         self._stage = None
+        self._scattered = 0  # positions scattered via the direct path
 
     @property
     def words(self) -> np.ndarray:
@@ -142,7 +143,19 @@ class BloomFilter:
         if len(h1) == 0:
             return
         pos = self._positions(h1, h2)
-        if self.m <= _STAGE_MAX_BITS:
+        # Adaptive path choice: staging costs ~2×m bytes of fixed traffic
+        # (zero + packbits + OR) regardless of batch size, so a partition
+        # that only ever scatters a few positions into a large filter (tiny
+        # split, big n_expected) should NOT pay it.  Start on the direct
+        # scatter; allocate the stage once cumulative scatter volume passes
+        # m/32 positions (~where the 7ns/element saving repays the fixed
+        # cost).  Both paths produce identical bits, so the switch point
+        # never changes the result.
+        use_stage = self.m <= _STAGE_MAX_BITS and (
+            self._stage is not None
+            or (self._scattered + pos.size) * 32 >= self.m
+        )
+        if use_stage:
             # Byte-per-bit staging: a blind scatter-store (stage[pos] = 1)
             # is duplicate-safe — every colliding writer stores the same
             # value — so it takes numpy's fast fancy-assignment path.
@@ -160,11 +173,13 @@ class BloomFilter:
             # fancy indexing avoids numpy's slow uint64 path
             self._stage[pos.view(np.int64).ravel()] = 1
         else:
-            # giant filters (> 64 MB staging): unbuffered scatter-OR,
-            # duplicate-safe because ufunc.at applies every element
+            # direct unbuffered scatter-OR (giant filters > 64 MB staging,
+            # or not yet past the staging break-even): duplicate-safe
+            # because ufunc.at applies every element
             masks = (U64(1) << (pos & U64(63))).ravel()
             word_idx = (pos >> U64(6)).view(np.int64).ravel()
             np.bitwise_or.at(self._words, word_idx, masks)
+            self._scattered += pos.size
         self.n_added += len(h1)
 
     def update(self, values) -> None:
@@ -222,6 +237,7 @@ class BloomFilter:
     def clear(self) -> None:
         """bloomfilter.go:183-193."""
         self._stage = None  # staged-but-unpacked bits are cleared too
+        self._scattered = 0
         self._words.fill(0)
         self.n_added = 0
 
