@@ -543,3 +543,21 @@ def test_chunked_folds_tiny_cap_identical(spark):
     key = lambda p, c: sorted(zip(p["id"], p[c].map(tuple) if p[c].dtype == object else p[c]))
     assert key(sig_ref, "sig") == key(sig_tiny, "sig")
     assert key(sim_ref, "simhash") == key(sim_tiny, "simhash")
+
+
+def test_q17_plan_pushdown_and_broadcast(spark):
+    """The Q17-style sketch-accelerated query must keep its scale-critical
+    plan properties: the part predicate reaches the parquet scan
+    (PushedFilters), the tiny filtered part side is broadcast (never
+    shuffled), and there is no shuffle (sort-merge) join anywhere."""
+    from bloomfilter_spark.queries import q_q17_bloom_prefilter
+
+    df = q_q17_bloom_prefilter(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(p_brand,Brand#4)" in plan
+    assert "LessThanOrEqual(p_size,15)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # result sanity: the bloom-prefiltered answer is exact and non-trivial
+    row = df.first()
+    assert row["n_small_qty_rows"] > 0 and row["avg_yearly"] > 0
