@@ -105,7 +105,7 @@ def pages_throughput(spark) -> dict:
     from bloomfilter_spark.sources.pages import pages_table_path
 
     path2m = pages_table_path(2_000_000)
-    if os.path.exists(os.path.join(path2m, "_SUCCESS")):
+    if n_rows != 2_000_000 and os.path.exists(os.path.join(path2m, "_SUCCESS")):
         df2 = spark.read.parquet(path2m)
         t0 = time.perf_counter()
         build_suite(df2, n_expected=2_000_000)

@@ -521,10 +521,17 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
-def q_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter top-k: exact counts (Catalyst partial-agg + one
-    shuffle), CMS point-estimates attached with their εN bound check.
-    Deterministic tie-break (count desc, key asc) matches the SQL oracle.
+def _heavy_hitters(
+    spark: SparkSession,
+    df: DataFrame,
+    key_col: str,
+    key_type: str,
+    k: int,
+    epsilon: float,
+) -> DataFrame:
+    """Shared heavy-hitter top-k body: exact counts (Catalyst partial-agg +
+    one shuffle), CMS point-estimates attached with their εN bound check.
+    Deterministic tie-break (count desc, key asc) matches the SQL oracles.
 
     Top-k finalize is orderBy().limit(k) — TakeOrderedAndProject, a
     per-partition heap + driver merge of k rows — NOT row_number over an
@@ -532,22 +539,24 @@ def q_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the WindowExec "No Partition Defined" scale trap).  The k result rows
     are driver-sized by definition, so the CMS bound check runs driver-side
     on the already-merged sketch (no extra Spark job)."""
-    ev = _t(spark, sf_dir, "events")
-    sk = build_sketch(ev, "event_type", cms_factory(epsilon=0.0005, delta=0.001))
-    k = 5
+    sk = build_sketch(df, key_col, cms_factory(epsilon=epsilon, delta=0.001))
     top = (
-        ev.groupBy("event_type")
+        df.groupBy(key_col)
         .agg(F.count("*").alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), F.col("event_type").asc())
+        .orderBy(F.col("exact_cnt").desc(), F.col(key_col).asc())
         .limit(k)
         .toPandas()
     )
     bound = float(sk.error_bound())
-    est = sk.query(top["event_type"])
+    keys = top[key_col]
+    if key_type == "long":
+        keys = keys.astype("int64")
+    est = sk.query(keys)
+    cast = int if key_type == "long" else str
     rows = [
         (
             i + 1,
-            str(top["event_type"].iloc[i]),
+            cast(top[key_col].iloc[i]),
             int(top["exact_cnt"].iloc[i]),
             bool(
                 int(top["exact_cnt"].iloc[i])
@@ -558,8 +567,16 @@ def q_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(len(top))
     ]
     return spark.createDataFrame(
-        rows, "rank long, event_type string, exact_cnt long, cms_ok boolean"
+        rows,
+        f"rank long, {key_col} {key_type}, exact_cnt long, cms_ok boolean",
     )
+
+
+def q_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter top-5 over the 5 event types (see _heavy_hitters for
+    the plan shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return _heavy_hitters(spark, ev, "event_type", "string", 5, 0.0005)
 
 
 _HEAVY_HITTERS_SQL = """
@@ -573,40 +590,13 @@ ORDER BY exact_cnt DESC, event_type ASC LIMIT 5
 
 
 def q_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters at HIGH key cardinality (~10k distinct users, vs the
-    5 event types above): the plan shape that matters at 10^8 hosts —
-    partial-agg + one shuffle on the key, top-k via orderBy().limit(k)
-    (TakeOrderedAndProject: per-partition heap, k rows to the driver —
-    never a row_number over an unpartitioned window).  The CMS εN bound is
-    checked for every returned hitter against its exact count."""
+    """Heavy hitters at the fixtures' HIGHEST key cardinality (user_id:
+    ~1.5k distinct at sf0.1 — 300× the event_type cardinality; the same
+    plan scales to 10^8 hosts because every stage is key-partitioned):
+    partial-agg + one shuffle on the key, top-k via per-partition heaps
+    (TakeOrderedAndProject), CMS εN bound checked per returned hitter."""
     ev = _t(spark, sf_dir, "events")
-    sk = build_sketch(ev, "user_id", cms_factory(epsilon=0.0001, delta=0.001))
-    k = 10
-    top = (
-        ev.groupBy("user_id")
-        .agg(F.count("*").alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
-        .limit(k)
-        .toPandas()
-    )
-    bound = float(sk.error_bound())
-    est = sk.query(top["user_id"].astype("int64"))
-    rows = [
-        (
-            i + 1,
-            int(top["user_id"].iloc[i]),
-            int(top["exact_cnt"].iloc[i]),
-            bool(
-                int(top["exact_cnt"].iloc[i])
-                <= int(est[i])
-                <= int(top["exact_cnt"].iloc[i]) + bound + 1
-            ),
-        )
-        for i in range(len(top))
-    ]
-    return spark.createDataFrame(
-        rows, "rank long, user_id long, exact_cnt long, cms_ok boolean"
-    )
+    return _heavy_hitters(spark, ev, "user_id", "long", 10, 0.0001)
 
 
 _HEAVY_HITTERS_USERS_SQL = """

@@ -550,14 +550,17 @@ def test_q17_plan_pushdown_and_broadcast(spark):
     plan properties: the part predicate reaches the parquet scan
     (PushedFilters), the tiny filtered part side is broadcast (never
     shuffled), and there is no shuffle (sort-merge) join anywhere."""
+    from tests.conftest import SF_DIR
+
     from bloomfilter_spark.queries import q_q17_bloom_prefilter
 
-    df = q_q17_bloom_prefilter(spark, "/root/testdata/sf0.001")
+    df = q_q17_bloom_prefilter(spark, SF_DIR)
+    # result sanity first — also finalizes the AQE plan, so the assertions
+    # below check what actually RAN, not the pre-execution guess
+    row = df.first()
+    assert row["n_small_qty_rows"] > 0 and row["avg_yearly"] > 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(p_brand,Brand#4)" in plan
     assert "LessThanOrEqual(p_size,15)" in plan
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    # result sanity: the bloom-prefiltered answer is exact and non-trivial
-    row = df.first()
-    assert row["n_small_qty_rows"] > 0 and row["avg_yearly"] > 0
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
