@@ -302,6 +302,14 @@ def build_grouped(
       key. This is map-side-combine semantics expressed as sketches, the
       salted-repartition pattern the north rule names.
 
+    Sizing salts: a stage-1 task holds ONE (key, salt) cell's values
+    (~hot_key_rows/salts × 8 B for numerics), so pick salts ≥
+    hot_key_rows / 10^7 to keep the hottest cell under ~100 MB — e.g. a
+    10^9-row host needs salts≈128.  Cold keys are unaffected (their s
+    partials are tiny).  Commutative sketches give bit-identical results
+    for ANY salts value; compaction sketches are bit-identical run-to-run
+    for a FIXED salts (the value is part of the canonical merge schedule).
+
     Determinism: shuffle FETCH order is not stable across runs, so both the
     rows inside a group and the ≤s partials per key can arrive in any
     order.  Commutative sketches (Bloom/HLL/CMS) don't care; the compaction
@@ -368,7 +376,7 @@ def rollup_grouped(
     grouped_blobs: DataFrame,
     key_cols: list[str] | str,
     factory: Callable[[], object],
-    n_buckets: int = 256,
+    n_buckets: int = 1024,
     fanin: int = DEFAULT_MERGE_FANIN,
 ):
     """Roll the per-key blobs of build_grouped up into ONE merged sketch —
@@ -386,6 +394,13 @@ def rollup_grouped(
     sketches (Bloom/HLL/CMS) it is additionally bit-identical to a direct
     global build; compaction sketches (KLL/t-digest) follow the canonical
     tree semantic (see tree_merge_blobs) and honor their rank-error bound.
+
+    Sizing n_buckets: a stage-1 task holds ONE bucket's blobs in memory
+    (~n_groups/n_buckets × blob bytes), so pick n_buckets ≥ n_groups ×
+    blob_kb / 100_000 to keep a bucket under ~100 MB — the 1024 default
+    covers ~10^7 KB-sized groups; a 10^8-group per-host rollup should pass
+    n_buckets≈16384.  Empty buckets cost nothing; oversizing only adds a
+    cheap extra tree round, so round up.
     """
     from pyspark.sql import functions as F
 
