@@ -58,15 +58,22 @@ def _unpack(blob: bytes):
 
 
 def _fold_partition(
-    batches: Iterator[pd.DataFrame],
+    batches,
     names: list[str],
     factories: dict[str, Callable[[], object]],
     col_of: dict[str, str],
 ) -> tuple[dict[str, object], int]:
     """Fold one partition's Arrow batches into all the suite's sketches.
 
+    Batches are raw `pyarrow.RecordBatch`es (mapInArrow): the hash kernels
+    read the Arrow string/binary buffers zero-copy, so skipping the
+    Arrow→pandas object conversion removes the biggest fixed cost of the
+    string path (~25% of suite-build wall).
+
     Hash sharing: sketches on the same column with the same seed all
     consume one murmur3 pass (update() is just hash_any + add_hashes)."""
+    import numpy as np
+
     from bloomfilter_spark.functions.hashing import hash_any
 
     sks = {n: factories[n]() for n in names}
@@ -74,9 +81,9 @@ def _fold_partition(
     for n in names:
         by_col.setdefault(col_of[n], []).append(sks[n])
     rows = 0
-    for pdf in batches:
+    for rb in batches:
         for c, col_sks in by_col.items():
-            clean = pdf[c].dropna()
+            clean = rb.column(rb.schema.get_field_index(c)).drop_null()
             hash_cache: dict[int, tuple] = {}
             for sk in col_sks:
                 if hasattr(sk, "add_hashes") and hasattr(sk, "seed"):
@@ -85,8 +92,15 @@ def _fold_partition(
                         hash_cache[seed] = hash_any(clean, seed)
                     sk.add_hashes(*hash_cache[seed])
                 else:
-                    _numeric_update(sk, pdf[c])
-        rows += len(pdf)
+                    # KLL/t-digest numeric fold — same value stream as the
+                    # pandas path (drop nulls, cast float64)
+                    sk.update(
+                        np.asarray(
+                            clean.to_numpy(zero_copy_only=False),
+                            dtype="float64",
+                        )
+                    )
+        rows += rb.num_rows
     return sks, rows
 
 
@@ -113,7 +127,9 @@ def build_multi(
     blob_cols = ", ".join(f"`{n}` binary" for n in names)
     schema = f"partition_id long, {blob_cols}, rows long"
 
-    def build_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build_iter(batches):
+        import pyarrow as pa
+
         from pyspark import TaskContext
 
         sks, rows = _fold_partition(batches, names, factories, col_of)
@@ -122,9 +138,9 @@ def build_multi(
         out = {"partition_id": [pid]}
         out.update({n: [_pack(sks[n])] for n in names})
         out["rows"] = [rows]
-        yield pd.DataFrame(out)
+        yield pa.RecordBatch.from_pydict(out)
 
-    partials = pruned.mapInPandas(build_iter, schema=schema)
+    partials = pruned.mapInArrow(build_iter, schema=schema)
     n_parts = pruned.rdd.getNumPartitions()
     par = df.sparkSession.sparkContext.defaultParallelism
     return _merge_tree(partials, schema, names, factories, n_parts, fanin, par)
@@ -206,7 +222,9 @@ def build_multi_checkpointed(
     else:
         _atomic_write(man_path, json.dumps(manifest).encode())
 
-    def build_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build_iter(batches):
+        import pyarrow as pa
+
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -214,7 +232,7 @@ def build_multi_checkpointed(
         blob_path = os.path.join(ckpt_dir, f"partial-{pid:06d}.bin")
         if os.path.exists(blob_path):
             # resume fast-path: input iterator NOT consumed → split not read
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {
                     "partition_id": [pid],
                     "rows": [-1],
@@ -229,11 +247,11 @@ def build_multi_checkpointed(
         t0 = time.perf_counter()
         nbytes = 0
 
-        def counted(bs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def counted(bs):
             nonlocal nbytes
-            for pdf in bs:
-                nbytes += int(pdf.memory_usage(deep=False).sum())
-                yield pdf
+            for rb in bs:
+                nbytes += int(rb.nbytes)
+                yield rb
 
         sks, rows = _fold_partition(counted(batches), names, factories, col_of)
         wall_ms = (time.perf_counter() - t0) * 1000.0
@@ -255,7 +273,7 @@ def build_multi_checkpointed(
                 }
             ).encode(),
         )
-        yield pd.DataFrame(
+        yield pa.RecordBatch.from_pydict(
             {
                 "partition_id": [pid],
                 "rows": [rows],
@@ -266,7 +284,7 @@ def build_multi_checkpointed(
         )
 
     stats_pdf = (
-        pruned.mapInPandas(build_iter, schema=STATS_SCHEMA).toPandas()
+        pruned.mapInArrow(build_iter, schema=STATS_SCHEMA).toPandas()
     )  # runs the job; raises if a task fails
 
     done = [
