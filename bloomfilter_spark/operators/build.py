@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from bloomfilter_spark.sketches import serde
 from bloomfilter_spark.sketches.bloom import BloomFilter
 from bloomfilter_spark.sketches.cms import CountMinSketch
+from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
 from bloomfilter_spark.sketches.hll import HyperLogLog
 from bloomfilter_spark.sketches.kll import KLLSketch
 from bloomfilter_spark.sketches.tdigest import TDigest
@@ -474,6 +475,10 @@ def cms_factory(epsilon: float = 0.0005, delta: float = 0.001, seed=None):
 
 def kll_factory(k: int = 200):
     return lambda: KLLSketch(k=k)
+
+
+def freqitems_factory(capacity: int = 4096):
+    return lambda: FrequentItemsSketch(capacity)
 
 
 def tdigest_factory(delta: int = 200):

@@ -23,6 +23,7 @@ from bloomfilter_spark.operators.build import (
     build_grouped,
     build_sketch,
     cms_factory,
+    freqitems_factory,
     hll_factory,
     kll_factory,
     tdigest_factory,
@@ -609,6 +610,44 @@ ORDER BY exact_cnt DESC, user_id ASC LIMIT 10
 """
 
 
+def q_topk_users_freqitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users read DIRECTLY from a distributed Misra-Gries
+    frequent-items sketch — no exact groupBy anywhere in the answer path
+    (contrast heavy_hitters_users, where the CMS needs the exact top-k as
+    its candidate set; MG surfaces the hitters itself from one scan and
+    8·capacity-ish bytes of state).
+
+    Plan: per-partition MG partials (mapInPandas, per-unique-key folds) →
+    canonical bounded-fan-in merge tree (merge_all = sum-then-prune-once) →
+    driver-side topk() on the single merged summary.  Capacity 4096 ≥
+    distinct users at every test SF, so no prune ever fires, every stored
+    count is exact, and the full-value SQL oracle applies; at 10^12 rows the
+    SAME plan returns ε-heavy hitters (ε = 1/4097) whose reported
+    deduction_bound certifies est ≥ true − bound (Agarwal et al., Mergeable
+    Summaries, PODS 2012 §3).  Tie-break (count desc, key asc) is the
+    sketch's own topk() order, replayed by the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketch(ev, "user_id", freqitems_factory(4096))
+    bound = int(sk.error_bound())
+    rows = [
+        (i + 1, int(k), int(c), bound)
+        for i, (k, c) in enumerate(sk.topk(10))
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, user_id long, est_cnt long, deduction_bound long"
+    )
+
+
+_TOPK_FREQITEMS_SQL = """
+SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS rank,
+       user_id,
+       COUNT(*) AS est_cnt,
+       CAST(0 AS BIGINT) AS deduction_bound
+FROM events GROUP BY user_id
+ORDER BY est_cnt DESC, user_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Quantiles: KLL on documents.n_chars, t-digest on events.value
 # ---------------------------------------------------------------------------
@@ -1129,6 +1168,7 @@ QUERIES = {
     "cms_weighted_lang_chars": q_cms_weighted_lang_chars,
     "heavy_hitters_event_types": q_heavy_hitters_event_types,
     "heavy_hitters_users": q_heavy_hitters_users,
+    "topk_users_freqitems": q_topk_users_freqitems,
     "kll_quantiles_n_chars": q_kll_quantiles_n_chars,
     "tdigest_quantiles_value": q_tdigest_quantiles_value,
     "quantiles_by_lang_salted": q_quantiles_by_lang_salted,
@@ -1160,6 +1200,7 @@ ORACLES = {
     "cms_weighted_lang_chars": _CMS_WEIGHTED_SQL,
     "heavy_hitters_event_types": _HEAVY_HITTERS_SQL,
     "heavy_hitters_users": _HEAVY_HITTERS_USERS_SQL,
+    "topk_users_freqitems": _TOPK_FREQITEMS_SQL,
     "kll_quantiles_n_chars": _KLL_SQL,
     "tdigest_quantiles_value": _TDIGEST_SQL,
     "quantiles_by_lang_salted": _QUANTILES_BY_LANG_SQL,

@@ -26,6 +26,7 @@ KIND_HLL = 2
 KIND_CMS = 3
 KIND_KLL = 4
 KIND_TDIGEST = 5
+KIND_FREQ = 6
 
 _HEADER = struct.Struct("<4sBBHQQI")  # magic, version, kind, flags, seed, n_added, param_len
 

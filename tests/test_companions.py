@@ -402,3 +402,116 @@ class TestCMSInnerProduct:
         b = CountMinSketch.create(epsilon=0.01, delta=0.001)
         with pytest.raises(ValueError, match="same dimensions"):
             a.inner_product(b)
+
+
+class TestFrequentItems:
+    """Misra-Gries frequent-items sketch: underestimate-only, merged
+    deduction bound (Agarwal et al. PODS 2012 §3), ε-heavy completeness,
+    exactness below capacity, canonical serde."""
+
+    def _zipf(self, seed=7, n=200_000):
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        d = rng.zipf(1.3, n)
+        return pd.Series(d[d < 100_000])
+
+    def test_exact_below_capacity(self):
+        from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
+
+        s = self._zipf()
+        sk = FrequentItemsSketch(200_000)
+        sk.update(s)
+        vc = s.value_counts()
+        assert sk.error_bound() == 0
+        assert all(sk.estimate(k) == c for k, c in vc.items())
+        # topk replays (count desc, key asc)
+        top = sk.topk(10)
+        want = sorted(((int(k), int(c)) for k, c in vc.items()), key=lambda t: (-t[1], t[0]))[:10]
+        assert top == want
+
+    def test_merged_bound_and_completeness(self):
+        from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
+
+        s = self._zipf()
+        parts = np.array_split(s, 16)
+        partials = []
+        for p in parts:
+            x = FrequentItemsSketch(64)
+            x.update(p)
+            partials.append(x)
+        m = FrequentItemsSketch(64)
+        m.merge_all(partials)
+        vc = s.value_counts()
+        err = m.error_bound()
+        assert err <= m.total // 65  # ≤ εN, ε = 1/(capacity+1)
+        for k, c in vc.items():
+            est = m.estimate(k)
+            assert est <= c  # underestimate-only
+            assert est >= c - err  # deduction bound survives the merge
+        # completeness: every ε-heavy key holds a counter
+        assert all(m.estimate(k) > 0 for k, c in vc.items() if c > err)
+        # guaranteed_heavy has no false positives by construction
+        for k, est in m.guaranteed_heavy(1000):
+            assert vc[k] > 1000
+
+    def test_merge_all_is_multiset_deterministic(self):
+        from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
+
+        s = self._zipf(seed=11)
+        parts = np.array_split(s, 8)
+        partials = []
+        for p in parts:
+            x = FrequentItemsSketch(32)
+            x.update(p)
+            partials.append(x)
+        a = FrequentItemsSketch(32)
+        a.merge_all(partials)
+        b = FrequentItemsSketch(32)
+        b.merge_all(list(reversed(partials)))
+        assert a == b
+        assert a.to_bytes() == b.to_bytes()  # canonical serialization
+
+    def test_serde_roundtrip_both_key_types(self):
+        import pandas as pd
+        from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
+
+        ints = FrequentItemsSketch(8)
+        ints.update(pd.Series([1, 1, 2, 3, 3, 3]))
+        s2 = serde.deserialize(ints.to_bytes())
+        assert s2 == ints and s2.to_bytes() == ints.to_bytes()
+
+        strs = FrequentItemsSketch(8)
+        strs.update(pd.Series(["héllo", "héllo", "wörld", ""]))
+        s3 = serde.deserialize(strs.to_bytes())
+        assert s3 == strs and s3.estimate("héllo") == 2 and s3.estimate("") == 1
+
+    def test_weighted_update(self):
+        import pandas as pd
+        from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
+
+        sk = FrequentItemsSketch(16)
+        sk.update(pd.Series(["a", "b", "a"]), weights=[5, 2, 3])
+        assert sk.estimate("a") == 8 and sk.estimate("b") == 2 and sk.total == 10
+        with pytest.raises(ValueError, match="negative"):
+            sk.update(pd.Series(["c"]), weights=[-1])
+
+    def test_validation(self):
+        import pandas as pd
+        from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
+
+        with pytest.raises(ValueError, match="capacity"):
+            FrequentItemsSketch(0)
+        sk = FrequentItemsSketch(4)
+        sk.update(pd.Series([1, 2]))
+        with pytest.raises(ValueError, match="key type"):
+            sk.update(pd.Series(["a"]))
+        other = FrequentItemsSketch(8)
+        with pytest.raises(ValueError, match="capacity"):
+            sk.merge(other)
+        with pytest.raises(ValueError, match="non-integral float"):
+            FrequentItemsSketch(4).update(pd.Series([1.5]))
+        # integral floats (nullable-int64 parquet surface) are accepted as ints
+        ok = FrequentItemsSketch(4)
+        ok.update(pd.Series([1.0, 2.0, 1.0]))
+        assert ok.estimate(1) == 2

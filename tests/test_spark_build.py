@@ -298,3 +298,51 @@ def test_rollup_grouped_10k_groups(spark):
         base.select(F.col("v").cast("long").alias("k")), "k", hf
     )
     assert np.array_equal(rolled.registers, direct.registers)
+
+
+def test_freqitems_distributed_tree_merge(spark):
+    """Misra-Gries through the full distributed path at 256 partitions
+    (> fanin → canonical tree): bit-identical to the driver replay,
+    deterministic run-to-run, underestimate + merged deduction bound +
+    ε-heavy completeness vs exact counts, and exact below capacity."""
+    from bloomfilter_spark.operators.build import (
+        freqitems_factory,
+        tree_merge_replay,
+    )
+
+    # zipf-ish skew from a deterministic expression: key = floor(1e6 / (id%997+1))
+    n = 150_000
+    df = spark.range(n).select(
+        (F.lit(1_000_000) / (F.col("id") % 997 + 1)).cast("long").alias("k")
+    ).repartition(256)
+    factory = freqitems_factory(64)
+    partials = partial_build(df, "k", factory)
+    pairs = [
+        (int(r.partition_id), bytes(r.blob))
+        for r in partials.select("partition_id", "blob").collect()
+    ]
+    assert len(pairs) == 256
+    dist = merge_partials(partials, factory)
+    replay = tree_merge_replay(pairs, factory, n_parts=256)
+    assert dist.to_bytes() == replay.to_bytes()
+    dist2 = merge_partials(partial_build(df, "k", factory), factory)
+    assert dist.to_bytes() == dist2.to_bytes()
+
+    ids = np.arange(n, dtype=np.int64)
+    keys = (1_000_000 // (ids % 997 + 1)).astype(np.int64)
+    import pandas as pd
+
+    vc = pd.Series(keys).value_counts()
+    err = dist.error_bound()
+    assert 0 < err <= dist.total // 65
+    for k, c in vc.items():
+        est = dist.estimate(int(k))
+        assert est <= c
+        assert est >= c - err
+    assert all(dist.estimate(int(k)) > 0 for k, c in vc.items() if c > err)
+
+    # capacity ≥ distinct (997 keys) → every count exact through the same path
+    wide = freqitems_factory(2048)
+    exact = merge_partials(partial_build(df, "k", wide), wide)
+    assert exact.error_bound() == 0
+    assert all(exact.estimate(int(k)) == c for k, c in vc.items())
