@@ -2,7 +2,8 @@
 
 At 100 TB the scan dominates: reading the table once per sketch would be a
 5-7× waste.  This pipeline folds ALL the suite's sketches (Bloom over url,
-HLL over url/host, CMS over host/lang, KLL + t-digest over text length) into
+HLL over url/host, CMS over host/lang, Misra-Gries heavy-hitter hosts,
+KLL + t-digest over text length) into
 a single `mapInPandas` pass — one parquet scan, one JVM→Python Arrow hop —
 then reduces the per-partition partial blobs with a deterministic bounded
 fan-in merge tree:
@@ -34,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from bloomfilter_spark.operators.build import (
     bloom_factory,
     cms_factory,
+    freqitems_factory,
     hll_factory,
     kll_factory,
     tdigest_factory,
@@ -91,6 +93,9 @@ def _fold_partition(
                     if seed not in hash_cache:
                         hash_cache[seed] = hash_any(clean, seed)
                     sk.add_hashes(*hash_cache[seed])
+                elif hasattr(sk, "update_arrow"):
+                    # frequent-items: raw-key fold via pyarrow value_counts
+                    sk.update_arrow(clean)
                 else:
                     # KLL/t-digest numeric fold — same value stream as the
                     # pandas path (drop nulls, cast float64)
@@ -413,6 +418,9 @@ def pages_suite_specs(n_expected: int) -> dict[str, tuple[str, Callable]]:
         "hll_host": ("host", hll_factory(precision=14)),
         "cms_host": ("host", cms_factory(epsilon=0.0005, delta=0.001)),
         "cms_lang": ("lang", cms_factory(epsilon=0.0005, delta=0.001)),
+        # heavy-hitter hosts WITHOUT a candidate set (north star: the CMS
+        # scores hosts you already suspect; MG surfaces them from the scan)
+        "freq_host": ("host", freqitems_factory(4096)),
         "kll_textlen": ("text_len", kll_factory(k=200)),
         "tdigest_textlen": ("text_len", tdigest_factory(delta=200)),
     }

@@ -439,6 +439,25 @@ def q_pages_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_est = suite["hll_url"].estimate()
     fpp = suite["bloom_url"].estimated_fpp()
     bound = 4 * 1.04 / (2**14) ** 0.5
+    # MG heavy-hitter invariant: the suite's frequent-items sketch must
+    # surface the true hottest host with an estimate inside its deduction
+    # bound (underestimate-only) — no candidate set involved
+    top_host = (
+        pages.select(
+            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+        )
+        .groupBy("host")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("host").asc())
+        .first()
+    )
+    fi = suite["freq_host"]
+    fi_est = fi.estimate(top_host["host"])
+    freq_ok = (
+        fi.topk(1)[0][0] == top_host["host"]
+        and fi_est <= int(top_host["count"])
+        and fi_est >= int(top_host["count"]) - fi.error_bound()
+    )
     rows = [
         (
             int(exact["n_pages"]),
@@ -448,12 +467,13 @@ def q_pages_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             bool(abs(suite["kll_textlen"].rank(suite["kll_textlen"].quantile(0.5))
                      - 0.5)
                  <= suite["kll_textlen"].rank_error() + 0.02),
+            bool(freq_ok),
         )
     ]
     return spark.createDataFrame(
         rows,
         "n_pages long, exact_urls long, hll_ok boolean, "
-        "bloom_fpp_ok boolean, kll_ok boolean",
+        "bloom_fpp_ok boolean, kll_ok boolean, freq_ok boolean",
     )
 
 
@@ -464,14 +484,14 @@ def _pages_suite_oracle_sql() -> str:
     return f"""
 SELECT CAST(COUNT(*) AS BIGINT)            AS n_pages,
        CAST(COUNT(DISTINCT url) AS BIGINT) AS exact_urls,
-       TRUE AS hll_ok, TRUE AS bloom_fpp_ok, TRUE AS kll_ok
+       TRUE AS hll_ok, TRUE AS bloom_fpp_ok, TRUE AS kll_ok, TRUE AS freq_ok
 FROM read_parquet('{path}/*.parquet')
 """
 
 
 def q_pages_suite_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end proof of the suite resume contract through the catalog:
-    build the full 8-sketch suite WITH checkpointing, delete two partial
+    build the full 9-sketch suite WITH checkpointing, delete two partial
     blobs (simulated lost work), resume — the resume must rebuild exactly
     those two partitions, skip the rest without re-scanning, and every
     merged sketch must be bit-identical to an uninterrupted build_multi."""

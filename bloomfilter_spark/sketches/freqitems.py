@@ -125,6 +125,32 @@ class FrequentItemsSketch:
         self.n_added += len(keys)
         self._prune()
 
+    def update_arrow(self, arr) -> None:
+        """Arrow-native fold for the one-scan suite (mapInArrow): value
+        counts computed by pyarrow's C++ kernel on the raw (null-free)
+        array — no pandas materialization, per-UNIQUE-key python work only."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if len(arr) == 0:
+            return
+        vc = pc.value_counts(arr)
+        values, counts = vc.field("values"), vc.field("counts")
+        if pa.types.is_integer(values.type):
+            self._resolve_key_type(KEY_INT)
+            keys = (int(k) for k in values.to_numpy(zero_copy_only=False))
+        elif pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
+            self._resolve_key_type(KEY_STR)
+            keys = iter(values.to_pylist())
+        else:
+            raise ValueError(f"freqitems: unsupported arrow key type {values.type}")
+        self._counts.update(
+            dict(zip(keys, (int(c) for c in counts.to_numpy())))
+        )
+        self.total += len(arr)
+        self.n_added += len(arr)
+        self._prune()
+
     def _prune(self) -> None:
         if len(self._counts) <= self.capacity:
             return
