@@ -87,3 +87,47 @@ def test_stream_restart_continues(spark, tmp_path):
     _stream(spark, src, acc2, str(tmp_path / "ckpt"))  # same ckpt → only new file
     batch = build_sketch(spark.read.parquet(src), "url", factory)
     assert acc2.sketch.to_bytes() == batch.to_bytes()
+
+
+def test_stream_freqitems_exact_below_capacity(spark, staged_pages, tmp_path):
+    """Misra-Gries through the streaming fold: with capacity ≥ distinct
+    hosts no prune ever fires, so the streamed summary must carry the EXACT
+    per-host counts of the full input — order of micro-batches irrelevant.
+    A capacity-16 accumulator over the same stream must still honor the
+    deduction bound (underestimate-only, ≤ εN) batch-boundaries or not."""
+    from bloomfilter_spark.operators.build import freqitems_factory
+
+    pages = spark.read.parquet(staged_pages)
+    hosts = pages.select(
+        F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+    )
+    src2 = str(tmp_path / "hosts_src")
+    # re-stage as 3 single-file batches (pmod: % keeps sign and would DROP
+    # negative-hash rows — the exact side below reads what was staged)
+    for i in range(3):
+        hosts.filter(F.pmod(F.xxhash64("host"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(src2)
+    staged = spark.read.parquet(src2)
+
+    acc = StreamingSketchAccumulator(
+        "host", freqitems_factory(4096), str(tmp_path / "fi_state")
+    )
+    _stream(spark, src2, acc, str(tmp_path / "fi_ckpt"))
+    exact = {
+        r["host"]: r["cnt"]
+        for r in staged.groupBy("host").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert acc.sketch.error_bound() == 0
+    assert len(exact) <= 4096
+    assert all(acc.sketch.estimate(h) == c for h, c in exact.items())
+
+    tight = StreamingSketchAccumulator(
+        "host", freqitems_factory(16), str(tmp_path / "fi16_state")
+    )
+    _stream(spark, src2, tight, str(tmp_path / "fi16_ckpt"))
+    err = tight.sketch.error_bound()
+    assert err <= tight.sketch.total // 17
+    for h, c in exact.items():
+        est = tight.sketch.estimate(h)
+        assert est <= c and est >= c - err
