@@ -346,3 +346,57 @@ def test_freqitems_distributed_tree_merge(spark):
     exact = merge_partials(partial_build(df, "k", wide), wide)
     assert exact.error_bound() == 0
     assert all(exact.estimate(int(k)) == c for k, c in vc.items())
+
+
+def test_freqitems_grouped_salted(spark):
+    """Per-lang frequent hosts via build_grouped: with capacity ≥ distinct
+    hosts per lang, the salted two-stage build must agree bit-for-bit with
+    the unsalted path AND with exact counts (no prune ⇒ exact ⇒ canonical
+    blobs equal); a tight capacity must stay within the deduction bound
+    per group and be run-to-run deterministic for fixed salts."""
+    from bloomfilter_spark.operators.build import build_grouped, freqitems_factory
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 3).cast("string").alias("lang"),
+        F.concat(
+            F.lit("site"),
+            ((F.col("id") * 2654435761) % 300).cast("string"),
+        ).alias("host"),
+    )
+    wide = freqitems_factory(1024)
+    unsalted = build_grouped(df, "lang", "host", wide).toPandas()
+    salted = build_grouped(df, "lang", "host", wide, salts=4).toPandas()
+    a = unsalted.set_index("lang").blob.map(bytes)
+    b = salted.set_index("lang").blob.map(bytes)
+    assert set(a.index) == set(b.index) == {"0", "1", "2"}
+    for lang in a.index:
+        assert a[lang] == b[lang]
+        sk = serde.deserialize(a[lang])
+        exact = (
+            df.filter(F.col("lang") == lang)
+            .groupBy("host")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        assert sk.error_bound() == 0
+        assert all(sk.estimate(r["host"]) == r["c"] for r in exact)
+
+    tight = freqitems_factory(16)
+    run1 = build_grouped(df, "lang", "host", tight, salts=4).toPandas()
+    run2 = build_grouped(df, "lang", "host", tight, salts=4).toPandas()
+    b1 = run1.set_index("lang").blob.map(bytes)
+    b2 = run2.set_index("lang").blob.map(bytes)
+    for lang in b1.index:
+        assert b1[lang] == b2[lang]  # fixed salts ⇒ bit-identical
+        sk = serde.deserialize(b1[lang])
+        err = sk.error_bound()
+        assert 0 < err <= sk.total // 17
+        exact = (
+            df.filter(F.col("lang") == lang)
+            .groupBy("host")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        for r in exact:
+            est = sk.estimate(r["host"])
+            assert est <= r["c"] and est >= r["c"] - err
