@@ -441,11 +441,13 @@ def q_pages_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound = 4 * 1.04 / (2**14) ** 0.5
     # MG heavy-hitter invariant: the suite's frequent-items sketch must
     # surface the true hottest host with an estimate inside its deduction
-    # bound (underestimate-only) — no candidate set involved
+    # bound (underestimate-only) — no candidate set involved.  The exact
+    # side derives host through the SAME expression the suite sketched
+    # (with_page_features), never a private copy of the regex.
+    from bloomfilter_spark.operators.pipeline import with_page_features
+
     top_host = (
-        pages.select(
-            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
-        )
+        with_page_features(pages)
         .groupBy("host")
         .count()
         .orderBy(F.col("count").desc(), F.col("host").asc())
@@ -453,10 +455,15 @@ def q_pages_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fi = suite["freq_host"]
     fi_est = fi.estimate(top_host["host"])
+    err = fi.error_bound()
+    # top-1 identity is only guaranteed while no prune has fired (counts
+    # exact); under pruning near-tied hosts may legitimately reorder, so
+    # the invariant degrades to bound-validity + ε-heavy presence
     freq_ok = (
-        fi.topk(1)[0][0] == top_host["host"]
-        and fi_est <= int(top_host["count"])
-        and fi_est >= int(top_host["count"]) - fi.error_bound()
+        fi_est <= int(top_host["count"])
+        and fi_est >= int(top_host["count"]) - err
+        and (err > 0 or fi.topk(1)[0][0] == top_host["host"])
+        and (err == 0 or fi_est > 0)
     )
     rows = [
         (

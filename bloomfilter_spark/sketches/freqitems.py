@@ -91,19 +91,35 @@ class FrequentItemsSketch:
             return KEY_INT, values.astype("int64")
         if pd.api.types.is_float_dtype(values):
             # a nullable int64 parquet column surfaces in pandas as float64;
-            # accept it iff every (post-dropna) value is integral
+            # accept it iff every (post-dropna) value is integral AND small
+            # enough that the float64 round-trip was lossless — above 2^53
+            # distinct int64 keys collapse silently (e.g. xxhash64-derived
+            # ids), which would break the underestimate-only guarantee
+            f = values.to_numpy(dtype="float64")
+            if np.any(np.abs(f) >= 2.0**53):
+                raise ValueError(
+                    "freqitems: float-surfaced keys >= 2^53 lose precision; "
+                    "cast the column to string (or avoid nulls) upstream"
+                )
             ints = values.astype("int64")
-            if not np.array_equal(
-                ints.to_numpy(dtype="float64"), values.to_numpy(dtype="float64")
-            ):
+            if not np.array_equal(ints.to_numpy(dtype="float64"), f):
                 raise ValueError("freqitems: non-integral float keys are not supported")
             return KEY_INT, ints
         return KEY_STR, values.astype(str)
 
     def update(self, values: pd.Series, weights=None) -> None:
         """Fold a batch: exact per-batch value_counts merged into the
-        summary, then one prune — per-UNIQUE-key work, never per row."""
-        values = pd.Series(values).dropna()
+        summary, then one prune — per-UNIQUE-key work, never per row.
+        Null keys are dropped (with their weights)."""
+        raw = pd.Series(values)
+        if weights is not None:
+            w_all = np.asarray(weights, dtype="int64")
+            if len(w_all) != len(raw):
+                raise ValueError(
+                    f"freqitems: {len(w_all)} weights for {len(raw)} values"
+                )
+        mask = raw.notna().to_numpy()
+        values = raw[mask]
         if len(values) == 0:
             return
         kt, keys = self._coerce(values)
@@ -112,10 +128,11 @@ class FrequentItemsSketch:
             vc = keys.value_counts()
             w_total = len(keys)
         else:
-            w = pd.Series(np.asarray(weights, dtype="int64"), index=keys.index)
+            w = pd.Series(w_all[mask], index=keys.index)
             if (w < 0).any():
                 raise ValueError("freqitems: negative weights are not allowed")
             vc = w.groupby(keys).sum()
+            vc = vc[vc > 0]  # zero-weight keys must not occupy counters
             w_total = int(w.sum())
         if self.key_type == KEY_INT:
             self._counts.update({int(k): int(c) for k, c in vc.items()})
@@ -138,6 +155,10 @@ class FrequentItemsSketch:
         values, counts = vc.field("values"), vc.field("counts")
         if pa.types.is_integer(values.type):
             self._resolve_key_type(KEY_INT)
+            # safe cast raises on uint64 values >= 2^63, which to_bytes'
+            # int64 key layout could not represent (fail at ingest, not
+            # after the whole partition has been folded)
+            values = pc.cast(values, pa.int64(), safe=True)
             keys = (int(k) for k in values.to_numpy(zero_copy_only=False))
         elif pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
             self._resolve_key_type(KEY_STR)

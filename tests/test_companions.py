@@ -515,3 +515,36 @@ class TestFrequentItems:
         ok = FrequentItemsSketch(4)
         ok.update(pd.Series([1.0, 2.0, 1.0]))
         assert ok.estimate(1) == 2
+
+    def test_review_edge_paths(self):
+        """Round-3 review findings: precision-lossy float keys rejected,
+        uint64-overflow rejected at ingest, weighted nulls aligned, zero
+        weights never occupy counters."""
+        import pandas as pd
+        import pyarrow as pa
+        from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
+
+        # float64-surfaced keys >= 2^53 would silently collapse distinct ids
+        with pytest.raises(ValueError, match="2\\^53"):
+            FrequentItemsSketch(4).update(pd.Series([2.0**60 + 0.0, None]).dropna())
+
+        # uint64 >= 2^63 must fail at ingest, not at to_bytes
+        sk = FrequentItemsSketch(4)
+        with pytest.raises(Exception):
+            sk.update_arrow(pa.array([2**63 + 5, 7], type=pa.uint64()))
+        ok = FrequentItemsSketch(4)
+        ok.update_arrow(pa.array([5, 5, 7], type=pa.uint64()))
+        assert ok.estimate(5) == 2 and ok.to_bytes()
+
+        # weights align to pre-dropna positions; null key drops its weight
+        w = FrequentItemsSketch(8)
+        w.update(pd.Series(["a", None, "b"]), weights=[1, 2, 3])
+        assert w.estimate("a") == 1 and w.estimate("b") == 3 and w.total == 4
+        with pytest.raises(ValueError, match="weights for"):
+            w.update(pd.Series(["a"]), weights=[1, 2])
+
+        # zero-weight keys create no phantom counters
+        z = FrequentItemsSketch(8)
+        z.update(pd.Series(["a", "b"]), weights=[5, 0])
+        assert z.topk(5) == [("a", 5)]
+        assert z.total == 5

@@ -122,12 +122,16 @@ def test_stream_freqitems_exact_below_capacity(spark, staged_pages, tmp_path):
     assert len(exact) <= 4096
     assert all(acc.sketch.estimate(h) == c for h, c in exact.items())
 
+    # capacity BELOW the distinct-host count so prunes actually fire in
+    # the streamed folds (the fixture has exactly 16 hosts — 16 would
+    # make this assertion vacuous)
+    assert len(exact) > 8
     tight = StreamingSketchAccumulator(
-        "host", freqitems_factory(16), str(tmp_path / "fi16_state")
+        "host", freqitems_factory(8), str(tmp_path / "fi8_state")
     )
-    _stream(spark, src2, tight, str(tmp_path / "fi16_ckpt"))
+    _stream(spark, src2, tight, str(tmp_path / "fi8_ckpt"))
     err = tight.sketch.error_bound()
-    assert err <= tight.sketch.total // 17
+    assert 0 < err <= tight.sketch.total // 9
     for h, c in exact.items():
         est = tight.sketch.estimate(h)
         assert est <= c and est >= c - err
