@@ -37,9 +37,15 @@ from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
 from bloomfilter_spark.sketches.hll import HyperLogLog
 from bloomfilter_spark.sketches.kll import KLLSketch
 from bloomfilter_spark.sketches.tdigest import TDigest
+from bloomfilter_spark.sketches.theta import ThetaSketch
 
 # kinds whose pairwise merge is commutative+associative (safe for any tree)
-_COMMUTATIVE_KINDS = {serde.KIND_BLOOM, serde.KIND_HLL, serde.KIND_CMS}
+_COMMUTATIVE_KINDS = {
+    serde.KIND_BLOOM,
+    serde.KIND_HLL,
+    serde.KIND_CMS,
+    serde.KIND_THETA,  # pure function of the distinct-hash set
+}
 
 # max blobs any single merge task (or the driver) holds at once
 DEFAULT_MERGE_FANIN = 64
@@ -479,6 +485,13 @@ def kll_factory(k: int = 200):
 
 def freqitems_factory(capacity: int = 4096):
     return lambda: FrequentItemsSketch(capacity)
+
+
+def theta_factory(k: int = 16384, seed=None):
+    from bloomfilter_spark.functions.hashing import DEFAULT_SEED
+
+    s = DEFAULT_SEED if seed is None else seed
+    return lambda: ThetaSketch(k, seed=s)
 
 
 def tdigest_factory(delta: int = 200):

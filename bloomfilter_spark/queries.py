@@ -27,6 +27,7 @@ from bloomfilter_spark.operators.build import (
     hll_factory,
     kll_factory,
     tdigest_factory,
+    theta_factory,
 )
 from bloomfilter_spark.operators.membership import (
     bloom_semi_join,
@@ -376,6 +377,62 @@ SELECT
                                                       AS exact_intersection,
   TRUE AS union_ok,
   TRUE AS intersection_ok
+"""
+
+
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: the answers come FROM THE SKETCHES — union,
+    intersection, AND difference of the click-user / purchase-user sets
+    (contrast hll_set_ops, which can only bound-check an inclusion-exclusion
+    intersection and has no difference at all; each theta set-op result is
+    itself a sketch).  k=16384 ≥ the fixtures' user cardinality at every SF,
+    so every sketch stays in exact mode (θ = 2^64, retained = all distinct
+    key hashes) and the counts are exact — the full-value SQL oracle; at
+    10^12 docs the SAME query returns estimates with RSE ≤ 1/√(k−1) per
+    Dasgupta et al. 2016.  Each side builds in its own filter-pruned scan
+    and merges via the commutative treeAggregate path."""
+    ev = _t(spark, sf_dir, "events")
+    a = build_sketch(
+        ev.filter(F.col("event_type") == "click"), "user_id", theta_factory(16384)
+    )
+    b = build_sketch(
+        ev.filter(F.col("event_type") == "purchase"), "user_id", theta_factory(16384)
+    )
+    assert a.is_exact and b.is_exact  # contract the oracle relies on
+    rows = [
+        (
+            int(round(a.estimate())),
+            int(round(b.estimate())),
+            int(round(a.union(b).estimate())),
+            int(round(a.intersect(b).estimate())),
+            int(round(a.a_not_b(b).estimate())),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "users_click long, users_purchase long, users_union long, "
+        "users_intersect long, users_click_only long",
+    )
+
+
+_THETA_SET_OPS_SQL = """
+SELECT
+  (SELECT COUNT(DISTINCT user_id) FROM events
+    WHERE event_type = 'click')                       AS users_click,
+  (SELECT COUNT(DISTINCT user_id) FROM events
+    WHERE event_type = 'purchase')                    AS users_purchase,
+  (SELECT COUNT(DISTINCT user_id) FROM events
+    WHERE event_type IN ('click', 'purchase'))        AS users_union,
+  (SELECT COUNT(*) FROM
+     (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+                                                      AS users_intersect,
+  (SELECT COUNT(*) FROM
+     (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+                                                      AS users_click_only
 """
 
 
@@ -1162,6 +1219,7 @@ QUERIES = {
     "hll_users_by_day": q_hll_users_by_day,
     "hll_users_by_type_salted": q_hll_users_by_type_salted,
     "hll_set_ops": q_hll_set_ops,
+    "theta_set_ops": q_theta_set_ops,
     "rollup_quantiles": q_rollup_quantiles,
     "cms_event_type_counts": q_cms_event_type_counts,
     "cms_join_size": q_cms_join_size,
@@ -1194,6 +1252,7 @@ ORACLES = {
     "hll_users_by_day": _HLL_DAY_SQL,
     "hll_users_by_type_salted": _HLL_SALTED_SQL,
     "hll_set_ops": _HLL_SET_OPS_SQL,
+    "theta_set_ops": _THETA_SET_OPS_SQL,
     "rollup_quantiles": _ROLLUP_SQL,
     "cms_event_type_counts": _CMS_SQL,
     "cms_join_size": _CMS_JOIN_SIZE_SQL,

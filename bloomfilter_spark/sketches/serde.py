@@ -27,6 +27,7 @@ KIND_CMS = 3
 KIND_KLL = 4
 KIND_TDIGEST = 5
 KIND_FREQ = 6
+KIND_THETA = 7
 
 _HEADER = struct.Struct("<4sBBHQQI")  # magic, version, kind, flags, seed, n_added, param_len
 

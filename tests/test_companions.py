@@ -548,3 +548,84 @@ class TestFrequentItems:
         z.update(pd.Series(["a", "b"]), weights=[5, 0])
         assert z.topk(5) == [("a", 5)]
         assert z.total == 5
+
+
+class TestTheta:
+    """Theta/KMV sketch: exact below k, RSE-bounded above, set algebra,
+    commutative bit-identical merges, canonical serde."""
+
+    def test_exact_mode_and_set_ops(self):
+        import pandas as pd
+        from bloomfilter_spark.sketches.theta import ThetaSketch
+
+        a = ThetaSketch(1024)
+        a.update(pd.Series([f"u{i}" for i in range(300)]))
+        b = ThetaSketch(1024)
+        b.update(pd.Series([f"u{i}" for i in range(200, 400)]))
+        assert a.is_exact and a.estimate() == 300.0 and a.error_bound() == 0.0
+        assert a.union(b).estimate() == 400.0
+        assert a.intersect(b).estimate() == 100.0
+        assert a.a_not_b(b).estimate() == 200.0
+        assert abs(a.jaccard(b) - 0.25) < 1e-12
+        # set-op results are sketches: compose further
+        assert a.intersect(b).a_not_b(a).estimate() == 0.0
+
+    def test_estimate_rse_above_k(self):
+        import pandas as pd
+        from bloomfilter_spark.sketches.theta import ThetaSketch
+
+        sk = ThetaSketch(4096)
+        sk.update(pd.Series(np.arange(1_000_000)))
+        assert not sk.is_exact
+        assert abs(sk.estimate() - 1e6) / 1e6 <= 4 * sk.relative_error
+        assert sk.error_bound() > 0
+
+    def test_merge_commutative_idempotent_bit_identical(self):
+        import pandas as pd
+        from bloomfilter_spark.sketches.theta import ThetaSketch
+
+        x = ThetaSketch(256)
+        x.update(pd.Series(np.arange(10_000)))
+        y = ThetaSketch(256)
+        y.update(pd.Series(np.arange(5_000, 15_000)))
+        xy = x.copy().merge(y)
+        yx = y.copy().merge(x)
+        assert xy.to_bytes() == yx.to_bytes()
+        # idempotent in sketch STATE (θ, retained values); n_added is raw
+        # ingest lineage and legitimately re-counts on a re-merge
+        assert xy.copy().merge(x) == xy
+        est = xy.estimate()
+        assert abs(est - 15_000) / 15_000 <= 4 * xy.relative_error
+
+    def test_intersection_above_k_within_band(self):
+        import pandas as pd
+        from bloomfilter_spark.sketches.theta import ThetaSketch
+
+        a = ThetaSketch(4096)
+        a.update(pd.Series(np.arange(500_000)))
+        b = ThetaSketch(4096)
+        b.update(pd.Series(np.arange(250_000, 750_000)))
+        est = a.intersect(b).estimate()
+        # intersection RSE grows ~1/√(J·k) (Dasgupta et al. §4); J = 1/3
+        assert abs(est - 250_000) / 250_000 <= 6 / (a.k / 3) ** 0.5
+
+    def test_validation_and_serde(self):
+        import pandas as pd
+        from bloomfilter_spark.sketches.theta import ThetaSketch
+
+        with pytest.raises(ValueError, match="k must be"):
+            ThetaSketch(8)
+        a = ThetaSketch(64, seed=1)
+        b = ThetaSketch(64, seed=2)
+        with pytest.raises(ValueError, match="same k and seed"):
+            a.merge(b)
+        with pytest.raises(ValueError, match="same k and seed"):
+            a.intersect(ThetaSketch(128, seed=1))
+        a.update(pd.Series(["x", "y", "x"]))
+        rt = serde.deserialize(a.to_bytes())
+        assert rt == a and rt.to_bytes() == a.to_bytes()
+        assert rt.estimate() == 2.0
+        empty = ThetaSketch(64)
+        assert serde.deserialize(empty.to_bytes()) == empty
+        assert empty.estimate() == 0.0
+        assert empty.union(empty).estimate() == 0.0

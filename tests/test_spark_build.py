@@ -400,3 +400,31 @@ def test_freqitems_grouped_salted(spark):
         for r in exact:
             est = sk.estimate(r["host"])
             assert est <= r["c"] and est >= r["c"] - err
+
+
+def test_theta_distributed_commutative_path(spark, documents, docs_pdf):
+    """Theta rides the commutative treeAggregate path: distributed build
+    == local single-process build, bit-identical, under any partitioning;
+    set ops on two filter-pruned distributed builds are exact below k."""
+    from bloomfilter_spark.operators.build import theta_factory
+
+    factory = theta_factory(16384)
+    local = factory()
+    local.update(docs_pdf["text"])
+    for parts in (1, 16):
+        dist = build_sketch(documents.repartition(parts), "text", factory)
+        assert dist.to_bytes() == local.to_bytes(), f"parts={parts}"
+    assert dist.is_exact
+    assert dist.estimate() == float(docs_pdf["text"].nunique())
+
+    even = build_sketch(
+        documents.filter(F.col("doc_id") % 2 == 0), "doc_id", factory
+    )
+    third = build_sketch(
+        documents.filter(F.col("doc_id") % 3 == 0), "doc_id", factory
+    )
+    ids = docs_pdf["doc_id"]
+    e, t = set(ids[ids % 2 == 0]), set(ids[ids % 3 == 0])
+    assert even.union(third).estimate() == float(len(e | t))
+    assert even.intersect(third).estimate() == float(len(e & t))
+    assert even.a_not_b(third).estimate() == float(len(e - t))
