@@ -428,3 +428,25 @@ def test_theta_distributed_commutative_path(spark, documents, docs_pdf):
     assert even.union(third).estimate() == float(len(e | t))
     assert even.intersect(third).estimate() == float(len(e & t))
     assert even.a_not_b(third).estimate() == float(len(e - t))
+
+
+def test_theta_grouped_rollup_equals_global(spark, documents):
+    """Hypertable-rollup exactness for a commutative sketch: per-lang theta
+    sketches rolled up through rollup_grouped must be bit-identical in
+    STATE to one global build (distinct-set union is order-free)."""
+    from bloomfilter_spark.operators.build import (
+        build_grouped,
+        rollup_grouped,
+        theta_factory,
+    )
+
+    tf = theta_factory(16384)
+    grouped = build_grouped(
+        documents.withColumn("k", F.col("doc_id").cast("string")), "lang", "k", tf
+    )
+    rolled = rollup_grouped(grouped, "lang", tf)
+    direct = build_sketch(
+        documents.withColumn("k", F.col("doc_id").cast("string")), "k", tf
+    )
+    assert rolled == direct  # θ + retained values identical
+    assert rolled.estimate() == direct.estimate() == float(documents.count())

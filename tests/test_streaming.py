@@ -135,3 +135,18 @@ def test_stream_freqitems_exact_below_capacity(spark, staged_pages, tmp_path):
     for h, c in exact.items():
         est = tight.sketch.estimate(h)
         assert est <= c and est >= c - err
+
+
+def test_stream_theta_bit_identical_to_batch(spark, staged_pages, tmp_path):
+    """Theta is commutative ⇒ the streamed fold is bit-identical to a
+    batch build over the same rows (like Bloom), and stays exact below k."""
+    from bloomfilter_spark.operators.build import theta_factory
+
+    factory = theta_factory(16384)
+    acc = StreamingSketchAccumulator("url", factory, str(tmp_path / "th_state"))
+    _stream(spark, staged_pages, acc, str(tmp_path / "th_ckpt"))
+    batch = build_sketch(spark.read.parquet(staged_pages), "url", factory)
+    assert acc.sketch.to_bytes() == batch.to_bytes()
+    assert acc.sketch.is_exact
+    exact = spark.read.parquet(staged_pages).select("url").distinct().count()
+    assert acc.sketch.estimate() == float(exact)
