@@ -45,6 +45,7 @@ _COMMUTATIVE_KINDS = {
     serde.KIND_HLL,
     serde.KIND_CMS,
     serde.KIND_THETA,  # pure function of the distinct-hash set
+    serde.KIND_CBF,  # element-wise signed counter sum
 }
 
 # max blobs any single merge task (or the driver) holds at once
@@ -277,6 +278,62 @@ def build_sketch(
     )
 
 
+def build_sketch_with_deletes(
+    inserts_df: DataFrame,
+    deletes_df: DataFrame,
+    key_col: str,
+    factory: Callable[[], object],
+):
+    """Distributed counting-Bloom build with deletes (the one operation the
+    plain bitset can never do).  Inserts and deletes are unioned into one
+    signed-delta stream, so a delete needs NO co-location with its insert:
+    a partition folding only the delete emits a legal negative delta
+    partial, and the commutative counter-sum merge restores non-negativity
+    globally (deletes ⊆ inserts contract; violations surface as
+    negative_cells() > 0 on the merged filter).  One scan over each input,
+    one treeAggregate — identical topology to build_sketch."""
+    from pyspark.sql import functions as F
+
+    from bloomfilter_spark.plans.skew import ensure_parallelism
+
+    signed = (
+        inserts_df.select(F.col(key_col).alias("__key"), F.lit(1).alias("__delta"))
+        .unionAll(
+            deletes_df.select(
+                F.col(key_col).alias("__key"), F.lit(-1).alias("__delta")
+            )
+        )
+    )
+    signed = ensure_parallelism(signed)
+
+    def build_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        t0 = time.perf_counter()
+        sk = factory()
+        rows = 0
+        nbytes = 0
+        for pdf in batches:
+            clean = pdf.dropna(subset=["__key"])
+            sk.update_signed(clean["__key"], clean["__delta"].to_numpy())
+            rows += len(pdf)
+            nbytes += int(pdf.memory_usage(deep=False).sum())
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "blob": [sk.to_bytes()],
+                "rows": [rows],
+                "input_bytes": [nbytes],
+                "wall_ms": [(time.perf_counter() - t0) * 1000.0],
+            }
+        )
+
+    partials = signed.mapInPandas(build_iter, schema=PARTIAL_SCHEMA)
+    return merge_partials(partials, factory)
+
+
 def build_sketch_weighted(
     df: DataFrame,
     key_col: str,
@@ -461,6 +518,15 @@ def bloom_factory(n: int, p: float = 0.01, seed=None):
 
     s = DEFAULT_SEED if seed is None else seed
     proto = BloomFilter.create(n, p, seed=s)
+    return lambda: proto.empty_like()
+
+
+def cbf_factory(n: int, p: float = 0.01, seed=None):
+    from bloomfilter_spark.functions.hashing import DEFAULT_SEED
+    from bloomfilter_spark.sketches.cbf import CountingBloomFilter
+
+    s = DEFAULT_SEED if seed is None else seed
+    proto = CountingBloomFilter.create(n, p, seed=s)
     return lambda: proto.empty_like()
 
 

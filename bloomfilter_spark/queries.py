@@ -436,6 +436,94 @@ SELECT
 """
 
 
+def q_cbf_delete_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting-Bloom DELETE semantics — the one operation the reference's
+    bitset can never support (its API stops at Clear,
+    /root/reference/bloomfilter.go:183-193).  Workload: a fulfilled-orders
+    tombstone set — insert every o_orderkey, delete the 'F' (fulfilled)
+    ones, then probe everything.  The build unions inserts and deletes into
+    one signed-delta stream (build_sketch_with_deletes), so a delete never
+    needs co-location with its insert; partials may be negative, and the
+    commutative counter-sum treeAggregate restores non-negativity globally.
+    Invariants surfaced: zero false negatives on remaining keys, deleted
+    keys degrade to collision-rate hits (≤ 2× configured FPP, same gate as
+    bloomfilter_test.go:338-370), and negative_cells == 0 proves every
+    delete matched an insert end-to-end through the distributed path."""
+    from bloomfilter_spark.operators.build import (
+        build_sketch_with_deletes,
+        cbf_factory,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    n = max(1000, orders.count())
+    inserts = orders.select("o_orderkey")
+    deletes = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    sketch = build_sketch_with_deletes(
+        inserts, deletes, "o_orderkey", cbf_factory(n, 0.01)
+    )
+
+    probes = orders.select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderstatus") != "F").alias("is_remaining"),
+        F.lit(True).alias("is_order"),
+    ).unionAll(
+        spark.range(5000).select(
+            (F.col("id") + F.lit(1_000_000_000_000)).alias("key"),
+            F.lit(False).alias("is_remaining"),
+            F.lit(False).alias("is_order"),
+        )
+    )
+    hit = might_contain_udf(spark, sketch)
+    fpp2 = 2 * 0.01
+    agg = (
+        probes.withColumn("hit", hit("key"))
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(F.col("is_remaining").cast("long")).alias("remaining"),
+            F.sum((F.col("is_remaining") & F.col("hit")).cast("long")).alias(
+                "found_remaining"
+            ),
+            F.sum((F.col("is_remaining") & ~F.col("hit")).cast("long")).alias(
+                "false_negatives"
+            ),
+            F.sum((F.col("is_order") & ~F.col("is_remaining")).cast("long")).alias(
+                "deleted"
+            ),
+            F.sum(
+                (F.col("is_order") & ~F.col("is_remaining") & F.col("hit")).cast(
+                    "long"
+                )
+            ).alias("_del_hits"),
+            F.sum((~F.col("is_order") & F.col("hit")).cast("long")).alias("_fp"),
+            F.sum((~F.col("is_order")).cast("long")).alias("_negs"),
+        )
+        .select(
+            "n_probes",
+            "remaining",
+            "found_remaining",
+            "false_negatives",
+            "deleted",
+            (F.col("_del_hits") / F.col("deleted") <= fpp2).alias("deleted_hit_ok"),
+            (F.col("_fp") / F.col("_negs") <= fpp2).alias("fp_rate_ok"),
+            F.lit(sketch.negative_cells()).cast("long").alias("negative_cells"),
+        )
+    )
+    return agg
+
+
+_CBF_DELETE_MEMBERSHIP_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM orders) + 5000                              AS n_probes,
+  (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'F')          AS remaining,
+  (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'F')          AS found_remaining,
+  CAST(0 AS BIGINT)                                                 AS false_negatives,
+  (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')           AS deleted,
+  TRUE                                                              AS deleted_hit_ok,
+  TRUE                                                              AS fp_rate_ok,
+  CAST(0 AS BIGINT)                                                 AS negative_cells
+"""
+
+
 def q_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch ROLLUP: the global quantile sketch is re-aggregated by
     merging the per-lang grouped sketches (deterministic lang-order n-ary
@@ -1220,6 +1308,7 @@ QUERIES = {
     "hll_users_by_type_salted": q_hll_users_by_type_salted,
     "hll_set_ops": q_hll_set_ops,
     "theta_set_ops": q_theta_set_ops,
+    "cbf_delete_membership": q_cbf_delete_membership,
     "rollup_quantiles": q_rollup_quantiles,
     "cms_event_type_counts": q_cms_event_type_counts,
     "cms_join_size": q_cms_join_size,
@@ -1253,6 +1342,7 @@ ORACLES = {
     "hll_users_by_type_salted": _HLL_SALTED_SQL,
     "hll_set_ops": _HLL_SET_OPS_SQL,
     "theta_set_ops": _THETA_SET_OPS_SQL,
+    "cbf_delete_membership": _CBF_DELETE_MEMBERSHIP_SQL,
     "rollup_quantiles": _ROLLUP_SQL,
     "cms_event_type_counts": _CMS_SQL,
     "cms_join_size": _CMS_JOIN_SIZE_SQL,

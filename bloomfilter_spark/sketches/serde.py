@@ -28,6 +28,7 @@ KIND_KLL = 4
 KIND_TDIGEST = 5
 KIND_FREQ = 6
 KIND_THETA = 7
+KIND_CBF = 8
 
 _HEADER = struct.Struct("<4sBBHQQI")  # magic, version, kind, flags, seed, n_added, param_len
 
@@ -54,6 +55,11 @@ def pack(kind: int, seed: int, n_added: int, params: bytes, payload: bytes) -> b
 def unpack(blob: bytes | bytearray | memoryview):
     """-> (kind, seed, n_added, params bytes, payload memoryview)."""
     blob = memoryview(blob)
+    if len(blob) < _HEADER.size:
+        raise ValueError(
+            f"sketch blob: {len(blob)} bytes is shorter than the {_HEADER.size}-byte "
+            "header (truncated or not a SKB1 sketch)"
+        )
     magic, version, kind, _flags, seed, n_added, param_len = _HEADER.unpack(
         blob[: _HEADER.size]
     )
@@ -66,10 +72,24 @@ def unpack(blob: bytes | bytearray | memoryview):
     return kind, seed, n_added, params, payload
 
 
+def _register_all() -> None:
+    """Import every sketch module so its @register decorator runs.  Needed
+    when a merge task deserializes a blob in a python worker that never ran
+    a build stage (registration otherwise rides the pickled factory's class
+    import, which a bytes-only treeAggregate combiner doesn't carry)."""
+    import importlib
+
+    for mod in ("bloom", "hll", "cms", "kll", "tdigest", "freqitems", "theta", "cbf"):
+        importlib.import_module(f"bloomfilter_spark.sketches.{mod}")
+
+
 def deserialize(blob: bytes):
     """Reconstruct any registered sketch from its blob."""
     kind = unpack(blob)[0]
     cls = _REGISTRY.get(kind)
+    if cls is None:
+        _register_all()
+        cls = _REGISTRY.get(kind)
     if cls is None:
         raise ValueError(f"sketch blob: unknown kind {kind}")
     return cls.from_bytes(blob)
