@@ -188,6 +188,42 @@ ORDER BY id_a, id_b
 """
 
 
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile n-gram shape): docs with
+    doc_id % 10 == 7 play the held-out eval set; every other doc is flagged
+    with the count of distinct 3-grams it shares with that set.  The Bloom
+    prefilter prunes the exploded corpus stream map-side; the exact verify
+    join makes the answer sketch-free, hence the full SQL oracle."""
+    from bloomfilter_spark.operators.decontaminate import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return contaminated_docs(corpus, bench, "doc_id", "text", n=3).orderBy(
+        "doc_id"
+    )
+
+
+_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 7
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM sh c JOIN bench b ON c.s = b.s
+WHERE c.doc_id % 10 <> 7
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic LSH candidates + EXACT array_intersect verification:
     output equals the brute-force exact join w.p. 1-(1-J^4)^32 per pair
@@ -893,6 +929,7 @@ QUERIES2 = {
     "text_quality": q_text_quality,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "decontaminate_ngrams": q_decontaminate_ngrams,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_simhash": q_dedup_simhash,
@@ -915,6 +952,7 @@ ORACLES2 = {
     "text_quality": _TEXT_QUALITY_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "decontaminate_ngrams": _DECONTAMINATE_SQL,
     "dedup_minhash_verified": _MINHASH_VERIFIED_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "doc_fingerprints": _fingerprints_oracle_sql(),

@@ -564,3 +564,54 @@ def test_q17_plan_pushdown_and_broadcast(spark):
     assert "LessThanOrEqual(p_size,15)" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram Bloom semi-join)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_exact_vs_python(spark):
+    """Spark pipeline vs a trivial python set computation — and with a
+    deliberately saturated Bloom (fpp≈1) to prove the exact verify join
+    discards every false positive the sketch lets through."""
+    from bloomfilter_spark.operators.decontaminate import contaminated_docs
+
+    bench_rows = [(100, "the quick brown fox jumps"), (101, "lorem ipsum dolor sit amet")]
+    corpus_rows = [
+        (1, "the quick brown fox jumps over"),      # 3 shared 3-grams
+        (2, "dolor sit amet consectetur"),          # 1 shared
+        (3, "completely unrelated text body here"), # 0 shared
+        (4, "fox jumps"),                           # too short for a 3-gram
+        (5, None),                                  # null text
+    ]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    def sh(t):
+        ts = (t or "").strip().lower().split()
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    bench_sh = set().union(*(sh(t) for _, t in bench_rows))
+    expected = {
+        i: len(sh(t) & bench_sh)
+        for i, t in corpus_rows
+        if t is not None and len(sh(t) & bench_sh) > 0
+    }
+
+    for fpp in (1e-3, 0.5):  # 0.5 on a 1-expected-item filter ≈ all-positive
+        got = contaminated_docs(
+            corpus, bench, "doc_id", "text", n=3, fpp=fpp, n_expected=1
+        ).toPandas()
+        assert dict(zip(got["doc_id"], got["n_hits"])) == expected
+
+
+def test_decontaminate_empty_benchmark(spark):
+    """An empty eval set flags nothing (and the sizing path survives 0 rows)."""
+    from bloomfilter_spark.operators.decontaminate import contaminated_docs
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text right here")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert contaminated_docs(corpus, bench).count() == 0
