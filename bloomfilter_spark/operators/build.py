@@ -36,6 +36,7 @@ from bloomfilter_spark.sketches.cms import CountMinSketch
 from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
 from bloomfilter_spark.sketches.hll import HyperLogLog
 from bloomfilter_spark.sketches.kll import KLLSketch
+from bloomfilter_spark.sketches.ddsketch import DDSketch
 from bloomfilter_spark.sketches.tdigest import TDigest
 from bloomfilter_spark.sketches.theta import ThetaSketch
 
@@ -46,6 +47,7 @@ _COMMUTATIVE_KINDS = {
     serde.KIND_CMS,
     serde.KIND_THETA,  # pure function of the distinct-hash set
     serde.KIND_CBF,  # element-wise signed counter sum
+    serde.KIND_DDS,  # bucket-wise counter sum
 }
 
 # max blobs any single merge task (or the driver) holds at once
@@ -57,8 +59,8 @@ PARTIAL_SCHEMA = (
 
 
 def _numeric_update(sketch, series: pd.Series) -> None:
-    """KLL/t-digest consume float values; others consume hashed keys."""
-    if isinstance(sketch, (KLLSketch, TDigest)):
+    """KLL/t-digest/DDSketch consume float values; others consume hashed keys."""
+    if isinstance(sketch, (KLLSketch, TDigest, DDSketch)):
         sketch.update(series.dropna().to_numpy(dtype="float64"))
     else:
         sketch.update(series.dropna())
@@ -562,3 +564,7 @@ def theta_factory(k: int = 16384, seed=None):
 
 def tdigest_factory(delta: int = 200):
     return lambda: TDigest(delta=delta)
+
+
+def dds_factory(alpha: float = 0.01):
+    return lambda: DDSketch(alpha=alpha)

@@ -856,6 +856,61 @@ FROM qv ORDER BY q
 """
 
 
+def q_dds_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles over events.value with a FULL value oracle — the
+    sketch is a log-scale histogram (ranks exact, values α-quantized), so
+    DuckDB replays the exact bucket mapping ⌈log_γ v⌉ and the closed-form
+    estimate 2γ^i/(γ+1) bit-for-bit (bucket indices verified identical
+    cross-engine on both fixture SFs).  KLL/t-digest can only carry
+    bound-check oracles; this one proves the estimator itself."""
+    from bloomfilter_spark.operators.build import build_sketch, dds_factory
+
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketch(ev, "value", dds_factory(alpha=0.01))
+    import numpy as np
+
+    rows = []
+    for q in _QS:
+        est = sk.quantile(q)
+        # recover the bucket index exactly from the estimate's closed form
+        # (None for the dedicated zero bucket, which has no log index)
+        i = (
+            int(round(np.log(est * (sk.gamma + 1.0) / 2.0) / np.log(sk.gamma)))
+            if est > 0.0
+            else None
+        )
+        rows.append((q, i, round(float(est), 6), sk.n_added))
+    return spark.createDataFrame(
+        rows, "q double, bucket long, dds_value double, n long"
+    )
+
+
+_DDS_SQL = """
+WITH pos AS (
+  SELECT CAST(CEIL(LN(value)/LN((1.0+0.01)/(1.0-0.01))) AS BIGINT) AS i,
+         COUNT(*) AS c
+  FROM events WHERE value > 0 GROUP BY 1
+), allb AS (
+  SELECT i, 2 * POWER((1.0+0.01)/(1.0-0.01), i)
+            / ((1.0+0.01)/(1.0-0.01) + 1) AS est, c
+  FROM pos
+  UNION ALL
+  SELECT NULL, 0.0, COUNT(*) FROM events WHERE value = 0 HAVING COUNT(*) > 0
+), ordered AS (
+  SELECT i, est, c, SUM(c) OVER (ORDER BY est) AS cw, SUM(c) OVER () AS total
+  FROM allb
+), qs AS (
+  SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.99]) AS q
+)
+SELECT q,
+       MIN_BY(i, cw)   AS bucket,
+       ROUND(MIN_BY(est, cw), 6) AS dds_value,
+       CAST(MIN(total) AS BIGINT) AS n
+FROM qs JOIN ordered ON ordered.cw >= GREATEST(1.0, q * ordered.total)
+GROUP BY q ORDER BY q
+"""
+
+
 def q_quantiles_by_lang_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped + SALTED quantile sketches — the merge-order-sensitive case
     the determinism design exists for.  Per-lang KLL and t-digest over doc
@@ -1318,6 +1373,7 @@ QUERIES = {
     "topk_users_freqitems": q_topk_users_freqitems,
     "kll_quantiles_n_chars": q_kll_quantiles_n_chars,
     "tdigest_quantiles_value": q_tdigest_quantiles_value,
+    "dds_quantiles_value": q_dds_quantiles_value,
     "quantiles_by_lang_salted": q_quantiles_by_lang_salted,
     "bloom_semijoin_orders": q_bloom_semijoin_orders,
     "q17_bloom_prefilter": q_q17_bloom_prefilter,
@@ -1352,6 +1408,7 @@ ORACLES = {
     "topk_users_freqitems": _TOPK_FREQITEMS_SQL,
     "kll_quantiles_n_chars": _KLL_SQL,
     "tdigest_quantiles_value": _TDIGEST_SQL,
+    "dds_quantiles_value": _DDS_SQL,
     "quantiles_by_lang_salted": _QUANTILES_BY_LANG_SQL,
     "bloom_semijoin_orders": _SEMIJOIN_SQL,
     "q17_bloom_prefilter": _Q17_SQL,

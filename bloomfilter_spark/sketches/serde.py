@@ -29,6 +29,7 @@ KIND_TDIGEST = 5
 KIND_FREQ = 6
 KIND_THETA = 7
 KIND_CBF = 8
+KIND_DDS = 9
 
 _HEADER = struct.Struct("<4sBBHQQI")  # magic, version, kind, flags, seed, n_added, param_len
 
@@ -79,7 +80,10 @@ def _register_all() -> None:
     import, which a bytes-only treeAggregate combiner doesn't carry)."""
     import importlib
 
-    for mod in ("bloom", "hll", "cms", "kll", "tdigest", "freqitems", "theta", "cbf"):
+    for mod in (
+        "bloom", "hll", "cms", "kll", "tdigest", "freqitems", "theta", "cbf",
+        "ddsketch",
+    ):
         importlib.import_module(f"bloomfilter_spark.sketches.{mod}")
 
 

@@ -629,3 +629,91 @@ class TestTheta:
         assert serde.deserialize(empty.to_bytes()) == empty
         assert empty.estimate() == 0.0
         assert empty.union(empty).estimate() == 0.0
+
+
+class TestDDSketch:
+    def _mk(self, alpha=0.01):
+        from bloomfilter_spark.sketches.ddsketch import DDSketch
+
+        return DDSketch(alpha=alpha)
+
+    def test_validation(self):
+        from bloomfilter_spark.sketches.ddsketch import DDSketch
+
+        for bad in (0.0, 1.0, -0.5, 2, "x", None):
+            with pytest.raises(ValueError):
+                DDSketch(alpha=bad)
+
+    @pytest.mark.parametrize("dist", ["uniform", "lognormal", "exponential"])
+    def test_relative_error_within_alpha(self, dist):
+        rng = np.random.RandomState(11)
+        vals = {
+            "uniform": rng.uniform(0.001, 1e6, 50000),
+            "lognormal": rng.lognormal(2, 3, 50000),
+            "exponential": rng.exponential(100, 50000),
+        }[dist]
+        sk = self._mk(0.01)
+        sk.update(vals)
+        s = np.sort(vals)
+        for q in (0.001, 0.01, 0.5, 0.99, 0.999):
+            est = sk.quantile(q)
+            # lower-bound rule: the true item at rank max(1, ceil(qN))
+            true = s[max(0, int(np.ceil(max(1.0, q * len(s)))) - 1)]
+            assert abs(est - true) <= 0.01 * abs(true) * (1 + 1e-9), (q, est, true)
+
+    def test_signs_zeros_and_nan(self):
+        sk = self._mk(0.05)
+        sk.update([-100.0, -1.0, 0.0, 0.0, 1.0, 100.0, np.nan])
+        assert sk.n_added == 6
+        assert sk.zero_count == 2
+        assert abs(sk.quantile(0.5)) < 1e-12  # 3rd of 6 → zero bucket
+        assert sk.quantile(0.0) < 0 and sk.quantile(1.0) > 0
+        lo, hi = sk.quantile(0.01), sk.quantile(0.99)
+        assert abs(lo + 100.0) <= 5.0 + 1e-9 and abs(hi - 100.0) <= 5.0 + 1e-9
+
+    def test_merge_bit_identical_any_order_and_equal_to_single(self):
+        rng = np.random.RandomState(5)
+        vals = rng.lognormal(3, 2, 30000)
+        whole = self._mk()
+        whole.update(vals)
+        parts = []
+        for chunk in np.array_split(vals, 7):
+            p = self._mk()
+            p.update(chunk)
+            parts.append(p)
+        m1 = self._mk()
+        m1.merge_all(parts)
+        m2 = self._mk()
+        m2.merge_all(parts[::-1])
+        # a histogram is a pure function of the multiset: merges equal the
+        # single build exactly, not just statistically
+        assert m1 == m2 == whole
+        assert m1.n_added == whole.n_added == 30000
+
+    def test_merge_geometry_check(self):
+        a, b = self._mk(0.01), self._mk(0.02)
+        with pytest.raises(ValueError, match="alpha"):
+            a.merge(b)
+
+    def test_blob_roundtrip_and_garbage(self):
+        from bloomfilter_spark.sketches import serde
+        from bloomfilter_spark.sketches.ddsketch import DDSketch
+
+        sk = self._mk()
+        sk.update(np.random.RandomState(3).exponential(50, 10000))
+        rt = serde.deserialize(sk.to_bytes())
+        assert rt == sk and rt.n_added == sk.n_added
+        assert rt.quantile(0.5) == sk.quantile(0.5)
+        with pytest.raises(ValueError):
+            DDSketch.from_bytes(sk.to_bytes()[:-8])  # truncated payload
+        with pytest.raises(ValueError):
+            DDSketch.from_bytes(b"garbage-blob-not-a-sketch")
+
+    def test_empty_and_clear(self):
+        sk = self._mk()
+        assert np.isnan(sk.quantile(0.5))
+        sk.update([1.0, 2.0])
+        sk.clear()
+        assert sk.n_added == 0 and np.isnan(sk.quantile(0.5))
+        st = sk.stats()
+        assert st["relative_error"] == 0.01 and st["n_added"] == 0

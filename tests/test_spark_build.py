@@ -450,3 +450,23 @@ def test_theta_grouped_rollup_equals_global(spark, documents):
     )
     assert rolled == direct  # θ + retained values identical
     assert rolled.estimate() == direct.estimate() == float(documents.count())
+
+
+def test_distributed_dds_bit_identical_to_local(spark, events):
+    """DDSketch is a pure histogram, so the distributed treeAggregate build
+    must equal a single-process build EXACTLY (bit-identity, not bounds) —
+    at any partitioning."""
+    from bloomfilter_spark.operators.build import dds_factory
+
+    factory = dds_factory(alpha=0.01)
+    local = factory()
+    local.update(events.select("value").toPandas()["value"].to_numpy())
+    for parts in (3, 16):
+        dist = build_sketch(events.repartition(parts), "value", factory)
+        assert dist == local
+        assert dist.n_added == local.n_added
+    exact = np.sort(events.select("value").toPandas()["value"].to_numpy())
+    for q in (0.01, 0.5, 0.999):
+        est = dist.quantile(q)
+        true = exact[max(0, int(np.ceil(max(1.0, q * len(exact)))) - 1)]
+        assert abs(est - true) <= 0.01 * abs(true) * (1 + 1e-9)
