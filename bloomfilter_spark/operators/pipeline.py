@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from bloomfilter_spark.operators.build import (
     bloom_factory,
     cms_factory,
+    dds_factory,
     freqitems_factory,
     hll_factory,
     kll_factory,
@@ -423,6 +424,9 @@ def pages_suite_specs(n_expected: int) -> dict[str, tuple[str, Callable]]:
         "freq_host": ("host", freqitems_factory(4096)),
         "kll_textlen": ("text_len", kll_factory(k=200)),
         "tdigest_textlen": ("text_len", tdigest_factory(delta=200)),
+        # relative-error text-length quantiles: commutative histogram, so
+        # this one rides the fast merge path AND is SQL-replayable exactly
+        "dds_textlen": ("text_len", dds_factory(alpha=0.01)),
     }
 
 

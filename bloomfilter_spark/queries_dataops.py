@@ -501,6 +501,10 @@ def q_pages_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         and (err > 0 or fi.topk(1)[0][0] == top_host["host"])
         and (err == 0 or fi_est > 0)
     )
+    # the DDSketch member is the one suite sketch DuckDB can replay
+    # EXACTLY (log-bucket histogram, closed-form estimates) — so the suite
+    # oracle carries a full VALUE column, not just bound booleans
+    dds_p50 = round(float(suite["dds_textlen"].quantile(0.5)), 6)
     rows = [
         (
             int(exact["n_pages"]),
@@ -511,12 +515,14 @@ def q_pages_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - 0.5)
                  <= suite["kll_textlen"].rank_error() + 0.02),
             bool(freq_ok),
+            dds_p50,
         )
     ]
     return spark.createDataFrame(
         rows,
         "n_pages long, exact_urls long, hll_ok boolean, "
-        "bloom_fpp_ok boolean, kll_ok boolean, freq_ok boolean",
+        "bloom_fpp_ok boolean, kll_ok boolean, freq_ok boolean, "
+        "dds_p50_textlen double",
     )
 
 
@@ -525,16 +531,35 @@ def _pages_suite_oracle_sql() -> str:
 
     path = pages_table_path(_PAGES_SUITE_ROWS)
     return f"""
+WITH pos AS (
+  SELECT CAST(CEIL(LN(LENGTH(text))/LN((1.0+0.01)/(1.0-0.01))) AS BIGINT) AS i,
+         COUNT(*) AS c
+  FROM read_parquet('{path}/*.parquet') WHERE LENGTH(text) > 0 GROUP BY 1
+), allb AS (
+  SELECT i, 2 * POWER((1.0+0.01)/(1.0-0.01), i)
+            / ((1.0+0.01)/(1.0-0.01) + 1) AS est, c
+  FROM pos
+  UNION ALL
+  SELECT NULL, 0.0, COUNT(*) FROM read_parquet('{path}/*.parquet')
+  WHERE LENGTH(text) = 0 HAVING COUNT(*) > 0
+), ordered AS (
+  SELECT est, c, SUM(c) OVER (ORDER BY est) AS cw, SUM(c) OVER () AS total
+  FROM allb
+), dds AS (
+  SELECT ROUND(MIN_BY(est, cw), 6) AS p50
+  FROM ordered WHERE cw >= GREATEST(1.0, 0.5 * total)
+)
 SELECT CAST(COUNT(*) AS BIGINT)            AS n_pages,
        CAST(COUNT(DISTINCT url) AS BIGINT) AS exact_urls,
-       TRUE AS hll_ok, TRUE AS bloom_fpp_ok, TRUE AS kll_ok, TRUE AS freq_ok
+       TRUE AS hll_ok, TRUE AS bloom_fpp_ok, TRUE AS kll_ok, TRUE AS freq_ok,
+       (SELECT p50 FROM dds) AS dds_p50_textlen
 FROM read_parquet('{path}/*.parquet')
 """
 
 
 def q_pages_suite_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end proof of the suite resume contract through the catalog:
-    build the full 9-sketch suite WITH checkpointing, delete two partial
+    build the full 10-sketch suite WITH checkpointing, delete two partial
     blobs (simulated lost work), resume — the resume must rebuild exactly
     those two partitions, skip the rest without re-scanning, and every
     merged sketch must be bit-identical to an uninterrupted build_multi."""

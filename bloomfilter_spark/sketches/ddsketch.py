@@ -174,7 +174,11 @@ class DDSketch:
             out = np.full(xs.shape, np.nan)
             return float(out[0]) if scalar else out
         cw = np.concatenate([[0], np.cumsum(w)])
-        idx = np.searchsorted(v, xs * (1.0 + 2e-16), side="right")
+        # nudge one ulp AWAY from zero so rank(quantile(q)) round-trips
+        # count the bucket itself despite float noise (sign-aware: a
+        # negative estimate must nudge more positive, not more negative)
+        nudged = np.where(xs >= 0, xs * (1.0 + 2e-16), xs * (1.0 - 2e-16))
+        idx = np.searchsorted(v, nudged, side="right")
         out = cw[idx] / cw[-1]
         return float(out[0]) if scalar else out
 
