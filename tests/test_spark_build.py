@@ -470,3 +470,23 @@ def test_distributed_dds_bit_identical_to_local(spark, events):
         est = dist.quantile(q)
         true = exact[max(0, int(np.ceil(max(1.0, q * len(exact)))) - 1)]
         assert abs(est - true) <= 0.01 * abs(true) * (1 + 1e-9)
+
+
+def test_dds_grouped_salted_equals_local_exactly(spark, documents):
+    """DDSketch is a pure histogram, so the salted two-stage grouped build
+    must agree BIT-for-bit with a local per-group build — a stronger
+    invariant than the KLL/t-digest run-to-run determinism above."""
+    from bloomfilter_spark.operators.build import dds_factory
+    from bloomfilter_spark.sketches.ddsketch import DDSketch
+
+    docs_pdf = documents.toPandas()
+    out = build_grouped(
+        documents, "lang", "n_chars", dds_factory(alpha=0.02), salts=8
+    ).toPandas()
+    assert len(out) == docs_pdf["lang"].nunique()
+    for _, row in out.iterrows():
+        local = DDSketch(alpha=0.02)
+        local.update(
+            docs_pdf[docs_pdf["lang"] == row["lang"]]["n_chars"].to_numpy(float)
+        )
+        assert serde.deserialize(bytes(row["blob"])) == local, row["lang"]

@@ -150,3 +150,27 @@ def test_stream_theta_bit_identical_to_batch(spark, staged_pages, tmp_path):
     assert acc.sketch.is_exact
     exact = spark.read.parquet(staged_pages).select("url").distinct().count()
     assert acc.sketch.estimate() == float(exact)
+
+
+def test_stream_dds_equals_batch(spark, staged_pages, tmp_path):
+    """DDSketch through the micro-batch fold: commutative bucket sums make
+    the streamed sketch bit-identical to one batch build, at any batch
+    slicing."""
+    from bloomfilter_spark.operators.build import dds_factory
+
+    factory = dds_factory(alpha=0.01)
+    acc = StreamingSketchAccumulator(
+        "n_chars", factory, str(tmp_path / "dds_state")
+    )
+    src_df = spark.read.parquet(staged_pages).withColumn(
+        "n_chars", F.length("text")
+    )
+    src = str(tmp_path / "dds_src")
+    src_df.write.parquet(src)
+    acc2 = StreamingSketchAccumulator(
+        "n_chars", factory, str(tmp_path / "dds_state2")
+    )
+    _stream(spark, src, acc2, str(tmp_path / "dds_ckpt"))
+    batch = build_sketch(spark.read.parquet(src), "n_chars", factory)
+    assert acc2.sketch.to_bytes() == batch.to_bytes()
+    assert acc2.sketch.quantile(0.5) == batch.quantile(0.5)
