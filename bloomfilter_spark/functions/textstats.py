@@ -92,6 +92,77 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition signals (Rae et al. 2021 §A1.1): adds
+    n_tokens, uniq_token_ratio, dup_trigram_ratio, top_token_ratio,
+    repetition_ok — all Catalyst, one pass over the row, NO shuffle.
+
+    The top-token count avoids an explode→groupBy round trip: sort the
+    token array and fold a (prev, run, best) struct through it with
+    F.aggregate — max run length of a sorted array IS the mode's count.
+    O(n log n) per row inside codegen beats two shuffles keyed by doc id
+    at any corpus size."""
+    from bloomfilter_spark.operators.dedup import _shingles_of
+
+    c = F.col(text_col)
+    # MATERIALIZE the token array before anything references it inside a
+    # higher-order-function lambda: expressions under transform()/aggregate()
+    # see no common-subexpression elimination, so an inline split() would
+    # re-tokenize the whole document once PER shingle index — quadratic in
+    # document length (same trap ngram_jaccard_pairs documents)
+    df = df.withColumn("__toks", tokens(c))
+    toks = F.col("__toks")
+    n_tokens = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(toks))
+    safe = F.greatest(n_tokens, F.lit(1)).cast("double")
+    n_uniq = F.size(F.array_distinct(toks))
+    total_tri = F.greatest(n_tokens - 2, F.lit(0))
+    distinct_tri = F.size(_shingles_of(toks, 3))  # distinct by construction
+    run = lambda acc, t: F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1))
+    top = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            run(acc, t).alias("run"),
+            F.greatest(acc.best, run(acc, t)).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    out = (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn(
+            "uniq_token_ratio",
+            F.when(n_tokens == 0, F.lit(1.0)).otherwise(
+                F.round(n_uniq.cast("double") / safe, 6)
+            ),
+        )
+        .withColumn(
+            "dup_trigram_ratio",
+            F.when(
+                total_tri > 0,
+                F.round(
+                    F.lit(1.0) - distinct_tri.cast("double") / total_tri.cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_token_ratio",
+            F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+                F.round(top.cast("double") / safe, 6)
+            ),
+        )
+    )
+    # thresholds compare the ROUNDED columns so the boolean is replayable
+    # bit-for-bit by the SQL oracle
+    return out.withColumn(
+        "repetition_ok",
+        (F.col("dup_trigram_ratio") <= 0.3) & (F.col("top_token_ratio") <= 0.3),
+    ).drop("__toks")
+
+
 # ---------------------------------------------------------------------------
 # Rolling-hash fingerprinting (Rabin-Karp + winnowing) — vectorized numpy
 # ---------------------------------------------------------------------------

@@ -83,6 +83,66 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters — the quality dimension C4/Gopher
+    actually drop documents on (dup n-grams, dominant token)."""
+    from bloomfilter_spark.functions.textstats import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        repetition_features(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "uniq_token_ratio",
+            "dup_trigram_ratio",
+            "top_token_ratio",
+            "repetition_ok",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+  FROM documents
+), tri AS (
+  SELECT doc_id, COUNT(*) AS total_tri, COUNT(DISTINCT s) AS distinct_tri
+  FROM (
+    SELECT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+    FROM toks, UNNEST(range(len(t) - 2)) AS u(i) WHERE len(t) >= 3
+  ) GROUP BY 1
+), top AS (
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks) GROUP BY 1, 2
+  ) GROUP BY 1
+), r AS (
+  SELECT b.doc_id,
+         CAST(len(b.t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(b.t) = 0 THEN 1.0
+              ELSE ROUND(len(list_distinct(b.t))
+                         / CAST(GREATEST(len(b.t), 1) AS DOUBLE), 6) END
+           AS uniq_token_ratio,
+         CASE WHEN COALESCE(tri.total_tri, 0) > 0
+              THEN ROUND(1.0 - CAST(tri.distinct_tri AS DOUBLE)
+                               / CAST(tri.total_tri AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_trigram_ratio,
+         CASE WHEN len(b.t) = 0 THEN 0.0
+              ELSE ROUND(COALESCE(top.topc, 0)
+                         / CAST(GREATEST(len(b.t), 1) AS DOUBLE), 6) END
+           AS top_token_ratio
+  FROM toks b LEFT JOIN tri USING (doc_id) LEFT JOIN top USING (doc_id)
+)
+SELECT *, (dup_trigram_ratio <= 0.3 AND top_token_ratio <= 0.3)
+           AS repetition_ok
+FROM r ORDER BY doc_id
+"""
+
+
 _EN_LIST = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
 
 _TEXT_QUALITY_SQL = f"""
@@ -952,6 +1012,7 @@ FROM documents
 QUERIES2 = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -975,6 +1036,7 @@ QUERIES2 = {
 ORACLES2 = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
+    "text_repetition": _TEXT_REPETITION_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "decontaminate_ngrams": _DECONTAMINATE_SQL,

@@ -615,3 +615,69 @@ def test_decontaminate_empty_benchmark(spark):
     )
     bench = spark.createDataFrame([], "doc_id long, text string")
     assert contaminated_docs(corpus, bench).count() == 0
+
+
+def test_repetition_features_vs_python(spark):
+    """Catalyst fold (sorted-array max-run = mode count) vs trivial python."""
+    from collections import Counter
+
+    from bloomfilter_spark.functions.textstats import repetition_features
+
+    rows = [
+        (1, "a a a a a a a a a a"),             # one dominant token
+        (2, "the cat sat on the mat the cat sat again"),
+        (3, "all distinct tokens right here now"),
+        (4, "x y x y x y x y"),                  # dup trigrams galore
+        (5, ""),                                 # empty
+        (6, "   "),                              # whitespace only
+        (7, "single"),
+        (8, "two words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        repetition_features(df)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for i, text in rows:
+        ts = text.strip().lower().split()
+        n = len(ts)
+        row = got.loc[i]
+        assert row["n_tokens"] == n
+        if n == 0:
+            assert row["uniq_token_ratio"] == 1.0
+            assert row["top_token_ratio"] == 0.0
+        else:
+            assert row["uniq_token_ratio"] == round(len(set(ts)) / n, 6)
+            assert row["top_token_ratio"] == round(
+                Counter(ts).most_common(1)[0][1] / n, 6
+            )
+        tris = [" ".join(ts[j : j + 3]) for j in range(n - 2)]
+        want_dup = round(1 - len(set(tris)) / len(tris), 6) if tris else 0.0
+        assert row["dup_trigram_ratio"] == want_dup, (i, row["dup_trigram_ratio"])
+        want_top = 0.0 if n == 0 else round(Counter(ts).most_common(1)[0][1] / n, 6)
+        assert row["repetition_ok"] == (want_dup <= 0.3 and want_top <= 0.3)
+    # spot-check the two failure modes and two passes
+    assert not got.loc[1]["repetition_ok"]   # dominant token
+    assert not got.loc[4]["repetition_ok"]   # duplicate trigrams
+    assert bool(got.loc[3]["repetition_ok"]) and bool(got.loc[5]["repetition_ok"])
+
+
+def test_repetition_features_long_doc_linear(spark):
+    """Regression: token array must be materialized BEFORE the higher-order
+    lambdas reference it — an inline split() re-tokenizes per shingle index
+    (quadratic; a 150k-token doc used to hang).  50k tokens must finish in
+    seconds."""
+    import time
+
+    from bloomfilter_spark.functions.textstats import repetition_features
+
+    rows = [(1, ("tok " * 50000).strip()), (2, " ".join(f"w{i}" for i in range(50000)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.perf_counter()
+    out = repetition_features(df).orderBy("doc_id").toPandas()
+    assert time.perf_counter() - t0 < 60
+    assert out.loc[0, "top_token_ratio"] == 1.0
+    assert out.loc[1, "uniq_token_ratio"] == 1.0
+    assert out.loc[1, "dup_trigram_ratio"] == 0.0
