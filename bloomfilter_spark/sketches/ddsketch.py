@@ -104,7 +104,10 @@ class DDSketch:
 
     def update(self, values) -> None:
         v = np.asarray(values, dtype=np.float64).ravel()
-        v = v[~np.isnan(v)]
+        # non-finite values are not representable in a log-bucket store:
+        # NaN matches the family's skip contract (KLL), and ±inf would turn
+        # into an undefined int64 bucket via ceil(log(inf)) — skip both
+        v = v[np.isfinite(v)]
         if v.size == 0:
             return
         pos = v[v > 0.0]
