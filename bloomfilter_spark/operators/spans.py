@@ -1,0 +1,116 @@
+"""Corpus-level repeated-span accounting (ExactSubstr-style dedup).
+
+Shape from Lee et al. 2021 ("Deduplicating Training Data Makes Language
+Models Better"): their suffix-array ExactSubstr pass drops any span that
+repeats verbatim anywhere in the corpus.  Suffix arrays don't distribute;
+the Spark-first re-expression marks a token position as *duplicated* when
+any k-gram covering it occurs >= min_count times corpus-wide — the same
+signal at k-token resolution, computed with two 8-byte-key shuffles:
+
+  1. positional k-grams -> groupBy(xxhash64(kgram)) frequency count;
+  2. hash-join the frequent set back onto the positions (AQE broadcasts
+     it when small), explode each hit to its k covered positions, and
+     count distinct covered positions per document.
+
+Joining on the 64-bit hash instead of the kgram string keeps the shuffle
+payload fixed-width (same w.h.p. argument as ngram_jaccard_pairs); the
+exploded coverage rows are k * hits, bounded by k * total tokens.  No
+driver-side state, no broadcast of the corpus — the plan survives
+corpus-scale inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bloomfilter_spark.plans.skew import ensure_parallelism
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span statistics.
+
+    Returns (id, n_tokens, n_dup_tokens, dup_ratio): n_dup_tokens is the
+    number of token positions covered by at least one k-gram that occurs
+    >= min_count times in the whole corpus; dup_ratio = n_dup_tokens /
+    n_tokens (0.0 for empty documents).  Tokenization is the library-wide
+    rule: lowercase, trim, split on whitespace.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    df = ensure_parallelism(df)
+    toks_df = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        # the split of an all-whitespace string is [''] (size 1) — the
+        # shared token-count rule treats those documents as 0 tokens
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+        .alias("n_tokens"),
+    )
+    # positional k-grams; materialized once (localCheckpoint) because both
+    # the frequency count and the join-back read it
+    kg = (
+        toks_df.filter(F.col("n_tokens") >= k)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_tokens") - k)
+            ).alias("pos"),
+            F.col("toks"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    frequent = (
+        kg.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    covered = (
+        kg.join(frequent, "h")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    per_doc = covered.groupBy("id").agg(
+        F.count("*").alias("n_dup_tokens")
+    )
+    return (
+        toks_df.select("id", "n_tokens")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+                    / F.col("n_tokens"),
+                    6,
+                )
+            )
+            .alias("dup_ratio"),
+        )
+    )

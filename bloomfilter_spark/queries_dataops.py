@@ -171,6 +171,50 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span accounting (Lee et al. 2021):
+    per-document count of token positions covered by a k-gram that repeats
+    corpus-wide.  The Spark plan joins on xxhash64(kgram) (fixed-width
+    shuffle keys, collision-free w.h.p.); the oracle replays the exact
+    k-gram strings."""
+    from bloomfilter_spark.operators.spans import duplicate_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        duplicate_span_stats(docs, "doc_id", "text", k=4, min_count=2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_DUP_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+  FROM documents
+), kg AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i + 1 : i + 4], ' ') AS g
+  FROM toks, UNNEST(range(len(t) - 3)) AS u(i) WHERE len(t) >= 4
+), freq AS (
+  SELECT g FROM kg GROUP BY g HAVING COUNT(*) >= 2
+), covered AS (
+  SELECT DISTINCT kg.doc_id, kg.pos + j AS p
+  FROM kg JOIN freq USING (g), UNNEST(range(4)) AS v(j)
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_tokens FROM covered GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CASE WHEN len(t) = 0 THEN 0.0
+            ELSE ROUND(COALESCE(n_dup_tokens, 0) / len(t), 6)
+       END AS dup_ratio
+FROM toks LEFT JOIN per_doc USING (doc_id)
+ORDER BY toks.doc_id
+"""
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -1013,6 +1057,7 @@ QUERIES2 = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
+    "dup_span_stats": q_dup_span_stats,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -1037,6 +1082,7 @@ ORACLES2 = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,
+    "dup_span_stats": _DUP_SPANS_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "decontaminate_ngrams": _DECONTAMINATE_SQL,

@@ -681,3 +681,48 @@ def test_repetition_features_long_doc_linear(spark):
     assert out.loc[0, "top_token_ratio"] == 1.0
     assert out.loc[1, "uniq_token_ratio"] == 1.0
     assert out.loc[1, "dup_trigram_ratio"] == 0.0
+
+
+def test_duplicate_span_stats_planted(spark):
+    """Hand-computed coverage on planted cross-doc and within-doc repeats,
+    plus the empty/short-doc edges."""
+    from bloomfilter_spark.operators.spans import duplicate_span_stats
+
+    rows = [
+        (1, "a b c d x y"),        # shares "a b c d" with doc 2
+        (2, "z a b c d w"),
+        (3, "p q r"),              # shorter than k: no k-grams
+        (4, ""),                   # empty
+        (5, "m n m n m n m n"),    # self-repeating: fully covered
+        (6, "   "),                # whitespace-only -> 0 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        duplicate_span_stats(df, "doc_id", "text", k=4, min_count=2)
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    want = {
+        1: (6, 4, 0.666667),
+        2: (6, 4, 0.666667),
+        3: (3, 0, 0.0),
+        4: (0, 0, 0.0),
+        5: (8, 8, 1.0),
+        6: (0, 0, 0.0),
+    }
+    for i, (nt, nd, ratio) in want.items():
+        assert got.loc[i]["n_tokens"] == nt, i
+        assert got.loc[i]["n_dup_tokens"] == nd, i
+        assert got.loc[i]["dup_ratio"] == ratio, i
+
+
+def test_duplicate_span_stats_validation():
+    from bloomfilter_spark.operators.spans import duplicate_span_stats
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        duplicate_span_stats(None, "id", "t", k=0)
+    with _pytest.raises(ValueError):
+        duplicate_span_stats(None, "id", "t", min_count=0)
