@@ -1,0 +1,128 @@
+"""Connected components over duplicate-pair edges → dedup clusters.
+
+The dedup operators (ngram_jaccard_pairs, minhash LSH, simhash, embedding
+near-dup) emit *pairs*; an actual training-data dedup pass needs clusters
+and one kept representative per cluster (the step the reference leaves to
+its callers — its filters answer "probably seen?", shaia/BloomFilter
+README.md:1-40, but never group).  This closes the pipeline:
+
+  pairs -> connected_components -> (id, component) -> keep component min.
+
+Algorithm: iterative min-label propagation with pointer jumping.  Each
+round every node takes the min label over {itself} ∪ neighbors, then
+shortcuts through its own label's label (L(v) <- L(L(v))).  Plain
+propagation needs O(diameter) rounds; the pointer-jump join makes chains
+collapse in O(log diameter) — the same shortcutting idea as the
+large-star/small-star MapReduce formulation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14).  Near-dup graphs have tiny
+components, so 3-5 rounds is typical; max_iter is a safety rail.
+
+Scale notes: each round is two shuffles (join edges⋈labels on src, then
+groupBy id) plus one broadcast-eligible self-join for the jump — all on
+8-byte keys, no driver-side state.  Lineage is truncated per round with
+localCheckpoint so the plan doesn't grow with iterations; convergence is
+detected with a single count() action on changed labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve undirected edges into components.
+
+    Returns (id, component) where component = the minimum node id reachable
+    from `id`.  `nodes` (optional, one column `id_col`) adds isolated nodes
+    that appear in no edge — each is its own component.  Deterministic:
+    the fixpoint is a pure function of the edge set.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("s").alias("id")).distinct()
+    if nodes is not None:
+        labels = labels.unionAll(
+            nodes.select(F.col(id_col).alias("id")).filter(
+                F.col("id").isNotNull()
+            )
+        ).distinct()
+    labels = labels.select("id", F.col("id").alias("comp")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # min over {self} ∪ neighbor labels
+        msgs = sym.join(labels, sym["s"] == labels["id"]).select(
+            F.col("d").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.unionAll(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: follow my label to ITS label (collapses chains
+        # logarithmically; a label is always a node id, so the join hits)
+        parent = new.select(
+            F.col("id").alias("p_id"), F.col("comp").alias("p_comp")
+        )
+        jumped = (
+            new.join(parent, new["comp"] == parent["p_id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("id", F.col("comp").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_keep(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster membership + keep decision for every row of `df`.
+
+    Returns (id_col, component, is_kept): component = min doc id in the
+    row's duplicate cluster (its own id when it has no duplicates);
+    is_kept = this row IS that minimum — exactly one kept row per cluster.
+    """
+    comp = connected_components(
+        pairs, src=src, dst=dst, nodes=df.select(id_col), id_col=id_col
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            (
+                F.col(id_col)
+                == F.coalesce(F.col("component"), F.col(id_col))
+            ).alias("is_kept"),
+        )
+    )

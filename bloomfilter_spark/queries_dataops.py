@@ -292,6 +292,55 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → keep-list: connected components over the exact
+    n-gram-Jaccard pairs, one kept representative (min doc_id) per
+    cluster.  The oracle replays the transitive closure with a recursive
+    CTE."""
+    from bloomfilter_spark.operators.components import dedup_keep
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return dedup_keep(docs, "doc_id", pairs).orderBy("doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+  WHERE inter * 1.0 / (za.sz + zb.sz - inter) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+), cc AS (
+  SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id, cc.component, d.doc_id = cc.component AS is_kept
+FROM documents d JOIN cc ON cc.id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (the GPT-3/Pile n-gram shape): docs with
     doc_id % 10 == 7 play the held-out eval set; every other doc is flagged
@@ -1060,6 +1109,7 @@ QUERIES2 = {
     "dup_span_stats": q_dup_span_stats,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
@@ -1085,6 +1135,7 @@ ORACLES2 = {
     "dup_span_stats": _DUP_SPANS_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "decontaminate_ngrams": _DECONTAMINATE_SQL,
     "dedup_minhash_verified": _MINHASH_VERIFIED_SQL,
     "dedup_simhash": _SIMHASH_SQL,

@@ -726,3 +726,61 @@ def test_duplicate_span_stats_validation():
         duplicate_span_stats(None, "id", "t", k=0)
     with _pytest.raises(ValueError):
         duplicate_span_stats(None, "id", "t", min_count=0)
+
+
+def test_connected_components_topologies(spark):
+    """Chain (exercises pointer jumping), triangle, pair, isolated nodes."""
+    from bloomfilter_spark.operators.components import connected_components
+
+    # chain 1-2-...-12  |  triangle 20-21-22  |  pair 30-31
+    edges = (
+        [(i, i + 1) for i in range(1, 12)]
+        + [(20, 21), (21, 22), (20, 22), (30, 31)]
+    )
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in [*range(1, 13), 20, 21, 22, 30, 31, 40, 41]], "id long")
+    got = (
+        connected_components(edf, nodes=nodes, id_col="id")
+        .toPandas()
+        .set_index("id")["component"]
+        .to_dict()
+    )
+    for i in range(1, 13):
+        assert got[i] == 1, (i, got[i])
+    for i in (20, 21, 22):
+        assert got[i] == 20
+    assert got[30] == 30 and got[31] == 30
+    assert got[40] == 40 and got[41] == 41  # isolated
+
+
+def test_connected_components_partitioning_invariant(spark):
+    """The fixpoint is a pure function of the edge set — repartitioning
+    must not change it."""
+    from bloomfilter_spark.operators.components import connected_components
+
+    edges = [(i, (i * 7) % 50) for i in range(50) if i != (i * 7) % 50]
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = connected_components(edf).toPandas().set_index("id")["component"]
+    b = (
+        connected_components(edf.repartition(17))
+        .toPandas()
+        .set_index("id")["component"]
+    )
+    assert a.sort_index().equals(b.sort_index())
+
+
+def test_dedup_keep_one_representative_per_cluster(spark):
+    from bloomfilter_spark.operators.components import dedup_keep
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 7), (2, 9)], "id_a long, id_b long"
+    )
+    got = dedup_keep(df, "doc_id", pairs).toPandas().set_index("doc_id")
+    assert got.loc[1]["component"] == 1 and bool(got.loc[1]["is_kept"])
+    assert got.loc[4]["component"] == 1 and not got.loc[4]["is_kept"]
+    assert got.loc[7]["component"] == 1 and not got.loc[7]["is_kept"]
+    assert got.loc[9]["component"] == 2 and not got.loc[9]["is_kept"]
+    # every cluster keeps exactly one row
+    kept = got[got["is_kept"]]
+    assert sorted(kept.index) == [0, 1, 2, 3, 5, 6, 8]
