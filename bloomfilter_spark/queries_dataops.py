@@ -215,6 +215,47 @@ ORDER BY toks.doc_id
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (12 h inactivity gap)
+    via Spark's native session_window aggregation; the oracle replays the
+    merge rule with LAG + a running session counter."""
+    from bloomfilter_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, "user_id", "ts", gap="12 hours", value_col="value"
+    ).orderBy("user_id", "session_idx")
+
+
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+  WHERE ts IS NOT NULL
+), lagd AS (
+  SELECT *, LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+  FROM e
+), marked AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR tus - prev > 43200 * CAST(1000000 AS BIGINT)
+                 THEN 1 ELSE 0 END AS new_s
+  FROM lagd
+), sess AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(sid AS INT) AS session_idx,
+       MIN(tus) AS session_start_us,
+       MAX(tus) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_idx
+"""
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -1107,6 +1148,7 @@ QUERIES2 = {
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "dup_span_stats": q_dup_span_stats,
+    "sessionize_events": q_sessionize_events,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1133,6 +1175,7 @@ ORACLES2 = {
     "text_quality": _TEXT_QUALITY_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,
     "dup_span_stats": _DUP_SPANS_SQL,
+    "sessionize_events": _SESSIONIZE_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

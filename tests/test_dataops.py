@@ -784,3 +784,41 @@ def test_dedup_keep_one_representative_per_cluster(spark):
     # every cluster keeps exactly one row
     kept = got[got["is_kept"]]
     assert sorted(kept.index) == [0, 1, 2, 3, 5, 6, 8]
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Merge/split at the exact gap: diff <= gap merges, diff > gap splits
+    (session_window's closed [ts, ts+gap] semantics, verified here — the
+    rule the SQL oracle replays with LAG > gap)."""
+    from datetime import datetime, timedelta
+
+    from bloomfilter_spark.operators.sessions import sessionize
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    gap = timedelta(hours=1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + gap - timedelta(microseconds=1), 1.0),   # merges
+        (1, t0 + 2 * gap - timedelta(microseconds=1), 2.0),  # chains on
+        (1, t0 + 3 * gap + timedelta(seconds=1), 4.0),    # new session
+        (2, t0, 7.0),                                     # other key
+        (3, t0, 1.0),
+        (3, t0 + gap, 1.0),                  # diff == gap: MERGES (closed)
+        (3, t0 + 2 * gap + timedelta(microseconds=1), 1.0),  # > gap: split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    got = (
+        sessionize(df, "user_id", "ts", gap="1 hour", value_col="value")
+        .orderBy("user_id", "session_idx")
+        .toPandas()
+    )
+    recs = got[["user_id", "session_idx", "n_events", "sum_value"]].values.tolist()
+    assert recs == [
+        [1, 1, 3, 13.0],
+        [1, 2, 1, 4.0],
+        [2, 1, 1, 7.0],
+        [3, 1, 2, 2.0],
+        [3, 2, 1, 1.0],
+    ], recs
+    s1 = got[(got.user_id == 1) & (got.session_idx == 1)].iloc[0]
+    assert s1["session_end_us"] - s1["session_start_us"] == 2 * 3600 * 1000000 - 1
