@@ -1,0 +1,94 @@
+"""BM25 keyword search over a document corpus — pure Catalyst.
+
+Classic Okapi BM25 (Robertson & Zaragoza 2009) with Lucene's
+non-negative idf = ln(1 + (N - df + 0.5)/(df + 0.5)):
+
+  score(d, Q) = Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+Plan shape (all JVM-side, no UDFs):
+  1. tokenize + explode, filter to the query terms — the IN-list predicate
+     on a handful of terms prunes the exploded stream map-side, so the
+     shuffle after it carries only matching (doc, term) rows;
+  2. groupBy(doc, term) → tf, groupBy(term) → df: two shuffles on tiny
+     post-filter data;
+  3. N and avgdl come from a 1-row aggregate cross-joined in (broadcast
+     nested loop of a single row — no collect, stays one lazy plan).
+
+At corpus scale the dominant cost is the tokenize+explode scan — same
+as any inverted-index build; everything downstream of the term filter is
+proportional to hit count, not corpus size.  Determinism: scores are
+rounded to 6dp and ranked by (score, doc_id), so the top-k cut is exact
+and engine-portable (the DuckDB oracle replays the identical formula).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query.
+
+    Returns (doc_id, n_hit_terms, score) — score rounded to 6dp, ranked
+    by (score DESC, doc_id ASC), exactly `topk` rows (fewer if fewer
+    docs match any term).  Tokenization is the library-wide rule:
+    lowercase, trim, whitespace split.
+    """
+    if not terms:
+        raise ValueError("bm25_search needs at least one query term")
+    terms = [t.lower() for t in terms]
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+        .alias("dl"),
+    )
+    # one-row corpus stats; broadcast into the scoring plan (no collect)
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.round(F.sum("contrib"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(topk)
+    )

@@ -300,6 +300,51 @@ SELECT lang_pred, COUNT(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a 3-term query, ranked on the 6dp-rounded
+    score with doc_id tiebreak (engine-portable cut); the oracle replays
+    the identical formula with the same literal arithmetic."""
+    from bloomfilter_spark.operators.search import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(
+        docs, "doc_id", "text", ["hash", "join", "vector"], topk=20
+    )
+
+
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS dl, t FROM toks
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base
+), tf AS (
+  SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, UNNEST(t) AS tok FROM base)
+  WHERE tok IN ('hash', 'join', 'vector')
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         LN(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS contrib
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       ROUND(SUM(contrib), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).orderBy(
@@ -1149,6 +1194,7 @@ QUERIES2 = {
     "text_repetition": q_text_repetition,
     "dup_span_stats": q_dup_span_stats,
     "sessionize_events": q_sessionize_events,
+    "bm25_search": q_bm25_search,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1176,6 +1222,7 @@ ORACLES2 = {
     "text_repetition": _TEXT_REPETITION_SQL,
     "dup_span_stats": _DUP_SPANS_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
+    "bm25_search": _BM25_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

@@ -822,3 +822,65 @@ def test_sessionize_gap_boundaries(spark):
     ], recs
     s1 = got[(got.user_id == 1) & (got.session_idx == 1)].iloc[0]
     assert s1["session_end_us"] - s1["session_start_us"] == 2 * 3600 * 1000000 - 1
+
+
+def test_bm25_matches_python_reference(spark):
+    """Scores equal an independent plain-Python BM25 on a tiny corpus;
+    rare terms outrank common ones at equal tf."""
+    import math
+    from collections import Counter
+
+    from bloomfilter_spark.operators.search import bm25_search
+
+    corpus = {
+        1: "apple banana apple cherry",
+        2: "banana banana banana durian",
+        3: "cherry durian apple",
+        4: "fig grape melon",
+        5: "apple apple apple apple banana",
+    }
+    terms, k1, b = ["apple", "durian"], 1.2, 0.75
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = (
+        bm25_search(df, "doc_id", "text", terms, k1=k1, b=b, topk=10)
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {t: sum(t in ts for ts in toks.values()) for t in terms}
+    want = {}
+    for d, ts in toks.items():
+        c = Counter(ts)
+        s = 0.0
+        hits = 0
+        for t in terms:
+            if c[t] == 0:
+                continue
+            hits += 1
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (c[t] * (k1 + 1)) / (
+                c[t] + k1 * (1 - b + b * len(ts) / avgdl)
+            )
+        if hits:
+            want[d] = (hits, round(s, 6))
+    assert set(got.index) == set(want)
+    for d, (hits, score) in want.items():
+        assert got.loc[d]["n_hit_terms"] == hits
+        assert abs(got.loc[d]["score"] - score) < 1e-9, (d, got.loc[d]["score"], score)
+    # durian (df=2) is rarer than apple (df=3): doc 2 (1×durian, dl=4)
+    # must outrank doc 3's apple-only contribution if ranked per idf —
+    # full-order sanity: ranking is by total score descending
+    scores = got["score"].tolist()
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_empty_terms_raise():
+    from bloomfilter_spark.operators.search import bm25_search
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_search(None, "id", "t", [])
