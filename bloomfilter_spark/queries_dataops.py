@@ -300,6 +300,44 @@ SELECT lang_pred, COUNT(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 
+def q_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every click picks the user's most recent
+    error event at-or-before it (one-shuffle union + carry-forward
+    window); the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from bloomfilter_spark.operators.sessions import _epoch_us
+    from bloomfilter_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", _epoch_us(ev, "ts").alias("ts_us")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(clicks, errors, "user_id", "ts", ["value"])
+    return j.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        _epoch_us(j, "ts_matched").alias("err_ts_us"),
+        F.col("value_matched").alias("err_value"),
+    ).orderBy("user_id", "ts_us")
+
+
+_ASOF_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+), e AS (
+  SELECT user_id, ts, epoch_us(ts) AS err_ts_us, value
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.user_id, c.event_id, c.ts_us, e.err_ts_us, e.value AS err_value
+FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+ORDER BY c.user_id, c.ts_us
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 for a 3-term query, ranked on the 6dp-rounded
     score with doc_id tiebreak (engine-portable cut); the oracle replays
@@ -1194,6 +1232,7 @@ QUERIES2 = {
     "text_repetition": q_text_repetition,
     "dup_span_stats": q_dup_span_stats,
     "sessionize_events": q_sessionize_events,
+    "asof_click_error": q_asof_click_error,
     "bm25_search": q_bm25_search,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1222,6 +1261,7 @@ ORACLES2 = {
     "text_repetition": _TEXT_REPETITION_SQL,
     "dup_span_stats": _DUP_SPANS_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
+    "asof_click_error": _ASOF_SQL,
     "bm25_search": _BM25_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,

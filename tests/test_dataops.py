@@ -884,3 +884,75 @@ def test_bm25_empty_terms_raise():
 
     with _pytest.raises(ValueError):
         bm25_search(None, "id", "t", [])
+
+
+def test_asof_join_backward_forward_and_ties(spark):
+    from datetime import datetime
+
+    from bloomfilter_spark.operators.temporal import asof_join
+
+    T = lambda s: datetime(2024, 5, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, T(10)), (1, T(20)), (1, T(5)), (2, T(10))],
+        "k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(1, T(10), 100.0), (1, T(18), 200.0)],
+        "k long, ts timestamp_ntz, v double",
+    )
+    back = (
+        asof_join(left, right, "k", "ts", ["v"])
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    # ts=5: no prior error -> null; ts=10: tie matches (<=); ts=20 -> 18
+    assert back["v_matched"].tolist()[0] != back["v_matched"].tolist()[0]  # NaN
+    assert back["v_matched"].tolist()[1] == 100.0
+    assert back["v_matched"].tolist()[2] == 200.0
+    assert back["v_matched"].tolist()[3] != back["v_matched"].tolist()[3]  # key 2
+    fwd = (
+        asof_join(left, right, "k", "ts", ["v"], direction="forward")
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    assert fwd["v_matched"].tolist()[0] == 100.0   # ts=5 -> 10
+    assert fwd["v_matched"].tolist()[1] == 100.0   # tie matches (>=)
+    assert fwd["v_matched"].tolist()[2] != fwd["v_matched"].tolist()[2]  # none ahead
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    from bloomfilter_spark.operators.temporal import asof_join
+
+    rng = np.random.RandomState(7)
+    lp = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 200),
+            "ts": pd.to_datetime(rng.randint(0, 10_000, 200), unit="s"),
+        }
+    ).sort_values("ts").reset_index(drop=True)
+    rp = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 80),
+            "ts": pd.to_datetime(rng.randint(0, 10_000, 80), unit="s"),
+            "v": rng.rand(80).round(6),
+        }
+    ).drop_duplicates(["k", "ts"]).sort_values("ts").reset_index(drop=True)
+    want = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    got = (
+        asof_join(
+            spark.createDataFrame(lp.assign(i=lp.index), "k long, ts timestamp_ntz, i long"),
+            spark.createDataFrame(rp, "k long, ts timestamp_ntz, v double"),
+            "k",
+            "ts",
+            ["v"],
+        )
+        .orderBy("i")
+        .toPandas()
+    )
+    assert (
+        got["v_matched"].fillna(-1).tolist()
+        == want["v"].fillna(-1).tolist()
+    )
