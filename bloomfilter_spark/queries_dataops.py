@@ -300,6 +300,84 @@ SELECT lang_pred, COUNT(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Structured Streaming (3 time-sliced
+    micro-batches, append mode): session state merges across batches and
+    each session is emitted exactly once when the watermark passes it; a
+    far-future sentinel row flushes the tail.  The output must equal the
+    BATCH sessionization bit-for-bit, so the oracle is the same LAG +
+    running-sum SQL as sessionize_events."""
+    import datetime
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from bloomfilter_spark.streaming.sessions import sessionized_stream
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="bfs_stream_sess_")
+    src = f"{work}/src"
+    name = f"bfs_q_stream_sess_{uuid.uuid4().hex[:12]}"
+    try:
+        # stage by TIME (not hash): the watermark then advances batch over
+        # batch, exercising cross-batch session merge + incremental emit
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span = (hi - lo) / 3
+        for i in range(3):
+            upper = (
+                (F.col("ts") < F.lit(lo + (i + 1) * span))
+                if i < 2
+                else (F.col("ts") <= F.lit(hi))
+            )
+            ev.filter((F.col("ts") >= F.lit(lo + i * span)) & upper).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        sentinel = spark.createDataFrame(
+            [(-1, datetime.datetime(2100, 1, 1), -1, "sentinel", 0.0, "{}")],
+            ev.schema,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            sessionized_stream(
+                stream, "user_id", "ts", gap="12 hours", value_col="value"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql(f"SELECT * FROM {name}").filter(
+            F.col("user_id") != -1
+        )
+        order = Window.partitionBy("user_id").orderBy("session_start_us")
+        result = out.select(
+            "user_id",
+            F.row_number().over(order).alias("session_idx"),
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "sum_value",
+        ).orderBy("user_id", "session_idx")
+        result = result.localCheckpoint()  # materialize before sink cleanup
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # sink never registered (query failed before start)
+        shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
 def q_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: every click picks the user's most recent
     error event at-or-before it (one-shuffle union + carry-forward
@@ -1233,6 +1311,7 @@ QUERIES2 = {
     "dup_span_stats": q_dup_span_stats,
     "sessionize_events": q_sessionize_events,
     "asof_click_error": q_asof_click_error,
+    "streaming_sessions": q_streaming_sessions,
     "bm25_search": q_bm25_search,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1262,6 +1341,7 @@ ORACLES2 = {
     "dup_span_stats": _DUP_SPANS_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "asof_click_error": _ASOF_SQL,
+    "streaming_sessions": _SESSIONIZE_SQL,
     "bm25_search": _BM25_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -174,3 +174,64 @@ def test_stream_dds_equals_batch(spark, staged_pages, tmp_path):
     batch = build_sketch(spark.read.parquet(src), "n_chars", factory)
     assert acc2.sketch.to_bytes() == batch.to_bytes()
     assert acc2.sketch.quantile(0.5) == batch.quantile(0.5)
+
+
+def test_streaming_sessions_equal_batch(spark, tmp_path):
+    """A session whose events straddle micro-batch boundaries must merge
+    in state and emit ONCE with the full span; sentinel flushes the tail."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from bloomfilter_spark.operators.sessions import sessionize
+    from bloomfilter_spark.streaming.sessions import sessionized_stream
+
+    T = lambda h, m=0: datetime.datetime(2024, 6, 1, h, m)
+    rows = [
+        # user 1: one session straddling the file split (gap 1h)
+        (1, T(10, 0), 1.0), (1, T(10, 50), 2.0),   # file 0
+        (1, T(11, 30), 4.0),                       # file 1 — merges
+        (1, T(15, 0), 8.0),                        # file 1 — new session
+        # user 2: single-event session in file 0 only
+        (2, T(9, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    src = str(tmp_path / "src")
+    df.filter(F.col("ts") < F.lit(T(11))).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("ts") >= F.lit(T(11))).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(-1, datetime.datetime(2100, 1, 1), 0.0)], df.schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sessionized_stream(stream, "user_id", "ts", gap="1 hour", value_col="value")
+        .writeStream.format("memory")
+        .queryName("t_stream_sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM t_stream_sess")
+        .filter(F.col("user_id") != -1)
+        .orderBy("user_id", "session_start_us")
+        .toPandas()
+    )
+    spark.catalog.dropTempView("t_stream_sess")
+    want = (
+        sessionize(df, "user_id", "ts", gap="1 hour", value_col="value")
+        .orderBy("user_id", "session_start_us")
+        .toPandas()
+    )
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events", "sum_value"]
+    assert got[cols].values.tolist() == want[cols].values.tolist()
+    # the straddling session merged: 3 events, 10:00 -> 11:30
+    s = got.iloc[0]
+    assert s["n_events"] == 3 and s["sum_value"] == 7.0
