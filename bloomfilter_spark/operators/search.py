@@ -26,6 +26,113 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _score_tf(tf: DataFrame, stats: DataFrame, k1: float, b: float, topk: int) -> DataFrame:
+    """Shared BM25 scoring tail: (doc_id, dl, term, tf) + 1-row corpus
+    stats -> rounded-score top-k.  Both the scan path and the indexed
+    path end here, so their answers are identical by construction."""
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.round(F.sum("contrib"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(topk)
+    )
+
+
+def write_inverted_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the inverted index, PARTITIONED BY term-hash bucket.
+
+    Index rows: (term, doc_id, tf, dl, bucket = pmod(xxhash64(term), n)).
+    A query's terms map to a handful of buckets, so search reads an
+    ~len(terms)/n_buckets fraction of the files — genuine partition
+    pruning, the same scale story as the IVF index (ann.py).  Corpus
+    stats (n_docs, avgdl) are written as a 1-row sidecar at
+    `<path>__stats` — BM25 needs them and a search must not re-scan the
+    corpus to get them.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+        .alias("dl"),
+    )
+    toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}__stats")
+    (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def bm25_search_indexed(
+    spark,
+    path: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BM25 top-k over a materialized inverted index — no corpus scan.
+
+    Same scoring and output contract as bm25_search; reads only the
+    query terms' buckets (partition pruning on the bucket column, then a
+    term IN-list rowgroup filter inside them).
+    """
+    if not terms:
+        raise ValueError("bm25_search_indexed needs at least one query term")
+    terms = [t.lower() for t in terms]
+    stats = spark.read.parquet(f"{path}__stats")
+    buckets = sorted(
+        {r.bucket for r in
+         spark.createDataFrame([(t,) for t in terms], "term string")
+         .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket"))
+         .collect()}
+    )
+    tf = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    return _score_tf(tf, stats, k1, b, topk)
+
+
 def bm25_search(
     df: DataFrame,
     id_col: str,
@@ -62,33 +169,4 @@ def bm25_search(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_hit_terms"),
-            F.round(F.sum("contrib"), 6).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(topk)
-    )
+    return _score_tf(tf, stats, k1, b, topk)

@@ -461,6 +461,30 @@ LIMIT 20
 """
 
 
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same BM25 query answered from a materialized bucket-partitioned
+    inverted index (partition-pruned term lookup, no corpus scan) — must
+    equal the scan-path answer, so it shares bm25_search's oracle."""
+    import shutil
+    import tempfile
+
+    from bloomfilter_spark.operators.search import (
+        bm25_search_indexed,
+        write_inverted_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="bfs_invidx_")
+    try:
+        write_inverted_index(docs, f"{work}/idx", "doc_id", "text")
+        out = bm25_search_indexed(
+            spark, f"{work}/idx", ["hash", "join", "vector"], topk=20
+        ).localCheckpoint()  # materialize before the index dir is removed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).orderBy(
@@ -1313,6 +1337,7 @@ QUERIES2 = {
     "asof_click_error": q_asof_click_error,
     "streaming_sessions": q_streaming_sessions,
     "bm25_search": q_bm25_search,
+    "bm25_indexed": q_bm25_indexed,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1343,6 +1368,7 @@ ORACLES2 = {
     "asof_click_error": _ASOF_SQL,
     "streaming_sessions": _SESSIONIZE_SQL,
     "bm25_search": _BM25_SQL,
+    "bm25_indexed": _BM25_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

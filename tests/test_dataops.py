@@ -956,3 +956,25 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         got["v_matched"].fillna(-1).tolist()
         == want["v"].fillna(-1).tolist()
     )
+
+
+def test_bm25_indexed_equals_scan_and_prunes(spark, tmp_path):
+    """The indexed path must return the identical top-k, and its scan
+    must show PartitionFilters on the bucket column (files for other
+    buckets never read)."""
+    from bloomfilter_spark.operators.search import (
+        bm25_search,
+        bm25_search_indexed,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "idx")
+    write_inverted_index(docs, idx, "doc_id", "text", n_buckets=16)
+    terms = ["hash", "join", "vector"]
+    scan = bm25_search(docs, "doc_id", "text", terms, topk=15).toPandas()
+    indexed = bm25_search_indexed(spark, idx, terms, topk=15, n_buckets=16)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+    got = indexed.toPandas()
+    assert scan.values.tolist() == got.values.tolist()
