@@ -44,9 +44,14 @@ def connected_components(
     that appear in no edge — each is its own component.  Deterministic:
     the fixpoint is a pure function of the edge set.
     """
+    # materialize the caller's edge plan ONCE before symmetrizing — both
+    # unionAll branches below read it, and an expensive upstream (e.g. the
+    # full n-gram-Jaccard pair job in dedup_clusters) must not run twice
+    edges = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint()
     sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        edges.unionAll(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
         .localCheckpoint(eager=False)

@@ -461,6 +461,78 @@ LIMIT 20
 """
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic planted PII (the
+    fixture itself is clean, so the query plants one of each category
+    derived from doc_id, then scrubs); oracle replays both the planting
+    and the regex chain."""
+    from bloomfilter_spark.functions.pii import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1 555-01"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+            F.lit(" via 10."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".0.7 ssn 123-45-6789 done"),
+        ).alias("text"),
+    )
+    return (
+        redact_pii(planted, "text")
+        .select(
+            "doc_id", "n_email", "n_ip", "n_ssn", "n_phone", "redacted"
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_PATTERNS_SQL = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("phone", "\\+\\d[\\d\\- ]{7,14}\\d", "[PHONE]"),
+]
+
+
+def _pii_oracle_sql() -> str:
+    t = "t0"
+    selects = []
+    ctes = [
+        """t0 AS (
+  SELECT doc_id,
+         text || ' reach user' || doc_id || '@mail.example.com or +1 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || ' via 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.7 ssn 123-45-6789 done' AS s
+  FROM documents
+)"""
+    ]
+    for i, (name, pat, token) in enumerate(_PII_PATTERNS_SQL):
+        nxt = f"t{i + 1}"
+        carried = "".join(f"{c}, " for c in selects)
+        ctes.append(
+            f"""{nxt} AS (
+  SELECT doc_id, {carried}
+         CAST(len(regexp_extract_all(s, '{pat}')) AS INTEGER) AS n_{name},
+         regexp_replace(s, '{pat}', '{token}', 'g') AS s
+  FROM {t}
+)"""
+        )
+        selects.append(f"n_{name}")
+        t = nxt
+    cols = ", ".join(selects)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {cols}, s AS redacted FROM {t} ORDER BY doc_id"
+    )
+
+
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same BM25 query answered from a materialized bucket-partitioned
     inverted index (partition-pruned term lookup, no corpus scan) — must
@@ -1338,6 +1410,7 @@ QUERIES2 = {
     "streaming_sessions": q_streaming_sessions,
     "bm25_search": q_bm25_search,
     "bm25_indexed": q_bm25_indexed,
+    "pii_redaction": q_pii_redaction,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1369,6 +1442,7 @@ ORACLES2 = {
     "streaming_sessions": _SESSIONIZE_SQL,
     "bm25_search": _BM25_SQL,
     "bm25_indexed": _BM25_SQL,
+    "pii_redaction": _pii_oracle_sql(),
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

@@ -978,3 +978,71 @@ def test_bm25_indexed_equals_scan_and_prunes(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "bucket" in plan
     got = indexed.toPandas()
     assert scan.values.tolist() == got.values.tolist()
+
+
+def test_pii_redaction_categories(spark):
+    from bloomfilter_spark.functions.pii import redact_pii
+
+    rows = [
+        (1, "mail a@b.com and c.d+x@e.org now"),
+        (2, "server 192.168.0.1 and 10.0.0.255 up"),
+        (3, "ssn 123-45-6789 phone +1 555-0123 end"),
+        (4, "clean text only"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = redact_pii(df, "text").orderBy("doc_id").toPandas().set_index("doc_id")
+    assert got.loc[1][["n_email", "n_ip", "n_ssn", "n_phone"]].tolist() == [2, 0, 0, 0]
+    assert got.loc[1]["redacted"] == "mail [EMAIL] and [EMAIL] now"
+    assert got.loc[2][["n_email", "n_ip"]].tolist() == [0, 2]
+    assert got.loc[2]["redacted"] == "server [IP] and [IP] up"
+    # the SSN is consumed by the SSN pass and NOT double-counted as phone
+    assert got.loc[3][["n_ssn", "n_phone"]].tolist() == [1, 1]
+    assert got.loc[3]["redacted"] == "ssn [SSN] phone [PHONE] end"
+    assert got.loc[4][["n_email", "n_ip", "n_ssn", "n_phone"]].sum() == 0
+    assert got.loc[4]["redacted"] == "clean text only"
+    assert got.loc[5]["redacted"] == ""
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_vs_union_find(spark, seed):
+    """Differential: the distributed fixpoint equals a plain union-find
+    on random graphs (including self-loops and duplicate edges)."""
+    import numpy as np
+
+    from bloomfilter_spark.operators.components import connected_components
+
+    rng = np.random.RandomState(seed)
+    n = 80
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n, (120, 2))]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for v in range(n):
+        root = find(v)
+        want.setdefault(root, set()).add(v)
+    # canonical label = min member of each component
+    want_label = {v: min(m) for m in want.values() for v in m}
+
+    edf = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = (
+        connected_components(edf, nodes=nodes, id_col="id")
+        .toPandas()
+        .set_index("id")["component"]
+        .to_dict()
+    )
+    assert got == want_label
