@@ -45,9 +45,11 @@ def asof_join(
     payload = F.struct(
         F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in value_cols]
     )
-    r = right.select(
-        *keys, F.col(ts_col), payload.alias("__payload")
-    ).withColumn("__side", F.lit(0))
+    r = (
+        right.filter(F.col(ts_col).isNotNull())  # un-timestamped rows can't match
+        .select(*keys, F.col(ts_col), payload.alias("__payload"))
+        .withColumn("__side", F.lit(0))
+    )
     l = left.withColumn("__side", F.lit(1)).withColumn(
         "__payload", F.lit(None).cast(dict(r.dtypes)["__payload"])
     )
@@ -58,9 +60,15 @@ def asof_join(
         .orderBy(ts_ord, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = F.last(
-        F.when(F.col("__side") == 0, F.col("__payload")), ignorenulls=True
-    ).over(w)
+    # a null-timestamp left row matches nothing (DuckDB/pandas asof
+    # semantics); without the guard it would sort to an end of the window
+    # frame and pick up whatever carry lives there
+    matched = F.when(
+        F.col(ts_col).isNotNull(),
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__payload")), ignorenulls=True
+        ).over(w),
+    )
     out = (
         u.withColumn("__m", matched)
         .filter(F.col("__side") == 1)

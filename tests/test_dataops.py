@@ -1046,3 +1046,28 @@ def test_connected_components_vs_union_find(spark, seed):
         .to_dict()
     )
     assert got == want_label
+
+
+def test_asof_join_null_timestamps(spark):
+    """Null-ts left rows match nothing (both directions); null-ts right
+    rows are never matchable."""
+    from datetime import datetime
+
+    from bloomfilter_spark.operators.temporal import asof_join
+
+    T = datetime(2024, 5, 1)
+    left = spark.createDataFrame(
+        [(1, T), (1, None)], "k long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(1, T, 1.0), (1, None, 99.0)], "k long, ts timestamp_ntz, v double"
+    )
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(left, right, "k", "ts", ["v"], direction=direction)
+            .toPandas()
+            .sort_values("ts", na_position="last")
+        )
+        vals = got["v_matched"].tolist()
+        assert vals[0] == 1.0          # real ts matches the real right row
+        assert vals[1] != vals[1]      # null ts -> NaN, 99.0 never leaks
