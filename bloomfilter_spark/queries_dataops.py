@@ -461,6 +461,89 @@ LIMIT 20
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically synthesized messy URLs
+    (mixed-case scheme/host, default port, trailing slashes, tracking
+    params, fragment); the oracle replays every rule with the same
+    regexes + list_sort."""
+    from bloomfilter_spark.functions.urls import host_of, normalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Example"),
+            F.pmod(F.col("doc_id"), F.lit(20)).cast("string"),
+            F.lit(".COM:80/Articles/Item"),
+            F.col("doc_id").cast("string"),
+            F.element_at(
+                F.array(F.lit("/"), F.lit(""), F.lit("//")),
+                (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+            ),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                F.lit("?utm_source=feed&z=9&a=1&gclid=x"),
+            ).otherwise(F.lit("")),
+            F.lit("#section-2"),
+        ).alias("url"),
+    )
+    return messy.select(
+        "doc_id",
+        normalize_url("url").alias("url_canon"),
+        host_of("url").alias("host"),
+    ).orderBy("doc_id")
+
+
+_URL_NORMALIZE_SQL = r"""
+WITH messy AS (
+  SELECT doc_id,
+         'HTTP://WWW.Example' || CAST(doc_id % 20 AS VARCHAR)
+           || '.COM:80/Articles/Item' || CAST(doc_id AS VARCHAR)
+           || (CASE doc_id % 3 WHEN 0 THEN '/' WHEN 1 THEN '' ELSE '//' END)
+           || (CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=feed&z=9&a=1&gclid=x' ELSE '' END)
+           || '#section-2' AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM messy
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1))
+           AS prefix,
+         regexp_replace(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', '') AS rest,
+         lower(regexp_extract(
+           u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#@]*@)?([^/?#:]*)', 2))
+           AS host
+  FROM s1
+), norm AS (
+  SELECT doc_id, host,
+         CASE WHEN prefix LIKE 'http://%'
+                THEN regexp_replace(prefix, ':80$', '')
+              WHEN prefix LIKE 'https://%'
+                THEN regexp_replace(prefix, ':443$', '')
+              ELSE prefix END AS prefix,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+         CASE WHEN contains(rest, '?')
+              THEN regexp_replace(rest, '^[^?]*\?', '') END AS query
+  FROM parts
+), q AS (
+  SELECT doc_id, host, prefix, path,
+         array_to_string(list_sort(list_filter(
+           string_split(query, '&'),
+           p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid')
+                     OR starts_with(p, 'gclid')) AND p <> ''
+         )), '&') AS canon_q
+  FROM norm
+)
+SELECT doc_id,
+       prefix || path ||
+         (CASE WHEN canon_q IS NOT NULL AND canon_q <> ''
+               THEN '?' || canon_q ELSE '' END) AS url_canon,
+       host
+FROM q ORDER BY doc_id
+"""
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents with deterministic planted PII (the
     fixture itself is clean, so the query plants one of each category
@@ -1411,6 +1494,7 @@ QUERIES2 = {
     "bm25_search": q_bm25_search,
     "bm25_indexed": q_bm25_indexed,
     "pii_redaction": q_pii_redaction,
+    "url_normalize": q_url_normalize,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1443,6 +1527,7 @@ ORACLES2 = {
     "bm25_search": _BM25_SQL,
     "bm25_indexed": _BM25_SQL,
     "pii_redaction": _pii_oracle_sql(),
+    "url_normalize": _URL_NORMALIZE_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

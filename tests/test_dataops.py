@@ -1071,3 +1071,33 @@ def test_asof_join_null_timestamps(spark):
         vals = got["v_matched"].tolist()
         assert vals[0] == 1.0          # real ts matches the real right row
         assert vals[1] != vals[1]      # null ts -> NaN, 99.0 never leaks
+
+
+def test_normalize_url_rules(spark):
+    from bloomfilter_spark.functions.urls import host_of, normalize_url
+
+    cases = {
+        "HTTP://WWW.Ex.COM:80/A/B/#frag": "http://www.ex.com/A/B",
+        "https://Ex.com:443/": "https://ex.com",
+        "https://ex.com:8443/x": "https://ex.com:8443/x",     # non-default kept
+        "http://ex.com/p?z=2&utm_source=a&a=1&fbclid=q": "http://ex.com/p?a=1&z=2",
+        "http://ex.com/p?utm_x=1": "http://ex.com/p",          # all tracked
+        "ftp://Ex.com:80/f": "ftp://ex.com:80/f",              # :80 only for http
+        "http://user:pw@Ex.com/x": "http://user:pw@ex.com/x",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = df.select("url", normalize_url("url").alias("c")).toPandas()
+    for _, r in got.iterrows():
+        assert r["c"] == cases[r["url"]], (r["url"], r["c"])
+    hosts = df.select("url", host_of("url").alias("h")).toPandas()
+    want_hosts = {
+        "HTTP://WWW.Ex.COM:80/A/B/#frag": "www.ex.com",
+        "https://Ex.com:443/": "ex.com",
+        "https://ex.com:8443/x": "ex.com",
+        "http://ex.com/p?z=2&utm_source=a&a=1&fbclid=q": "ex.com",
+        "http://ex.com/p?utm_x=1": "ex.com",
+        "ftp://Ex.com:80/f": "ex.com",
+        "http://user:pw@Ex.com/x": "ex.com",
+    }
+    for _, r in hosts.iterrows():
+        assert r["h"] == want_hosts[r["url"]], (r["url"], r["h"])
