@@ -461,6 +461,45 @@ LIMIT 20
 """
 
 
+def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF doc vectors (long format) over documents; the
+    oracle replays tokenize → tf/df → smooth idf → md5 dim hash →
+    collision sum → L2 norm, value-for-value."""
+    from bloomfilter_spark.functions.features import tfidf_vectors
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_vectors(docs, "doc_id", "text", dim=64).orderBy(
+        "doc_id", "dim"
+    )
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok AS term
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), w AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(term), 1, 15))::BIGINT % 64 AS dim,
+         SUM(tf * (LN((n_docs + 1) * 1.0 / (df + 1)) + 1.0)) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  GROUP BY 1, 2
+)
+SELECT doc_id, dim,
+       ROUND(w / SQRT(SUM(w * w) OVER (PARTITION BY doc_id)), 6) AS w
+FROM w ORDER BY doc_id, dim
+"""
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministically synthesized messy URLs
     (mixed-case scheme/host, default port, trailing slashes, tracking
@@ -1495,6 +1534,7 @@ QUERIES2 = {
     "bm25_indexed": q_bm25_indexed,
     "pii_redaction": q_pii_redaction,
     "url_normalize": q_url_normalize,
+    "tfidf_vectors": q_tfidf_vectors,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1528,6 +1568,7 @@ ORACLES2 = {
     "bm25_indexed": _BM25_SQL,
     "pii_redaction": _pii_oracle_sql(),
     "url_normalize": _URL_NORMALIZE_SQL,
+    "tfidf_vectors": _TFIDF_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

@@ -1101,3 +1101,36 @@ def test_normalize_url_rules(spark):
     }
     for _, r in hosts.iterrows():
         assert r["h"] == want_hosts[r["url"]], (r["url"], r["h"])
+
+
+def test_tfidf_vectors_norm_and_reference(spark):
+    """Unit L2 norm per doc; values match a plain-Python replay (incl.
+    the md5 dim hash and collision summing)."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from bloomfilter_spark.functions.features import tfidf_vectors
+
+    corpus = {1: "a b a c", 2: "b b d", 3: "c d d e e e"}
+    dim = 8
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = tfidf_vectors(df, "doc_id", "text", dim=dim).toPandas()
+
+    n = len(corpus)
+    tf = {d: Counter(t.split()) for d, t in corpus.items()}
+    dfreq = Counter(t for d in tf.values() for t in d)
+    want = {}
+    for d, c in tf.items():
+        vec = defaultdict(float)
+        for t, f in c.items():
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+            vec[h] += f * (math.log((n + 1) / (dfreq[t] + 1)) + 1.0)
+        norm = math.sqrt(sum(w * w for w in vec.values()))
+        for h, w in vec.items():
+            want[(d, h)] = round(w / norm, 6)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert abs(r["w"] - want[(r["doc_id"], r["dim"])]) < 1e-9
+    norms = got.groupby("doc_id")["w"].apply(lambda s: (s**2).sum())
+    assert ((norms - 1.0).abs() < 1e-4).all()
