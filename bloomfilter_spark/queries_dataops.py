@@ -461,6 +461,43 @@ LIMIT 20
 """
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events.props JSON column
+    (get_json_object — Catalyst's SIMD-JSON path, no UDF) and aggregate
+    the extracted field per event type; oracle uses DuckDB's ->> JSON
+    operator."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_PROPS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(AVG(k), 4) AS avg_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed TF-IDF doc vectors (long format) over documents; the
     oracle replays tokenize → tf/df → smooth idf → md5 dim hash →
@@ -1535,6 +1572,7 @@ QUERIES2 = {
     "pii_redaction": q_pii_redaction,
     "url_normalize": q_url_normalize,
     "tfidf_vectors": q_tfidf_vectors,
+    "json_props_stats": q_json_props_stats,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1569,6 +1607,7 @@ ORACLES2 = {
     "pii_redaction": _pii_oracle_sql(),
     "url_normalize": _URL_NORMALIZE_SQL,
     "tfidf_vectors": _TFIDF_SQL,
+    "json_props_stats": _JSON_PROPS_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

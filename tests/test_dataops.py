@@ -1134,3 +1134,28 @@ def test_tfidf_vectors_norm_and_reference(spark):
         assert abs(r["w"] - want[(r["doc_id"], r["dim"])]) < 1e-9
     norms = got.groupby("doc_id")["w"].apply(lambda s: (s**2).sum())
     assert ((norms - 1.0).abs() < 1e-4).all()
+
+
+def test_json_extraction_malformed_tolerant(spark):
+    """get_json_object yields NULL (not an error) on malformed / missing
+    JSON — corrupt props rows are data, not failures."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, '{"k": 5}'),
+        (2, '{"k": "notanum"}'),
+        (3, "{broken"),
+        (4, None),
+        (5, '{"other": 1}'),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    got = (
+        df.select(
+            "id", F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    ks = got["k"].tolist()
+    assert ks[0] == 5
+    assert all(k != k for k in ks[1:])  # NaN for all the rest
