@@ -467,7 +467,9 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the extracted field per event type; oracle uses DuckDB's ->> JSON
     operator."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast, not cast: ANSI mode (Spark 4 default) raises on a
+    # non-numeric value; a malformed props row must be NULL, not a crash
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

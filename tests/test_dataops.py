@@ -1151,7 +1151,7 @@ def test_json_extraction_malformed_tolerant(spark):
     df = spark.createDataFrame(rows, "id long, props string")
     got = (
         df.select(
-            "id", F.get_json_object("props", "$.k").cast("long").alias("k")
+            "id", F.get_json_object("props", "$.k").try_cast("long").alias("k")
         )
         .orderBy("id")
         .toPandas()
