@@ -245,3 +245,69 @@ def with_fingerprints(
         return fingerprint_series(s, k=k, w=w)
 
     return ensure_parallelism(df).withColumn(out_col, _fp(text_col))
+
+
+def compression_features(df, text_col: str = "text", id_col: str = "doc_id"):
+    """MassiveText/RefinedWeb-style compression-ratio quality signal.
+
+    ratio = len(zlib(utf8(text), level=6)) / max(1, len(utf8(text))) —
+    highly repetitive or templated text compresses far below natural
+    prose (~0.4-0.7), and near-random strings sit near 1.0.  Returns
+    (id_col, n_bytes, n_compressed, compression_ratio round 6,
+    compression_ok = ratio >= 0.25): the filter drops machine-generated
+    repetition, the classic use.
+
+    zlib level 6 output is deterministic for a given input on every
+    CPython build (fixed zlib algorithm), so the operator is exactly
+    reproducible — but NO SQL oracle exists (DuckDB has no zlib), so the
+    catalog entry is rows-only and the values are pinned by pytest golden
+    assertions instead.
+
+    Execution: mapInPandas over Arrow batches — one zlib.compress per
+    row (C speed, releases the GIL), no shuffle, map-only at any scale.
+    """
+    import zlib
+    from typing import Iterator as _Iter
+
+    import pandas as _pd
+
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        [
+            _T.StructField("id", _T.LongType()),
+            _T.StructField("n_bytes", _T.LongType()),
+            _T.StructField("n_compressed", _T.LongType()),
+            _T.StructField("compression_ratio", _T.DoubleType()),
+            _T.StructField("compression_ok", _T.BooleanType()),
+        ]
+    )
+
+    def run(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf[text_col]
+            ]
+            nb = [len(b) for b in raw]
+            nc = [len(zlib.compress(b, 6)) for b in raw]
+            ratio = [
+                round(c / max(1, n), 6) for c, n in zip(nc, nb)
+            ]
+            yield _pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compression_ratio": ratio,
+                    "compression_ok": [r >= 0.25 for r in ratio],
+                }
+            )
+
+    from bloomfilter_spark.plans.skew import ensure_parallelism
+
+    return (
+        ensure_parallelism(df.select(id_col, text_col))
+        .mapInPandas(run, schema=schema)
+        .withColumnRenamed("id", id_col)
+    )

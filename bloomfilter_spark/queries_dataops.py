@@ -461,6 +461,16 @@ LIMIT 20
 """
 
 
+def q_compression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter (zlib level 6, deterministic on
+    every CPython).  rows-only by necessity — DuckDB has no zlib — with
+    the values replay-pinned in pytest against python zlib directly."""
+    from bloomfilter_spark.functions.textstats import compression_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_features(docs, "text", "doc_id").orderBy("doc_id")
+
+
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the events.props JSON column
     (get_json_object — Catalyst's SIMD-JSON path, no UDF) and aggregate
@@ -1575,6 +1585,7 @@ QUERIES2 = {
     "url_normalize": q_url_normalize,
     "tfidf_vectors": q_tfidf_vectors,
     "json_props_stats": q_json_props_stats,
+    "compression_filter": q_compression_filter,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,

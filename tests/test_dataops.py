@@ -1159,3 +1159,40 @@ def test_json_extraction_malformed_tolerant(spark):
     ks = got["k"].tolist()
     assert ks[0] == 5
     assert all(k != k for k in ks[1:])  # NaN for all the rest
+
+
+def test_compression_features_replay(spark):
+    """Spark output equals a direct python zlib replay; repetitive text
+    scores low ratio, high-entropy text scores high."""
+    import hashlib
+    import zlib
+
+    from bloomfilter_spark.functions.textstats import compression_features
+
+    noisy = " ".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(50)
+    )
+    rows = [
+        (1, "spam " * 2000),
+        (2, noisy),
+        (3, ""),
+        (4, "a normal little sentence about spark and ducks"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        compression_features(df, "text", "doc_id")
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for i, t in rows:
+        b = t.encode()
+        assert got.loc[i]["n_bytes"] == len(b)
+        assert got.loc[i]["n_compressed"] == len(zlib.compress(b, 6))
+        assert got.loc[i]["compression_ratio"] == round(
+            len(zlib.compress(b, 6)) / max(1, len(b)), 6
+        )
+    assert got.loc[1]["compression_ratio"] < 0.01      # pure repetition
+    assert got.loc[2]["compression_ratio"] > 0.5       # high entropy
+    assert not got.loc[1]["compression_ok"]
+    assert bool(got.loc[2]["compression_ok"]) and bool(got.loc[4]["compression_ok"])
