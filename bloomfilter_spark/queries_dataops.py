@@ -461,6 +461,45 @@ LIMIT 20
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot CDC: two deterministic snapshots carved from the
+    documents fixture (membership by doc_id mod, content edit on a third
+    mod) diffed into added/removed/changed/unchanged in one outer join;
+    the oracle replays both snapshots and the md5 comparison."""
+    from bloomfilter_spark.operators.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0).withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", "text").orderBy("doc_id")
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS h_old
+  FROM documents WHERE doc_id % 5 <> 0
+), n AS (
+  SELECT doc_id,
+         md5(coalesce(text, '')
+             || CASE WHEN doc_id % 4 = 0 THEN ' v2' ELSE '' END) AS h_new
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h_old IS NULL THEN 'added'
+            WHEN n.h_new IS NULL THEN 'removed'
+            WHEN o.h_old <> n.h_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_compression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality filter (zlib level 6, deterministic on
     every CPython).  rows-only by necessity — DuckDB has no zlib — with
@@ -1585,6 +1624,7 @@ QUERIES2 = {
     "url_normalize": q_url_normalize,
     "tfidf_vectors": q_tfidf_vectors,
     "json_props_stats": q_json_props_stats,
+    "snapshot_diff": q_snapshot_diff,
     "compression_filter": q_compression_filter,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1621,6 +1661,7 @@ ORACLES2 = {
     "url_normalize": _URL_NORMALIZE_SQL,
     "tfidf_vectors": _TFIDF_SQL,
     "json_props_stats": _JSON_PROPS_SQL,
+    "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

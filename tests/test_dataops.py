@@ -1196,3 +1196,35 @@ def test_compression_features_replay(spark):
     assert got.loc[2]["compression_ratio"] > 0.5       # high entropy
     assert not got.loc[1]["compression_ok"]
     assert bool(got.loc[2]["compression_ok"]) and bool(got.loc[4]["compression_ok"])
+
+
+def test_snapshot_diff_statuses(spark):
+    from bloomfilter_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", None)],
+        "k long, t string, u string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "y"), (3, "c", ""), (4, "d", "z")],
+        "k long, t string, u string",
+    )
+    got = (
+        snapshot_diff(old, new, "k", ["t", "u"])
+        .orderBy("k")
+        .toPandas()
+        .set_index("k")["status"]
+        .to_dict()
+    )
+    # NULL and '' hash identically by contract -> key 3 is unchanged
+    assert got == {1: "removed", 2: "unchanged", 3: "unchanged", 4: "added"}
+
+    changed = spark.createDataFrame([(2, "B", "y")], "k long, t string, u string")
+    got2 = (
+        snapshot_diff(old, changed, "k", ["t", "u"])
+        .orderBy("k")
+        .toPandas()
+        .set_index("k")["status"]
+        .to_dict()
+    )
+    assert got2[2] == "changed"
