@@ -1228,3 +1228,31 @@ def test_snapshot_diff_statuses(spark):
         .to_dict()
     )
     assert got2[2] == "changed"
+
+
+def test_sessionize_and_asof_single_shuffle_plans(spark):
+    """Plan discipline: sessionize (incl. its session_idx window) and
+    asof_join each compile to EXACTLY ONE Exchange — the session/window
+    partitioning is reused, nothing reshuffles twice."""
+    from bloomfilter_spark.operators.sessions import sessionize
+    from bloomfilter_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p1 = (
+        sessionize(ev, "user_id", "ts", value_col="value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p1.count("Exchange") == 1, p1
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    p2 = (
+        asof_join(clicks, errors, "user_id", "ts", ["value"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p2.count("Exchange") == 1, p2
