@@ -1,0 +1,153 @@
+"""Deterministic output-shard packing via a distributed global prefix sum.
+
+Training-data pipelines end by writing the cleaned corpus into N output
+shards of roughly equal BYTES (not rows) — downstream loaders stream
+shards, so shard skew = loader skew.  Greedy sequential packing ("walk the
+corpus in a fixed order, start a new shard every `target` bytes") is the
+standard layout, but it needs a GLOBAL running sum, and the naive Spark
+spelling — a window with no partitionBy — funnels the whole table through
+ONE reducer (`WindowExec: No Partition Defined`), the exact anti-pattern
+this library bans.
+
+`global_running_sum` computes the same prefix sum with the classic
+two-level plan a 1000-executor cluster needs:
+
+1. range-shuffle on the order key (`repartitionByRange`) — ascending key
+   ranges land in ascending partition ids, Spark's own global-sort layout —
+   then a shuffle-free `sortWithinPartitions`: the ONLY full-data exchange
+   in the plan;
+2. per-partition totals — one tiny row per partition, map-side-combined —
+   are prefix-summed on the driver (n_partitions rows, never data rows);
+3. an Arrow-batched `mapInPandas` walks each sorted partition once,
+   accumulating the local running sum across batches and adding the
+   partition's offset: global = offset[pid] + local.  (A window
+   `PARTITION BY spark_partition_id()` would compute the same thing but
+   Catalyst can't see that the data is already clustered by physical
+   partition, so it would pay a second full shuffle.)
+
+The result is a pure function of (data, order key): independent of input
+partitioning, cluster size, and range-boundary sampling, so an external
+SQL engine replays it with a plain `SUM() OVER (ORDER BY key)` and the
+DuckDB oracle value-checks every byte offset.
+
+The packing rule: a row belongs to the shard its STARTING byte offset
+falls in — `shard = (running - size) div target`.  Every shard except the
+last then holds `target ± (max_row_size − 1)` bytes: bounded skew by
+construction.
+
+Row order inside the shuffle is pinned by `order_cols`, which must be a
+total order (include a unique tiebreak column — the catalog query orders
+by (md5(doc_id), doc_id)).  A hash order key both de-clusters the input
+(any source/time locality is scattered uniformly over shards) and keeps
+the layout stable under re-runs.
+
+Reference analog: none — the reference is a single-process library; this
+is part of the "what a 100 TB pipeline needs around the sketches" surface
+(driver brief), same family as operators/sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_PID = "__pack_pid"
+_SIZE = "__pack_size"
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    size_col: str,
+    out_col: str = "running_bytes",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Add `out_col` = inclusive prefix sum of `size_col` over the total
+    order given by `order_cols` — without a global single-reducer window.
+
+    `order_cols` must define a total order (unique tuples): ties would make
+    the prefix sum depend on physical row placement.  NULL sizes count as 0
+    (the row still occupies a position).
+    """
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+
+    # Materialize the range layout ONCE so the totals job and the cumsum
+    # job see identical partition ids and row order (at cluster scale:
+    # persist/checkpoint instead of localCheckpoint).
+    ranged = (
+        df.repartitionByRange(n_ranges, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.col(c) for c in order_cols])
+        .withColumn(_PID, F.spark_partition_id())
+        .withColumn(_SIZE, size)
+        .localCheckpoint(eager=False)
+    )
+
+    # Tiny: one partial-aggregated row per partition, prefix-summed
+    # driver-side into exclusive offsets.
+    totals = ranged.groupBy(_PID).agg(F.sum(_SIZE).alias("t")).orderBy(_PID).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in totals:
+        offsets[row[_PID]] = acc
+        acc += row["t"]
+
+    out_schema = ranged.schema.fieldNames() + [out_col]
+    schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema)
+        + f", `{out_col}` bigint"
+    )
+
+    def cumsum(batches):
+        run = None  # partition offset, loaded from the first batch's pid
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf[_PID].iloc[0])]
+            cs = pdf[_SIZE].to_numpy().cumsum() + run
+            run = int(cs[-1])
+            pdf = pdf.copy()
+            pdf[out_col] = cs
+            yield pdf[out_schema]
+
+    return ranged.mapInPandas(cumsum, schema=schema).drop(_PID, _SIZE)
+
+
+def pack_shards(
+    df: DataFrame,
+    order_cols: list[str],
+    size_col: str,
+    target_size: int,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Assign each row a `shard_id`: greedy sequential packing into shards
+    of ~`target_size` bytes, walking rows in `order_cols` order.
+
+    shard_id = floor(start_offset / target_size) where start_offset is the
+    running sum BEFORE this row — integer arithmetic end to end, so the
+    rule is exact at any corpus size and SQL-replayable.
+    """
+    if target_size <= 0:
+        raise ValueError(f"target_size must be positive, got {target_size}")
+    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    out = global_running_sum(df, order_cols, size_col, "running_bytes", n_ranges)
+    start = F.col("running_bytes") - size
+    # Integer floor-division spelled so the double quotient is exact:
+    # (start - start % t) is divisible by t, and the quotient stays far
+    # below 2^53 — no rounding at 10^14-byte corpus offsets.
+    shard = (start - F.pmod(start, F.lit(target_size))) / F.lit(target_size)
+    return out.withColumn("shard_id", shard.cast("long"))
+
+
+def shard_summary(packed: DataFrame, size_col: str) -> DataFrame:
+    """Per-shard doc count + byte total (the balance report a writer logs)."""
+    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size).alias("shard_bytes"),
+    )

@@ -1404,6 +1404,47 @@ FROM h GROUP BY lang ORDER BY lang
 """
 
 
+_PACK_TARGET = 8192
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential output-shard packing via the distributed global
+    prefix sum (operators/packing.py) — ONE range shuffle, per-partition
+    Arrow cumsum, driver-side offsets over n_partitions rows only (never a
+    global single-reducer window).  Walk order is (md5(doc_id), doc_id),
+    so the layout is content-deterministic and the DuckDB oracle replays
+    every byte offset with a plain SUM() OVER (ORDER BY)."""
+    from bloomfilter_spark.functions.hashing import md5_hash60
+    from bloomfilter_spark.operators.packing import pack_shards, shard_summary
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", md5_hash60(F.col("doc_id").cast("string")).alias("ok")
+    )
+    packed = pack_shards(docs, ["ok", "doc_id"], "n_chars", _PACK_TARGET)
+    return shard_summary(packed, "n_chars").orderBy("shard_id")
+
+
+def _pack_shards_oracle_sql() -> str:
+    from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
+
+    ok = MD5_HASH60_SQL.format(expr="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH h AS (
+  SELECT doc_id, COALESCE(n_chars, 0) AS sz, {ok} AS ok
+  FROM documents
+), c AS (
+  SELECT sz,
+         SUM(sz) OVER (ORDER BY ok, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM h
+)
+SELECT CAST((run - sz) // {_PACK_TARGET} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(sz) AS BIGINT) AS shard_bytes
+FROM c GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → analyze pipeline over the deterministic fake-codec media
     table (BFIM images / BFAU audio).  The decoded dimensions are pure
@@ -1639,6 +1680,7 @@ QUERIES2 = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "sample_stratified": q_sample_stratified,
+    "pack_shards": q_pack_shards,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "pages_sketch_suite": q_pages_sketch_suite,
@@ -1673,6 +1715,7 @@ ORACLES2 = {
     "ann_neardup_pairs": _ANN_NEARDUP_SQL,
     "pipeline_clean_corpus": _CLEAN_CORPUS_SQL,
     "sample_stratified": _sample_oracle_sql(),
+    "pack_shards": _pack_shards_oracle_sql(),
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),
