@@ -72,3 +72,66 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(sample_hash_threshold(rate))
         ).otherwise(thr)
     return df.filter(_key_hash(key_col, seed) < thr)
+
+
+def normalize_weights(weights: dict[str, float]) -> dict[str, float]:
+    """weights → proportions summing to 1, in SORTED-key accumulation
+    order so the float sum (and thus every downstream rate) is identical
+    no matter how the caller's dict was built."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    total = 0.0
+    for k in sorted(weights):
+        total += float(weights[k])
+    if total <= 0.0:
+        raise ValueError("weights must sum to a positive value")
+    return {k: float(weights[k]) / total for k in sorted(weights)}
+
+
+def mix_rates(
+    totals: dict[str, int], weights: dict[str, float], budget: int
+) -> dict[str, float]:
+    """Per-source keep rates for proportional mixing: source s should
+    contribute ≈ budget · w_s bytes, so rate_s = min(1, budget·w_s /
+    total_s) — clipped when the source is too small to fill its share
+    (no upsampling; callers wanting replication handle that upstream).
+
+    Pure float arithmetic with pinned association order, so a SQL engine
+    replays the exact thresholds (the catalog oracle does)."""
+    norm = normalize_weights(weights)
+    rates: dict[str, float] = {}
+    for s, w in norm.items():
+        t = int(totals.get(s, 0))
+        rates[s] = 1.0 if t <= 0 else min(1.0, budget * w / t)
+    return rates
+
+
+def mix_to_budget(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    size_col: str,
+    weights: dict[str, float],
+    budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic corpus mixing: downsample each source so expected
+    bytes match `budget · weight_share` (curriculum / data-mixture
+    construction).  Two scans: a per-source size aggregate (driver-sized —
+    one row per source), then the same hash-threshold filter as
+    `stratified_sample`, so the mixture is stable under repartitioning and
+    nested across budgets (raising the budget only ADDS documents).
+    Sources absent from `weights` are dropped (weight 0)."""
+    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    totals = {
+        r["s"]: r["t"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(size).alias("t"))
+        .collect()
+    }
+    rates = mix_rates(totals, weights, budget)
+    return stratified_sample(
+        df, key_col, source_col, rates, default_rate=0.0, seed=seed
+    )

@@ -1445,6 +1445,83 @@ FROM c GROUP BY shard_id ORDER BY shard_id
 """
 
 
+_MIX_BUDGET = 100_000
+_MIX_WEIGHTS = {f"src{i}": float(i % 4 + 1) for i in range(20)}
+_MIX_SEED = 7
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional corpus mixing (data-mixture construction): each source
+    is hash-threshold downsampled so its expected char contribution is
+    budget·weight_share, rates computed from a per-source size aggregate
+    (one driver row per source).  Deterministic end to end, so the oracle
+    recomputes the exact per-source kept counts — including the clipped
+    rate-1 branch for sources too small to fill their share."""
+    from bloomfilter_spark.operators.sampling import mix_to_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    size = F.coalesce(F.col("n_chars").cast("long"), F.lit(0))
+    mixed = mix_to_budget(
+        docs, "doc_id", "source", "n_chars", _MIX_WEIGHTS, _MIX_BUDGET,
+        seed=_MIX_SEED,
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(size).alias("chars_total")
+    )
+    kept = mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum(size).alias("chars_kept")
+    )
+    return (
+        totals.join(kept, "source", "left")
+        .select(
+            "source", "n_docs", "chars_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("chars_kept", F.lit(0)).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mix_corpus_oracle_sql() -> str:
+    from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
+    from bloomfilter_spark.operators.sampling import normalize_weights
+
+    # identical normalized weights (sorted-key accumulation) as the query;
+    # repr() round-trips each double exactly into DuckDB
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w!r}" for s, w in normalize_weights(_MIX_WEIGHTS).items()
+    )
+    key_expr = f"COALESCE(CAST(doc_id AS VARCHAR), '') || ':{_MIX_SEED}'"
+    kh = MD5_HASH60_SQL.format(expr=key_expr)
+    return f"""
+WITH t AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS chars_total
+  FROM documents GROUP BY source
+), thr AS (
+  SELECT source, n_docs, chars_total,
+         CAST(FLOOR(
+           (CASE WHEN chars_total <= 0 THEN 1.0
+                 ELSE LEAST(1.0,
+                            (CAST({_MIX_BUDGET} AS DOUBLE)
+                             * (CASE source {cases} ELSE 0.0 END))
+                            / CAST(chars_total AS DOUBLE)) END)
+           * 1152921504606846976.0) AS BIGINT) AS keep_thr
+  FROM t
+), k AS (
+  SELECT source, COUNT(*) AS n_kept,
+         CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS chars_kept
+  FROM documents d JOIN thr USING (source)
+  WHERE {kh} < keep_thr
+  GROUP BY source
+)
+SELECT thr.source, thr.n_docs, thr.chars_total,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.chars_kept, 0) AS chars_kept
+FROM thr LEFT JOIN k USING (source) ORDER BY thr.source
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → analyze pipeline over the deterministic fake-codec media
     table (BFIM images / BFAU audio).  The decoded dimensions are pure
@@ -1681,6 +1758,7 @@ QUERIES2 = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "sample_stratified": q_sample_stratified,
     "pack_shards": q_pack_shards,
+    "mix_corpus": q_mix_corpus,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "pages_sketch_suite": q_pages_sketch_suite,
@@ -1716,6 +1794,7 @@ ORACLES2 = {
     "pipeline_clean_corpus": _CLEAN_CORPUS_SQL,
     "sample_stratified": _sample_oracle_sql(),
     "pack_shards": _pack_shards_oracle_sql(),
+    "mix_corpus": _mix_corpus_oracle_sql(),
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),

@@ -1,0 +1,89 @@
+"""Corpus mixing: rate math, clipping, nesting, and determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.operators.sampling import (
+    mix_rates,
+    mix_to_budget,
+    normalize_weights,
+)
+
+
+def test_normalize_weights_order_independent():
+    a = normalize_weights({"x": 1.0, "y": 3.0})
+    b = normalize_weights({"y": 3.0, "x": 1.0})
+    assert a == b == {"x": 0.25, "y": 0.75}
+    with pytest.raises(ValueError):
+        normalize_weights({})
+    with pytest.raises(ValueError):
+        normalize_weights({"x": -1.0})
+    with pytest.raises(ValueError):
+        normalize_weights({"x": 0.0})
+
+
+def test_mix_rates_clipping_and_missing_sources():
+    rates = mix_rates(
+        {"big": 1000, "tiny": 10}, {"big": 1.0, "tiny": 1.0, "ghost": 2.0}, 100
+    )
+    # big gets 25% share of 100 over 1000 bytes -> 0.025; tiny's share
+    # exceeds its size -> clipped to 1; ghost absent from data -> rate 1
+    # (vacuous: no rows exist to keep)
+    assert rates["big"] == pytest.approx(0.025)
+    assert rates["tiny"] == 1.0
+    assert rates["ghost"] == 1.0
+
+
+@pytest.fixture(scope="module")
+def sourced(spark):
+    return (
+        spark.range(0, 2000)
+        .withColumn("src", F.concat(F.lit("s"), F.pmod("id", F.lit(4)).cast("string")))
+        .withColumn("sz", F.lit(100))
+        .withColumnRenamed("id", "k")
+    )
+
+
+def test_mix_hits_budget_within_tolerance(spark, sourced):
+    # 4 sources x 500 rows x 100 bytes = 200k total; budget 40k
+    weights = {"s0": 1.0, "s1": 1.0, "s2": 1.0, "s3": 1.0}
+    mixed = mix_to_budget(sourced, "k", "src", "sz", weights, 40_000)
+    per = {
+        r["src"]: r["c"]
+        for r in mixed.groupBy("src").agg(F.count("*").alias("c")).collect()
+    }
+    # each source expects 100 of 500 kept; hash sampling is binomial —
+    # allow 4 sigma (~13)
+    for s in weights:
+        assert abs(per.get(s, 0) - 100) < 55
+    # unknown-source rows are never kept
+    extra = sourced.withColumn("src", F.lit("mystery"))
+    assert mix_to_budget(extra, "k", "src", "sz", weights, 40_000).count() == 0
+
+
+def test_mix_nested_budgets(spark, sourced):
+    weights = {"s0": 1.0, "s1": 2.0, "s2": 3.0, "s3": 4.0}
+    small = mix_to_budget(sourced, "k", "src", "sz", weights, 20_000)
+    large = mix_to_budget(sourced, "k", "src", "sz", weights, 80_000)
+    small_keys = {r["k"] for r in small.select("k").collect()}
+    large_keys = {r["k"] for r in large.select("k").collect()}
+    assert small_keys <= large_keys  # raising the budget only adds rows
+
+
+def test_mix_partitioning_invariant(spark, sourced):
+    weights = {"s0": 3.0, "s1": 1.0, "s2": 1.0, "s3": 1.0}
+    a = {
+        r["k"]
+        for r in mix_to_budget(
+            sourced.repartition(1), "k", "src", "sz", weights, 30_000
+        ).select("k").collect()
+    }
+    b = {
+        r["k"]
+        for r in mix_to_budget(
+            sourced.repartition(13), "k", "src", "sz", weights, 30_000
+        ).select("k").collect()
+    }
+    assert a == b
