@@ -1522,6 +1522,49 @@ FROM thr LEFT JOIN k USING (source) ORDER BY thr.source
 """
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear (fastText-shape) quality-classifier scoring, map-only
+    Catalyst: tokenize → per-token weight lookup via the md5 hash rule →
+    exact int64 dot product.  Quantized integer weights make the score
+    summation-order-free, so the oracle replays logits bit-for-bit and the
+    keep-gate never flips on float rounding."""
+    from bloomfilter_spark.functions.classifier import classifier_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = classifier_scores(docs, "text", dim=1024, salt="0")
+    return scored.select(
+        "doc_id", "n_tokens", F.round("logit", 6).alias("logit"), "keep"
+    ).orderBy("doc_id")
+
+
+_CLASSIFIER_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), s AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(
+           (('0x' || substring(md5(
+              'w:0:' || CAST((('0x' || substring(md5(tok), 1, 15))::BIGINT % 1024)
+                             AS VARCHAR)
+            ), 1, 15))::BIGINT % 2097152) - 1048576
+         ) AS raw
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       ROUND(CASE WHEN s.n_tokens > 0
+                  THEN CAST(s.raw AS DOUBLE) / (s.n_tokens * 1048576.0)
+                  ELSE 0.0 END, 6) AS logit,
+       COALESCE(s.raw > 0, FALSE) AS keep
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → analyze pipeline over the deterministic fake-codec media
     table (BFIM images / BFAU audio).  The decoded dimensions are pure
@@ -1759,6 +1802,7 @@ QUERIES2 = {
     "sample_stratified": q_sample_stratified,
     "pack_shards": q_pack_shards,
     "mix_corpus": q_mix_corpus,
+    "classifier_score": q_classifier_score,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "pages_sketch_suite": q_pages_sketch_suite,
@@ -1795,6 +1839,7 @@ ORACLES2 = {
     "sample_stratified": _sample_oracle_sql(),
     "pack_shards": _pack_shards_oracle_sql(),
     "mix_corpus": _mix_corpus_oracle_sql(),
+    "classifier_score": _CLASSIFIER_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),
