@@ -43,6 +43,19 @@ def token_count(col) -> Column:
     )
 
 
+def word_ngrams(tokens_col, n: int) -> Column:
+    """Space-joined word n-grams from a (pre-filtered, non-empty-token)
+    array column — pure Catalyst, no shuffle.  Guard on size < n because
+    sequence(1, x) DESCENDS for x < 1 instead of yielding empty."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    starts = F.when(
+        F.size(c) >= n, F.sequence(F.lit(1), F.size(c) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(c, i, n)))
+
+
 def marker_count(col, words: list[str]) -> Column:
     """How many tokens of `col` are in `words` (with repeats)."""
     return F.size(

@@ -1565,6 +1565,52 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
 """
 
 
+_NGRAM_N = 3
+_NGRAM_MIN_COUNT = 5
+_NGRAM_TOP_K = 100
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram vocabulary counts (LM count tables / tokenizer-prep):
+    trigram strings exploded map-side, ONE shuffle with partial
+    aggregation, min-count pruning, then TakeOrderedAndProject top-k with
+    a (count desc, ngram asc) deterministic tiebreak."""
+    from bloomfilter_spark.functions.textstats import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+        ).alias("ts")
+    )
+    grams = toks.select(F.explode(word_ngrams("ts", _NGRAM_N)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _NGRAM_MIN_COUNT)
+        .orderBy(F.desc("cnt"), "ngram")
+        .limit(_NGRAM_TOP_K)
+    )
+
+
+_NGRAM_COUNTS_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT UNNEST(CASE WHEN len(ts) >= {_NGRAM_N}
+         THEN list_transform(range(1, len(ts) - {_NGRAM_N - 2}),
+                             i -> array_to_string(list_slice(ts, i, i + {_NGRAM_N - 1}), ' '))
+         ELSE [] END) AS ngram
+  FROM toks
+)
+SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram
+HAVING COUNT(*) >= {_NGRAM_MIN_COUNT}
+ORDER BY cnt DESC, ngram LIMIT {_NGRAM_TOP_K}
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → analyze pipeline over the deterministic fake-codec media
     table (BFIM images / BFAU audio).  The decoded dimensions are pure
@@ -1803,6 +1849,7 @@ QUERIES2 = {
     "pack_shards": q_pack_shards,
     "mix_corpus": q_mix_corpus,
     "classifier_score": q_classifier_score,
+    "ngram_counts": q_ngram_counts,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "pages_sketch_suite": q_pages_sketch_suite,
@@ -1840,6 +1887,7 @@ ORACLES2 = {
     "pack_shards": _pack_shards_oracle_sql(),
     "mix_corpus": _mix_corpus_oracle_sql(),
     "classifier_score": _CLASSIFIER_SQL,
+    "ngram_counts": _NGRAM_COUNTS_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),

@@ -1256,3 +1256,30 @@ def test_sessionize_and_asof_single_shuffle_plans(spark):
         .toString()
     )
     assert p2.count("Exchange") == 1, p2
+
+
+class TestWordNgrams:
+    def test_word_ngrams_basic_and_short_docs(self, spark):
+        from bloomfilter_spark.functions.textstats import word_ngrams
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b", "c", "d"]), (2, ["x", "y"]), (3, [])],
+            "id long, ts array<string>",
+        )
+        got = {
+            r["id"]: r["g"]
+            for r in df.select("id", word_ngrams("ts", 3).alias("g")).collect()
+        }
+        assert got[1] == ["a b c", "b c d"]
+        assert got[2] == []  # size < n must yield empty, not descend
+        assert got[3] == []
+
+    def test_word_ngrams_n1_and_validation(self, spark):
+        import pytest
+        from bloomfilter_spark.functions.textstats import word_ngrams
+
+        df = spark.createDataFrame([(1, ["a", "b"])], "id long, ts array<string>")
+        assert df.select(word_ngrams("ts", 1).alias("g")).collect()[0]["g"] == ["a", "b"]
+        with pytest.raises(ValueError):
+            word_ngrams("ts", 0)
