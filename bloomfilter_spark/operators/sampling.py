@@ -74,6 +74,37 @@ def stratified_sample(
     return df.filter(_key_hash(key_col, seed) < thr)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY min(k, group size) rows per group, chosen uniformly and
+    deterministically: rank rows within each group by their content hash
+    (ties broken by the key itself) and keep rank ≤ k.
+
+    Rate-based sampling gives binomial group sizes; carve-outs like "a
+    1000-doc eval slice per language" need exact counts.  One shuffle
+    (window partitioned BY GROUP — never a global order).  The hash order
+    is a pure function of the data, so the slice is stable under
+    repartitioning and SQL-replayable; with the same seed, k' > k yields
+    a superset (nested slices, like the rate-based samplers)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _key_hash(key_col, seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def normalize_weights(weights: dict[str, float]) -> dict[str, float]:
     """weights → proportions summing to 1, in SORTED-key accumulation
     order so the float sum (and thus every downstream rate) is identical

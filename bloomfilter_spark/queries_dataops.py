@@ -1611,6 +1611,39 @@ ORDER BY cnt DESC, ngram LIMIT {_NGRAM_TOP_K}
 """
 
 
+_KPG_K = 30
+_KPG_SEED = 5
+
+
+def q_sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size per-group carve-out (e.g. a fixed eval slice per
+    language): hash-rank rows within each group, keep rank ≤ k.  One
+    shuffle (window partitioned by group, never a global order);
+    deterministic, nested across k, and fully value-oracled."""
+    from bloomfilter_spark.operators.sampling import sample_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = sample_k_per_group(docs, "doc_id", "lang", _KPG_K, seed=_KPG_SEED)
+    return kept.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+def _sample_k_per_lang_oracle_sql() -> str:
+    from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
+
+    key_expr = f"COALESCE(CAST(doc_id AS VARCHAR), '') || ':{_KPG_SEED}'"
+    kh = MD5_HASH60_SQL.format(expr=key_expr)
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, {kh} AS kh FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY kh, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rk <= {_KPG_K} ORDER BY lang, doc_id
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → analyze pipeline over the deterministic fake-codec media
     table (BFIM images / BFAU audio).  The decoded dimensions are pure
@@ -1850,6 +1883,7 @@ QUERIES2 = {
     "mix_corpus": q_mix_corpus,
     "classifier_score": q_classifier_score,
     "ngram_counts": q_ngram_counts,
+    "sample_k_per_lang": q_sample_k_per_lang,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "pages_sketch_suite": q_pages_sketch_suite,
@@ -1888,6 +1922,7 @@ ORACLES2 = {
     "mix_corpus": _mix_corpus_oracle_sql(),
     "classifier_score": _CLASSIFIER_SQL,
     "ngram_counts": _NGRAM_COUNTS_SQL,
+    "sample_k_per_lang": _sample_k_per_lang_oracle_sql(),
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),

@@ -87,3 +87,33 @@ def test_mix_partitioning_invariant(spark, sourced):
         ).select("k").collect()
     }
     assert a == b
+
+
+class TestKPerGroup:
+    def test_exact_counts_nesting_and_invariance(self, spark, sourced):
+        from bloomfilter_spark.operators.sampling import sample_k_per_group
+
+        k50 = sample_k_per_group(sourced, "k", "src", 50)
+        per = {r["src"]: r["c"] for r in
+               k50.groupBy("src").agg(F.count("*").alias("c")).collect()}
+        assert per == {f"s{i}": 50 for i in range(4)}  # exactly k each
+        # k' > k is a superset (nested slices)
+        k80 = sample_k_per_group(sourced, "k", "src", 80)
+        s50 = {r["k"] for r in k50.select("k").collect()}
+        s80 = {r["k"] for r in k80.select("k").collect()}
+        assert s50 <= s80
+        # partitioning-invariant
+        alt = sample_k_per_group(sourced.repartition(11), "k", "src", 50)
+        assert {r["k"] for r in alt.select("k").collect()} == s50
+
+    def test_small_groups_keep_everything(self, spark):
+        from bloomfilter_spark.operators.sampling import sample_k_per_group
+        import pytest
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "k long, src string"
+        )
+        out = sample_k_per_group(df, "k", "src", 10)
+        assert out.count() == 3  # min(k, group size)
+        with pytest.raises(ValueError):
+            sample_k_per_group(df, "k", "src", 0)
