@@ -33,17 +33,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from bloomfilter_spark.functions.hashing import md5_hash60
+from bloomfilter_spark.functions.textstats import tokens_nonempty
 
 _SCALE = 1 << 20  # weight quantization: values in [-2^20, 2^20)
 _WSPACE = 1 << 21
-
-
-def _tokens(text_col: str) -> Column:
-    # the library-wide tokenization rule (features.py / textstats.py):
-    # lower, trim, split on runs of whitespace, drop empties
-    return F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
-    )
 
 
 def _pseudo_weight(bucket: Column, salt: str) -> Column:
@@ -75,7 +68,7 @@ def classifier_scores(
         if any(not (-_SCALE <= w < _SCALE) for w in weights):
             raise ValueError(f"weights must lie in [-{_SCALE}, {_SCALE})")
 
-    toks = _tokens(text_col)
+    toks = tokens_nonempty(F.col(text_col))
     bucket = lambda t: F.pmod(md5_hash60(t), F.lit(dim))  # noqa: E731
     if weights is None:
         wq = lambda t: _pseudo_weight(bucket(t), salt)  # noqa: E731
@@ -86,7 +79,10 @@ def classifier_scores(
     raw = F.aggregate(
         F.transform(toks, wq), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    n = F.size(toks)
+    # NULL text → NULL token array under ANSI semantics; a null-text doc
+    # scores like an empty one (n=0, logit 0, keep false), matching the
+    # SQL oracle's COALESCE
+    n = F.coalesce(F.size(toks), F.lit(0))
     out = df.withColumn("__n", n).withColumn("__raw", raw)
     logit = F.when(
         F.col("__n") > 0,

@@ -36,6 +36,12 @@ def tokens(col) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
+def tokens_nonempty(col) -> Column:
+    """`tokens()` with empty strings dropped — the library-wide filtered
+    tokenizer (classifier scoring, n-gram counts, TF-IDF all share it)."""
+    return F.filter(tokens(col), lambda t: t != "")
+
+
 def token_count(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(

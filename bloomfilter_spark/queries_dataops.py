@@ -1417,8 +1417,14 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomfilter_spark.functions.hashing import md5_hash60
     from bloomfilter_spark.operators.packing import pack_shards, shard_summary
 
+    # NULL-safe order key (the sampling _key_hash rule) — md5_hash60 over a
+    # raw NULL would propagate and Spark/DuckDB disagree on NULL sort order
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", md5_hash60(F.col("doc_id").cast("string")).alias("ok")
+        "doc_id",
+        "n_chars",
+        md5_hash60(
+            F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
+        ).alias("ok"),
     )
     packed = pack_shards(docs, ["ok", "doc_id"], "n_chars", _PACK_TARGET)
     return shard_summary(packed, "n_chars").orderBy("shard_id")
@@ -1427,14 +1433,14 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pack_shards_oracle_sql() -> str:
     from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
 
-    ok = MD5_HASH60_SQL.format(expr="CAST(doc_id AS VARCHAR)")
+    ok = MD5_HASH60_SQL.format(expr="COALESCE(CAST(doc_id AS VARCHAR), '')")
     return f"""
 WITH h AS (
   SELECT doc_id, COALESCE(n_chars, 0) AS sz, {ok} AS ok
   FROM documents
 ), c AS (
   SELECT sz,
-         SUM(sz) OVER (ORDER BY ok, doc_id
+         SUM(sz) OVER (ORDER BY ok, doc_id NULLS FIRST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
   FROM h
 )
@@ -1488,11 +1494,13 @@ def _mix_corpus_oracle_sql() -> str:
 
     # identical normalized weights (sorted-key accumulation) as the query;
     # repr() round-trips each double exactly into DuckDB
-    cases = " ".join(
-        f"WHEN '{s}' THEN {w!r}" for s, w in normalize_weights(_MIX_WEIGHTS).items()
-    )
+    norm = normalize_weights(_MIX_WEIGHTS)
+    cases = " ".join(f"WHEN '{s}' THEN {w!r}" for s, w in norm.items())
+    listed = " ".join(f"WHEN '{s}' THEN 1" for s in norm)
     key_expr = f"COALESCE(CAST(doc_id AS VARCHAR), '') || ':{_MIX_SEED}'"
     kh = MD5_HASH60_SQL.format(expr=key_expr)
+    # the rate-1 clip for empty sources applies only to LISTED sources
+    # (mix_rates); unlisted sources always get default_rate 0
     return f"""
 WITH t AS (
   SELECT source, COUNT(*) AS n_docs,
@@ -1501,7 +1509,8 @@ WITH t AS (
 ), thr AS (
   SELECT source, n_docs, chars_total,
          CAST(FLOOR(
-           (CASE WHEN chars_total <= 0 THEN 1.0
+           (CASE WHEN (CASE source {listed} ELSE 0 END) = 0 THEN 0.0
+                 WHEN chars_total <= 0 THEN 1.0
                  ELSE LEAST(1.0,
                             (CAST({_MIX_BUDGET} AS DOUBLE)
                              * (CASE source {cases} ELSE 0.0 END))
@@ -1537,7 +1546,13 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_CLASSIFIER_SQL = """
+def _classifier_oracle_sql() -> str:
+    from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
+
+    bucket = f"({MD5_HASH60_SQL.format(expr='tok')} % 1024)"
+    wkey = f"'w:0:' || CAST({bucket} AS VARCHAR)"
+    weight = f"({MD5_HASH60_SQL.format(expr=wkey)} % 2097152) - 1048576"
+    return f"""
 WITH toks AS (
   SELECT doc_id, tok
   FROM (
@@ -1547,12 +1562,7 @@ WITH toks AS (
   ) WHERE tok <> ''
 ), s AS (
   SELECT doc_id, COUNT(*) AS n_tokens,
-         SUM(
-           (('0x' || substring(md5(
-              'w:0:' || CAST((('0x' || substring(md5(tok), 1, 15))::BIGINT % 1024)
-                             AS VARCHAR)
-            ), 1, 15))::BIGINT % 2097152) - 1048576
-         ) AS raw
+         SUM({weight}) AS raw
   FROM toks GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -1565,6 +1575,9 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
 """
 
 
+_CLASSIFIER_SQL = _classifier_oracle_sql()
+
+
 _NGRAM_N = 3
 _NGRAM_MIN_COUNT = 5
 _NGRAM_TOP_K = 100
@@ -1575,14 +1588,10 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram strings exploded map-side, ONE shuffle with partial
     aggregation, min-count pruning, then TakeOrderedAndProject top-k with
     a (count desc, ngram asc) deterministic tiebreak."""
-    from bloomfilter_spark.functions.textstats import word_ngrams
+    from bloomfilter_spark.functions.textstats import tokens_nonempty, word_ngrams
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.filter(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-        ).alias("ts")
-    )
+    toks = docs.select(tokens_nonempty(F.col("text")).alias("ts"))
     grams = toks.select(F.explode(word_ngrams("ts", _NGRAM_N)).alias("ngram"))
     return (
         grams.groupBy("ngram")

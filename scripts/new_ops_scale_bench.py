@@ -26,6 +26,8 @@ def timed(name, fn):
     t0 = time.perf_counter()
     out = fn()
     wall = time.perf_counter() - t0
+    if "docs" in out:
+        out["docs_per_s"] = round(out["docs"] / wall)
     print(json.dumps({"op": name, "wall_s": round(wall, 2), **out}), flush=True)
 
 
@@ -42,7 +44,7 @@ def main() -> None:
 
     from bloomfilter_spark.functions.classifier import classifier_scores
     from bloomfilter_spark.functions.hashing import md5_hash60
-    from bloomfilter_spark.functions.textstats import word_ngrams
+    from bloomfilter_spark.functions.textstats import tokens_nonempty, word_ngrams
     from bloomfilter_spark.operators.packing import pack_shards, shard_summary
     from bloomfilter_spark.operators.sampling import mix_to_budget
 
@@ -57,7 +59,6 @@ def main() -> None:
         ).collect()[0]
         return {
             "docs": n,
-            "docs_per_s": None,
             "shards": summ["shards"],
             "max_shard_mb": round(summ["max_b"] / 2**20, 1),
             "min_shard_mb": round(summ["min_b"] / 2**20, 1),
@@ -80,11 +81,7 @@ def main() -> None:
         return {"docs": n, "tokens": agg["t"], "kept": agg["k"]}
 
     def run_ngrams():
-        toks = pages.select(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-            ).alias("ts")
-        )
+        toks = pages.select(tokens_nonempty(F.col("text")).alias("ts"))
         grams = toks.select(F.explode(word_ngrams("ts", 3)).alias("ngram"))
         top = (
             grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
@@ -92,7 +89,8 @@ def main() -> None:
             .orderBy(F.desc("cnt"), "ngram").limit(100)
         )
         rows = top.collect()
-        return {"docs": n, "topk": len(rows), "max_cnt": rows[0]["cnt"]}
+        return {"docs": n, "topk": len(rows),
+                "max_cnt": rows[0]["cnt"] if rows else None}
 
     timed("pack_shards_64mb", run_pack)
     timed("mix_to_budget_40pct", run_mix)

@@ -52,8 +52,10 @@ def test_empty_and_null_text(spark):
         assert got[i]["n_tokens"] == 0
         assert got[i]["logit"] == 0.0
         assert got[i]["keep"] is False
-    # null text propagates null tokens -> treated as empty-equivalent gate
-    assert got[3]["keep"] in (False, None)
+    # null text scores exactly like empty text (oracle-aligned)
+    assert got[3]["n_tokens"] == 0
+    assert got[3]["logit"] == 0.0
+    assert got[3]["keep"] is False
     assert got[4]["n_tokens"] == 1
 
 
