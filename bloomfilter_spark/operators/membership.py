@@ -100,6 +100,52 @@ def bloom_semi_join(
     )
 
 
+def bloom_anti_join(
+    probe_df: DataFrame,
+    probe_col: str,
+    build_df: DataFrame,
+    build_col: str,
+    n_expected: int | None = None,
+    fpp: float = 0.01,
+    counter_filter: bool = False,
+) -> DataFrame:
+    """Probe rows whose `probe_col` value does NOT appear in
+    build_df[build_col] — the incremental-dedup shape ("drop documents
+    already in the existing corpus") — EXACT, with Bloom filters pruning
+    both shuffle sides.
+
+    Plan: rows the broadcast sketch rejects are definitely novel (no false
+    negatives) and never shuffle; only the ≤(match + fpp) candidate
+    fraction reaches an exact left-anti join that kills false positives.
+    The probe side is scanned twice (both scans map-only, no shuffle) —
+    at scale, persist upstream if the input is not a cheap parquet scan.
+
+    counter_filter=True additionally builds a Bloom over the CANDIDATES
+    and pre-filters the build side map-side before the exact join, so
+    build rows that cannot match never shuffle either — worth it when the
+    build side is corpus-sized, not a small reference list.  It costs one
+    extra candidate count + scan; candidates ≈ dups + fpp·|probe|.
+    """
+    from bloomfilter_spark.operators.build import bloom_factory, build_sketch
+
+    if n_expected is None:
+        n_expected = max(1, build_df.count())
+    sketch = build_sketch(build_df, build_col, bloom_factory(n_expected, fpp))
+    pred = might_contain_udf(probe_df.sparkSession, sketch)  # one broadcast
+    clean = probe_df.filter(~pred(F.col(probe_col)))
+    cand = probe_df.filter(pred(F.col(probe_col)))
+
+    build_side = build_df.select(F.col(build_col))
+    if counter_filter:
+        n_cand = max(1, cand.count())
+        cand_sketch = build_sketch(cand, probe_col, bloom_factory(n_cand, fpp))
+        build_side = filter_might_contain(build_side, build_col, cand_sketch)
+    survivors = cand.join(
+        build_side, on=cand[probe_col] == F.col(build_col), how="left_anti"
+    )
+    return clean.unionByName(survivors)
+
+
 def query_counts_udf(spark, cms) -> "callable":
     """Count-min point-query as a vectorized UDF: f(col) -> LongType Column."""
     bc = spark.sparkContext.broadcast(cms.to_bytes())

@@ -1620,6 +1620,69 @@ ORDER BY cnt DESC, ngram LIMIT {_NGRAM_TOP_K}
 """
 
 
+_INCR_SPLIT_FRAC = 0.5  # first half of doc_ids = the existing corpus
+_INCR_ID_OFFSET = 1_000_000
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup: drop new-crawl documents whose text
+    already exists in the reference corpus.  ref = first half of doc_ids;
+    new = second half plus every 5th ref doc re-identified (planted
+    cross-corpus duplicates).  `bloom_anti_join` on the md5-60 text
+    fingerprint: sketch-rejected rows never shuffle, candidates are
+    confirmed by an exact anti-join (FPs killed), and the counter-filter
+    prunes the corpus side of the join map-side too.  Exact by
+    construction, so the oracle is a plain NOT EXISTS."""
+    from bloomfilter_spark.functions.hashing import md5_hash60
+    from bloomfilter_spark.operators.membership import bloom_anti_join
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    split = int(n_docs * _INCR_SPLIT_FRAC)
+    fp = md5_hash60(F.coalesce(F.col("text"), F.lit("")))
+    ref = docs.filter(F.col("doc_id") < split).select(
+        "doc_id", fp.alias("ref_fp")
+    )
+    new = (
+        docs.filter(F.col("doc_id") >= split)
+        .select("doc_id", fp.alias("fp"))
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") < split) & (F.pmod("doc_id", F.lit(5)) == 0)
+            ).select(
+                (F.col("doc_id") + _INCR_ID_OFFSET).alias("doc_id"),
+                fp.alias("fp"),
+            )
+        )
+    )
+    kept = bloom_anti_join(
+        new, "fp", ref, "ref_fp", n_expected=split, counter_filter=True
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+def _dedup_incremental_oracle_sql() -> str:
+    from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
+
+    fp = MD5_HASH60_SQL.format(expr="COALESCE(text, '')")
+    return f"""
+WITH n AS (SELECT CAST(FLOOR(COUNT(*) * {_INCR_SPLIT_FRAC!r}) AS BIGINT) AS split
+           FROM documents),
+ref AS (
+  SELECT {fp} AS fp FROM documents, n WHERE doc_id < split
+),
+new_crawl AS (
+  SELECT doc_id, {fp} AS fp FROM documents, n WHERE doc_id >= split
+  UNION ALL
+  SELECT doc_id + {_INCR_ID_OFFSET} AS doc_id, {fp} AS fp
+  FROM documents, n WHERE doc_id < split AND doc_id % 5 = 0
+)
+SELECT doc_id FROM new_crawl nc
+WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.fp = nc.fp)
+ORDER BY doc_id
+"""
+
+
 _KPG_K = 30
 _KPG_SEED = 5
 
@@ -1893,6 +1956,7 @@ QUERIES2 = {
     "classifier_score": q_classifier_score,
     "ngram_counts": q_ngram_counts,
     "sample_k_per_lang": q_sample_k_per_lang,
+    "dedup_incremental": q_dedup_incremental,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "pages_sketch_suite": q_pages_sketch_suite,
@@ -1932,6 +1996,7 @@ ORACLES2 = {
     "classifier_score": _CLASSIFIER_SQL,
     "ngram_counts": _NGRAM_COUNTS_SQL,
     "sample_k_per_lang": _sample_k_per_lang_oracle_sql(),
+    "dedup_incremental": _dedup_incremental_oracle_sql(),
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),
