@@ -92,6 +92,29 @@ def main() -> None:
         return {"docs": n, "topk": len(rows),
                 "max_cnt": rows[0]["cnt"] if rows else None}
 
+    def run_incremental_dedup():
+        # ref = first 60% of pages; new = the rest + 2% planted dups
+        from bloomfilter_spark.functions.hashing import md5_hash60
+        from bloomfilter_spark.operators.membership import bloom_anti_join
+
+        fp = md5_hash60(F.coalesce(F.col("text"), F.lit("")))
+        bucket = F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(100))
+        ref = pages.filter(bucket < 60).select(fp.alias("ref_fp"))
+        new = (
+            pages.filter(bucket >= 60).select("doc_id", fp.alias("fp"))
+            .unionByName(
+                pages.filter(bucket < 2).select(
+                    (F.col("doc_id") + 1).alias("doc_id"), fp.alias("fp")
+                )
+            )
+        )
+        kept = bloom_anti_join(
+            new, "fp", ref, "ref_fp",
+            n_expected=int(n * 0.6) + 1, counter_filter=True,
+        )
+        return {"docs": n, "new_docs": new.count(), "kept": kept.count()}
+
+    timed("incremental_dedup_bloom_anti", run_incremental_dedup)
     timed("pack_shards_64mb", run_pack)
     timed("mix_to_budget_40pct", run_mix)
     timed("classifier_score_d1024", run_classifier)
