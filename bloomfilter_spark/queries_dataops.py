@@ -67,8 +67,13 @@ FROM documents GROUP BY lang ORDER BY lang
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # NULL text scores as empty text (oracle mirrors the COALESCE)
     return (
-        quality_features(docs.select("doc_id", "text"))
+        quality_features(
+            docs.select(
+                "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+            )
+        )
         .select(
             "doc_id",
             "n_chars",
@@ -90,7 +95,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        repetition_features(docs.select("doc_id", "text"))
+        repetition_features(
+            docs.select(
+                "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+            )
+        )
         .select(
             "doc_id",
             "n_tokens",
@@ -108,7 +117,7 @@ WITH toks AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
-  FROM documents
+  FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
 ), tri AS (
   SELECT doc_id, COUNT(*) AS total_tri, COUNT(DISTINCT s) AS distinct_tri
   FROM (
@@ -157,7 +166,7 @@ WITH f AS (
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
          len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                          t -> t IN ({_EN_LIST})))            AS stop
-  FROM documents
+  FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
 )
 SELECT doc_id, n_chars, n_tokens,
        ROUND(punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
@@ -259,7 +268,9 @@ ORDER BY user_id, session_idx
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(lang_id("text").alias("lang_pred"))
+        docs.select(
+            lang_id(F.coalesce(F.col("text"), F.lit(""))).alias("lang_pred")
+        )
         .groupBy("lang_pred")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang_pred")
@@ -280,7 +291,7 @@ WITH s AS (
          {_lang_score_sql('de')} AS s_de,
          {_lang_score_sql('fr')} AS s_fr,
          {_lang_score_sql('es')} AS s_es
-  FROM documents
+  FROM (SELECT COALESCE(text, '') AS text FROM documents)
 ), p AS (
   SELECT CASE
            WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
@@ -807,7 +818,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE."""
     from bloomfilter_spark.operators.components import dedup_keep
 
-    docs = _t(spark, sf_dir, "documents")
+    # id-keyed dedup excludes NULL ids (the oracle's final join drops them
+    # implicitly; NULL text docs are singleton components either way)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
     return dedup_keep(docs, "doc_id", pairs).orderBy("doc_id")
 

@@ -51,7 +51,13 @@ def _compare(spark, edge_dir, qname):
 @pytest.mark.parametrize(
     "qname",
     ["pack_shards", "mix_corpus", "classifier_score", "ngram_counts",
-     "sample_k_per_lang"],
+     "sample_k_per_lang", "dedup_incremental",
+     # pre-existing documents-only queries, pinned against null regressions
+     "text_token_stats", "text_quality", "text_repetition", "lang_id_counts",
+     "tfidf_vectors", "url_normalize", "sample_stratified",
+     "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprints",
+     "dup_span_stats", "decontaminate_ngrams", "dedup_minhash_verified",
+     "dedup_clusters"],
 )
-def test_new_queries_match_oracle_on_adversarial_table(spark, edge_dir, qname):
+def test_queries_match_oracle_on_adversarial_table(spark, edge_dir, qname):
     _compare(spark, edge_dir, qname)
