@@ -131,3 +131,43 @@ def dedup_keep(
             ).alias("is_kept"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    priority_col: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """`dedup_keep` with a QUALITY rule: keep the cluster member with the
+    highest `priority_col` (longest text, best classifier logit, …),
+    falling back to the smallest id on ties — the RefinedWeb-style
+    "keep the best representative, not the first-seen one".
+
+    One extra group-partitioned window over (component) beyond
+    `dedup_keep`; NULL priorities rank below every non-null value
+    (nulls_last) so a scored-vs-unscored tie never drops the scored row.
+    Returns (id_col, priority_col, component, is_kept).
+    """
+    comp = connected_components(
+        pairs, src=src, dst=dst, nodes=df.select(id_col), id_col=id_col
+    )
+    from pyspark.sql import Window
+
+    labeled = (
+        df.select(F.col(id_col), F.col(priority_col))
+        .join(comp, df[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.col(priority_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(priority_col).desc_nulls_last(), F.col(id_col)
+    )
+    return labeled.withColumn(
+        "is_kept", F.row_number().over(w) == 1
+    )

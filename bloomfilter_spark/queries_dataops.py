@@ -825,7 +825,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep(docs, "doc_id", pairs).orderBy("doc_id")
 
 
-_DEDUP_CLUSTERS_SQL = """
+def q_dedup_clusters_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup (RefinedWeb-style): same duplicate
+    clusters as `dedup_clusters`, but the kept representative is the
+    member with the most characters (smallest id on ties) instead of the
+    smallest id — one extra component-partitioned window."""
+    from bloomfilter_spark.operators.components import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return dedup_keep_best(docs, "doc_id", "n_chars", pairs).orderBy("doc_id")
+
+
+_CLUSTERS_CTES = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
   FROM documents
@@ -856,9 +868,24 @@ WITH RECURSIVE toks AS (
 ), cc AS (
   SELECT id, MIN(comp) AS component FROM reach GROUP BY id
 )
+"""
+
+_DEDUP_CLUSTERS_SQL = _CLUSTERS_CTES + """
 SELECT d.doc_id, cc.component, d.doc_id = cc.component AS is_kept
 FROM documents d JOIN cc ON cc.id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+_DEDUP_CLUSTERS_BEST_SQL = _CLUSTERS_CTES + """
+, lab AS (
+  SELECT d.doc_id, d.n_chars, cc.component
+  FROM documents d JOIN cc ON cc.id = d.doc_id
+)
+SELECT doc_id, n_chars, component,
+       ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY n_chars DESC NULLS LAST, doc_id) = 1
+         AS is_kept
+FROM lab ORDER BY doc_id
 """
 
 
@@ -1954,6 +1981,7 @@ QUERIES2 = {
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_best": q_dedup_clusters_best,
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
@@ -1996,6 +2024,7 @@ ORACLES2 = {
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_clusters_best": _DEDUP_CLUSTERS_BEST_SQL,
     "decontaminate_ngrams": _DECONTAMINATE_SQL,
     "dedup_minhash_verified": _MINHASH_VERIFIED_SQL,
     "dedup_simhash": _SIMHASH_SQL,

@@ -41,3 +41,23 @@ def test_empty_sides(spark):
     assert _ids(bloom_anti_join(probe, "k", empty, "b")) == list(range(50))
     assert bloom_anti_join(empty.select(F.col("b").alias("k")), "k",
                            probe.select(F.col("k").alias("b")), "b").count() == 0
+
+
+def test_dedup_keep_best_prefers_priority(spark):
+    from bloomfilter_spark.operators.components import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7), (5, None)],
+        "doc_id long, pri long",
+    )
+    # cluster {1,2,3}: 2 and 3 tie on priority -> min id 2 kept; 4 alone;
+    # 5 has NULL priority and duplicates 4 -> 4 (non-null) kept
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["component"], r["is_kept"])
+        for r in dedup_keep_best(docs, "doc_id", "pri", pairs).collect()
+    }
+    assert got == {
+        1: (1, False), 2: (1, True), 3: (1, False),
+        4: (4, True), 5: (4, False),
+    }
