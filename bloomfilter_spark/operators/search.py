@@ -133,6 +133,52 @@ def bm25_search_indexed(
     return _score_tf(tf, stats, k1, b, topk)
 
 
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vectors,
+    topk_recall: int = 50,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: BM25 keyword recall → exact cosine rerank —
+    the standard hybrid-search topology (lexical candidates, dense
+    rerank).
+
+    Stage 1 scans/posting-filters the corpus for `topk_recall` BM25
+    candidates (a driver-tiny set by construction).  Stage 2 semi-joins
+    the embedding table down to those candidates — broadcast, no
+    shuffle of the embedding side — and reranks with `brute_topk`'s GEMM.
+    Returns (doc_id, rank, sim, bm25): rank by cosine, tie by id.
+
+    `query_vectors`: pandas (qid, vector) like brute_topk; pass one row
+    for classic single-query search.
+    """
+    from bloomfilter_spark.operators.ann import brute_topk
+
+    cands = bm25_search(docs, id_col, text_col, terms, topk=topk_recall)
+    cand_ids = cands.select(F.col("doc_id"))
+    cand_emb = emb.join(
+        F.broadcast(cand_ids), emb[emb_id_col] == F.col("doc_id"), "left_semi"
+    )
+    reranked = brute_topk(
+        cand_emb, query_vectors, k=topk, id_col=emb_id_col, vec_col=vec_col
+    )
+    return (
+        reranked.join(
+            F.broadcast(cands), reranked["vec_id"] == cands["doc_id"]
+        )
+        .select(
+            "doc_id", "qid", "rank", "sim", F.col("score").alias("bm25")
+        )
+        .orderBy("qid", "rank")
+    )
+
+
 def bm25_search(
     df: DataFrame,
     id_col: str,

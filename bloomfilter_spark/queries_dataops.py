@@ -439,7 +439,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_SQL = """
+def _bm25_sql_ctes(terms: list[str], topk: int) -> str:
+    """The BM25 CTE chain (toks → … → bm top-k), shared literal-for-literal
+    by the bm25 and hybrid-search oracles."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -452,7 +456,7 @@ WITH toks AS (
 ), tf AS (
   SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
   FROM (SELECT doc_id, dl, UNNEST(t) AS tok FROM base)
-  WHERE tok IN ('hash', 'join', 'vector')
+  WHERE tok IN ({tl})
   GROUP BY 1, 2, 3
 ), dfreq AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
@@ -462,14 +466,53 @@ WITH toks AS (
            * (tf.tf * (1.2 + 1))
            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS contrib
   FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
-       ROUND(SUM(contrib), 6) AS score
-FROM scored GROUP BY doc_id
-ORDER BY score DESC, doc_id
-LIMIT 20
+), bm AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         ROUND(SUM(contrib), 6) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id
+  LIMIT {topk}
+)"""
+
+
+_BM25_SQL = _bm25_sql_ctes(["hash", "join", "vector"], 20) + """
+SELECT doc_id, n_hit_terms, score FROM bm ORDER BY score DESC, doc_id
 """
+
+_HYBRID_SQL = _bm25_sql_ctes(["hash", "join", "vector"], 50) + """
+, q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), s AS (
+  SELECT bm.doc_id, bm.score AS bm25,
+         list_cosine_similarity(q.qv, e.embedding) AS sim_raw
+  FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id CROSS JOIN q
+), r AS (
+  SELECT doc_id, bm25, sim_raw,
+         ROW_NUMBER() OVER (ORDER BY sim_raw DESC, doc_id) AS rank
+  FROM s
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS qid, rank,
+       ROUND(sim_raw, 4) AS sim, bm25
+FROM r WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval: BM25 lexical recall (top-50) → exact
+    cosine rerank against the vec_id-0 embedding (top-10).  The candidate
+    set broadcasts into the embedding semi-join, so the dense side never
+    shuffles; the oracle replays both stages literal-for-literal."""
+    from bloomfilter_spark.operators.search import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qpdf = emb.filter(F.col("vec_id") == 0).toPandas()
+    qpdf = qpdf.rename(columns={"vec_id": "qid", "embedding": "vector"})
+    return hybrid_search(
+        docs, emb, ["hash", "join", "vector"], qpdf[["qid", "vector"]],
+        topk_recall=50, topk=10,
+    )
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1972,6 +2015,7 @@ QUERIES2 = {
     "streaming_sessions": q_streaming_sessions,
     "bm25_search": q_bm25_search,
     "bm25_indexed": q_bm25_indexed,
+    "hybrid_search": q_hybrid_search,
     "pii_redaction": q_pii_redaction,
     "url_normalize": q_url_normalize,
     "tfidf_vectors": q_tfidf_vectors,
@@ -2016,6 +2060,7 @@ ORACLES2 = {
     "streaming_sessions": _SESSIONIZE_SQL,
     "bm25_search": _BM25_SQL,
     "bm25_indexed": _BM25_SQL,
+    "hybrid_search": _HYBRID_SQL,
     "pii_redaction": _pii_oracle_sql(),
     "url_normalize": _URL_NORMALIZE_SQL,
     "tfidf_vectors": _TFIDF_SQL,

@@ -1283,3 +1283,23 @@ class TestWordNgrams:
         assert df.select(word_ngrams("ts", 1).alias("g")).collect()[0]["g"] == ["a", "b"]
         with pytest.raises(ValueError):
             word_ngrams("ts", 0)
+
+
+class TestHybridSearch:
+    def test_rerank_subset_of_bm25_candidates(self, spark, documents):
+        from tests.conftest import SF_DIR
+
+        from bloomfilter_spark.operators.search import bm25_search, hybrid_search
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qpdf = emb.filter("vec_id = 0").toPandas().rename(
+            columns={"vec_id": "qid", "embedding": "vector"})
+        out = hybrid_search(documents, emb, ["hash", "join"], qpdf[["qid", "vector"]],
+                            topk_recall=30, topk=5).toPandas()
+        cands = {r["doc_id"] for r in
+                 bm25_search(documents, "doc_id", "text", ["hash", "join"],
+                             topk=30).collect()}
+        assert len(out) == 5
+        assert set(out["doc_id"]) <= cands  # rerank never leaves the recall set
+        assert out["rank"].tolist() == [1, 2, 3, 4, 5]
+        assert out["sim"].is_monotonic_decreasing
