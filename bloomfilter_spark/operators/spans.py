@@ -26,21 +26,10 @@ from pyspark.sql import DataFrame, functions as F
 from bloomfilter_spark.plans.skew import ensure_parallelism
 
 
-def duplicate_span_stats(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 4,
-    min_count: int = 2,
-) -> DataFrame:
-    """Per-document duplicated-span statistics.
-
-    Returns (id, n_tokens, n_dup_tokens, dup_ratio): n_dup_tokens is the
-    number of token positions covered by at least one k-gram that occurs
-    >= min_count times in the whole corpus; dup_ratio = n_dup_tokens /
-    n_tokens (0.0 for empty documents).  Tokenization is the library-wide
-    rule: lowercase, trim, split on whitespace.
-    """
+def _covered_positions(df, id_col, text_col, k, min_count):
+    """(toks_df, covered): the tokenized view and the distinct (id, p)
+    token positions covered by a corpus-frequent k-gram — the shared core
+    of span STATS and span REMOVAL."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if min_count < 1:
@@ -91,6 +80,25 @@ def duplicate_span_stats(
         )
         .distinct()
     )
+    return toks_df, covered
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span statistics.
+
+    Returns (id, n_tokens, n_dup_tokens, dup_ratio): n_dup_tokens is the
+    number of token positions covered by at least one k-gram that occurs
+    >= min_count times in the whole corpus; dup_ratio = n_dup_tokens /
+    n_tokens (0.0 for empty documents).  Tokenization is the library-wide
+    rule: lowercase, trim, split on whitespace.
+    """
+    toks_df, covered = _covered_positions(df, id_col, text_col, k, min_count)
     per_doc = covered.groupBy("id").agg(
         F.count("*").alias("n_dup_tokens")
     )
@@ -113,4 +121,40 @@ def duplicate_span_stats(
             )
             .alias("dup_ratio"),
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rewrite each document with its corpus-duplicated spans DELETED —
+    the action Lee et al.'s ExactSubstr pass actually takes, at k-token
+    resolution: every token position covered by a k-gram occurring >=
+    min_count times corpus-wide is dropped, the survivors are re-joined
+    with single spaces.
+
+    Returns (id, n_tokens, n_removed, text_clean).  A fully-duplicated
+    document becomes the empty string (downstream length filters then
+    drop it).  Same two-shuffle plan as duplicate_span_stats plus one
+    per-doc covered-positions aggregation; the rewrite itself is a
+    map-side array filter."""
+    toks_df, covered = _covered_positions(df, id_col, text_col, k, min_count)
+    cov = covered.groupBy("id").agg(F.sort_array(F.collect_list("p")).alias("cov"))
+    joined = toks_df.join(cov, "id", "left").withColumn(
+        "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        "toks", lambda t, i: ~F.array_contains(F.col("cov"), i)
+    )
+    return joined.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("cov").cast("long").alias("n_removed"),
+        F.when(F.col("n_tokens") == 0, F.lit("")).otherwise(
+            F.concat_ws(" ", kept)
+        ).alias("text_clean"),
     )

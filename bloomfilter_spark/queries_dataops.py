@@ -196,7 +196,10 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_SPANS_SQL = """
+# shared CTE chain (k=4, min_count=2): tokenize → positional 4-grams →
+# corpus-frequent set → distinct covered positions — used by the span
+# STATS and span REMOVAL oracles
+_SPANS_CTES = """
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -212,7 +215,9 @@ WITH toks AS (
   FROM kg JOIN freq USING (g), UNNEST(range(4)) AS v(j)
 ), per_doc AS (
   SELECT doc_id, COUNT(*) AS n_dup_tokens FROM covered GROUP BY doc_id
-)
+)"""
+
+_DUP_SPANS_SQL = _SPANS_CTES + """
 SELECT toks.doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
        CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
@@ -222,6 +227,40 @@ SELECT toks.doc_id,
 FROM toks LEFT JOIN per_doc USING (doc_id)
 ORDER BY toks.doc_id
 """
+
+_SPAN_REMOVAL_SQL = _SPANS_CTES + """
+, pos AS (
+  SELECT doc_id, i, t[i + 1] AS tok
+  FROM toks, UNNEST(range(len(t))) AS u(i)
+), kept AS (
+  SELECT p.doc_id, p.i, p.tok
+  FROM pos p LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.p = p.i
+  WHERE c.p IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_removed,
+       COALESCE(rebuilt.text_clean, '') AS text_clean
+FROM toks
+LEFT JOIN per_doc USING (doc_id)
+LEFT JOIN rebuilt USING (doc_id)
+ORDER BY toks.doc_id
+"""
+
+
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span DELETION (not just stats): rewrite every
+    document with its corpus-duplicated 4-gram spans removed.  The oracle
+    rebuilds each cleaned string token-for-token, so the rewrite is
+    value-checked character-exact."""
+    from bloomfilter_spark.operators.spans import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, "doc_id", "text", k=4, min_count=2)
+    return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
 
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2010,6 +2049,7 @@ QUERIES2 = {
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "dup_span_stats": q_dup_span_stats,
+    "dedup_span_removal": q_dedup_span_removal,
     "sessionize_events": q_sessionize_events,
     "asof_click_error": q_asof_click_error,
     "streaming_sessions": q_streaming_sessions,
@@ -2055,6 +2095,7 @@ ORACLES2 = {
     "text_quality": _TEXT_QUALITY_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,
     "dup_span_stats": _DUP_SPANS_SQL,
+    "dedup_span_removal": _SPAN_REMOVAL_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "asof_click_error": _ASOF_SQL,
     "streaming_sessions": _SESSIONIZE_SQL,

@@ -1303,3 +1303,41 @@ class TestHybridSearch:
         assert set(out["doc_id"]) <= cands  # rerank never leaves the recall set
         assert out["rank"].tolist() == [1, 2, 3, 4, 5]
         assert out["sim"].is_monotonic_decreasing
+
+
+class TestSpanRemoval:
+    def test_planted_repeat_removed_everywhere(self, spark):
+        from bloomfilter_spark.operators.spans import remove_duplicate_spans
+
+        boiler = "all rights reserved contact us"
+        docs = spark.createDataFrame(
+            [
+                (1, f"unique alpha words {boiler}"),
+                (2, f"{boiler} other beta content entirely"),
+                (3, "totally fresh gamma text nothing shared"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: r
+            for r in remove_duplicate_spans(docs, "doc_id", "text", k=5).collect()
+        }
+        # the 5-token boilerplate repeats -> removed from both docs
+        assert boiler not in out[1]["text_clean"]
+        assert boiler not in out[2]["text_clean"]
+        assert out[1]["text_clean"] == "unique alpha words"
+        assert out[2]["text_clean"] == "other beta content entirely"
+        assert out[1]["n_removed"] == 5 and out[2]["n_removed"] == 5
+        # untouched doc survives verbatim (lowercased rule)
+        assert out[3]["text_clean"] == "totally fresh gamma text nothing shared"
+        assert out[3]["n_removed"] == 0
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        from bloomfilter_spark.operators.spans import remove_duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(1, "same four token text"), (2, "same four token text")],
+            "doc_id long, text string",
+        )
+        out = remove_duplicate_spans(docs, "doc_id", "text", k=4).collect()
+        assert all(r["text_clean"] == "" and r["n_removed"] == 4 for r in out)

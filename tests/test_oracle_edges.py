@@ -56,7 +56,8 @@ def _compare(spark, edge_dir, qname):
      "text_token_stats", "text_quality", "text_repetition", "lang_id_counts",
      "tfidf_vectors", "url_normalize", "sample_stratified",
      "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprints",
-     "dup_span_stats", "decontaminate_ngrams", "dedup_minhash_verified",
+     "dup_span_stats", "dedup_span_removal", "decontaminate_ngrams",
+     "dedup_minhash_verified",
      "dedup_clusters"],
 )
 def test_queries_match_oracle_on_adversarial_table(spark, edge_dir, qname):
