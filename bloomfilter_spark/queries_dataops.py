@@ -1805,6 +1805,77 @@ ORDER BY doc_id
 """
 
 
+_TOPFRAC = 0.3
+
+
+def q_filter_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the best 30% of documents per language by classifier logit
+    (FineWeb-Edu-style model-score curation).  Rank on the EXACT integer
+    score (rounded logits tie; raw int64 sums don't except true ties,
+    broken by doc_id), cutoff = floor(0.3·n) per group — one
+    group-partitioned window, everything else map-only."""
+    from bloomfilter_spark.functions.classifier import classifier_scores
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = classifier_scores(docs, "text", dim=1024, salt="0")
+    # asc_nulls_last matches DuckDB's default NULLS LAST for the id tiebreak
+    w = Window.partitionBy("lang").orderBy(
+        F.col("logit").desc(), F.col("doc_id").asc_nulls_last()
+    )
+    wn = Window.partitionBy("lang")
+    kept = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_lang", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rk") <= F.floor(F.col("n_lang") * F.lit(_TOPFRAC)))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min(F.round("logit", 6)).alias("min_logit"),
+        F.max(F.round("logit", 6)).alias("max_logit"),
+    ).orderBy("lang")
+
+
+def _filter_top_quality_oracle_sql() -> str:
+    # reuse the classifier replay: same weight rule, rank on the exact
+    # double logit (identical division), cutoff floor(0.3*n) per lang
+    from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
+
+    bucket = f"({MD5_HASH60_SQL.format(expr='tok')} % 1024)"
+    wkey = f"'w:0:' || CAST({bucket} AS VARCHAR)"
+    weight = f"({MD5_HASH60_SQL.format(expr=wkey)} % 2097152) - 1048576"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), s AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM({weight}) AS raw
+  FROM toks GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN s.n_tokens > 0
+              THEN CAST(s.raw AS DOUBLE) / (s.n_tokens * 1048576.0)
+              ELSE 0.0 END AS logit
+  FROM documents d LEFT JOIN s USING (doc_id)
+), ranked AS (
+  SELECT lang, logit,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY logit DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM scored
+)
+SELECT lang, COUNT(*) AS n_kept,
+       MIN(ROUND(logit, 6)) AS min_logit,
+       MAX(ROUND(logit, 6)) AS max_logit
+FROM ranked WHERE rk <= FLOOR(n_lang * {_TOPFRAC!r})
+GROUP BY lang ORDER BY lang
+"""
+
+
 _KPG_K = 30
 _KPG_SEED = 5
 
@@ -2082,6 +2153,7 @@ QUERIES2 = {
     "ngram_counts": q_ngram_counts,
     "sample_k_per_lang": q_sample_k_per_lang,
     "dedup_incremental": q_dedup_incremental,
+    "filter_top_quality": q_filter_top_quality,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "pages_sketch_suite": q_pages_sketch_suite,
@@ -2125,6 +2197,7 @@ ORACLES2 = {
     "ngram_counts": _NGRAM_COUNTS_SQL,
     "sample_k_per_lang": _sample_k_per_lang_oracle_sql(),
     "dedup_incremental": _dedup_incremental_oracle_sql(),
+    "filter_top_quality": _filter_top_quality_oracle_sql(),
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "pages_sketch_suite": _pages_suite_oracle_sql(),
