@@ -116,19 +116,33 @@ def dedup_keep(
     row's duplicate cluster (its own id when it has no duplicates);
     is_kept = this row IS that minimum — exactly one kept row per cluster.
     """
+    labeled = _component_labels(df, id_col, pairs, [], src, dst)
+    return labeled.withColumn(
+        "is_kept",
+        F.coalesce(F.col(id_col) == F.col("component"), F.lit(True)),
+    )
+
+
+def _component_labels(df, id_col, pairs, extra_cols, src, dst):
+    """(id, *extra_cols, component) for every row — the shared labeling of
+    both keep rules.  NULL-id rows get a NULL component and (because the
+    keep rules coalesce NULL decisions to kept) act as singletons: a NULL
+    id must never cross-link two unrelated rows."""
     comp = connected_components(
-        pairs, src=src, dst=dst, nodes=df.select(id_col), id_col=id_col
+        pairs, src=src, dst=dst,
+        nodes=df.filter(F.col(id_col).isNotNull()).select(id_col),
+        id_col=id_col,
     )
     return (
-        df.select(F.col(id_col))
+        df.select(F.col(id_col), *[F.col(c) for c in extra_cols])
         .join(comp, df[id_col] == comp["id"], "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
-            (
-                F.col(id_col)
-                == F.coalesce(F.col("component"), F.col(id_col))
-            ).alias("is_kept"),
+            *[F.col(c) for c in extra_cols],
+            F.when(
+                F.col(id_col).isNotNull(),
+                F.coalesce(F.col("component"), F.col(id_col)),
+            ).alias("component"),
         )
     )
 
@@ -149,25 +163,21 @@ def dedup_keep_best(
     One extra group-partitioned window over (component) beyond
     `dedup_keep`; NULL priorities rank below every non-null value
     (nulls_last) so a scored-vs-unscored tie never drops the scored row.
+    NULL-id rows are singletons (component NULL, always kept) — they are
+    excluded from the window so they can never shadow a real cluster.
     Returns (id_col, priority_col, component, is_kept).
     """
-    comp = connected_components(
-        pairs, src=src, dst=dst, nodes=df.select(id_col), id_col=id_col
-    )
     from pyspark.sql import Window
 
-    labeled = (
-        df.select(F.col(id_col), F.col(priority_col))
-        .join(comp, df[id_col] == comp["id"], "left")
-        .select(
-            F.col(id_col),
-            F.col(priority_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
-        )
+    labeled = _component_labels(df, id_col, pairs, [priority_col], src, dst)
+    nulls = labeled.filter(F.col(id_col).isNull()).withColumn(
+        "is_kept", F.lit(True)
     )
     w = Window.partitionBy("component").orderBy(
         F.col(priority_col).desc_nulls_last(), F.col(id_col)
     )
-    return labeled.withColumn(
-        "is_kept", F.row_number().over(w) == 1
+    ranked = (
+        labeled.filter(F.col(id_col).isNotNull())
+        .withColumn("is_kept", F.row_number().over(w) == 1)
     )
+    return ranked.unionByName(nulls)

@@ -125,17 +125,27 @@ def bloom_anti_join(
     build rows that cannot match never shuffle either — worth it when the
     build side is corpus-sized, not a small reference list.  It costs one
     extra candidate count + scan; candidates ≈ dups + fpp·|probe|.
+
+    NULL keys follow anti-join semantics: a NULL-keyed probe row matches
+    nothing and is always kept (routed around the sketch, which cannot
+    hash NULL); NULL build keys are ignored.
     """
     from bloomfilter_spark.operators.build import bloom_factory, build_sketch
 
-    if n_expected is None:
-        n_expected = max(1, build_df.count())
-    sketch = build_sketch(build_df, build_col, bloom_factory(n_expected, fpp))
-    pred = might_contain_udf(probe_df.sparkSession, sketch)  # one broadcast
-    clean = probe_df.filter(~pred(F.col(probe_col)))
-    cand = probe_df.filter(pred(F.col(probe_col)))
+    pkey = F.col(probe_col)
+    null_probe = probe_df.filter(pkey.isNull())
+    probe_nn = probe_df.filter(pkey.isNotNull())
+    build_nn = build_df.select(F.col(build_col)).filter(F.col(build_col).isNotNull())
 
-    build_side = build_df.select(F.col(build_col))
+    if n_expected is None:
+        n_expected = build_nn.count()
+    n_expected = max(1, n_expected)
+    sketch = build_sketch(build_nn, build_col, bloom_factory(n_expected, fpp))
+    pred = might_contain_udf(probe_df.sparkSession, sketch)  # one broadcast
+    clean = probe_nn.filter(~pred(pkey))
+    cand = probe_nn.filter(pred(pkey))
+
+    build_side = build_nn
     if counter_filter:
         n_cand = max(1, cand.count())
         cand_sketch = build_sketch(cand, probe_col, bloom_factory(n_cand, fpp))
@@ -143,7 +153,7 @@ def bloom_anti_join(
     survivors = cand.join(
         build_side, on=cand[probe_col] == F.col(build_col), how="left_anti"
     )
-    return clean.unionByName(survivors)
+    return clean.unionByName(survivors).unionByName(null_probe)
 
 
 def query_counts_udf(spark, cms) -> "callable":

@@ -158,15 +158,30 @@ def hybrid_search(
     `query_vectors`: pandas (qid, vector) like brute_topk; pass one row
     for classic single-query search.
     """
+    from pyspark.sql import Window
+
     from bloomfilter_spark.operators.ann import brute_topk
 
-    cands = bm25_search(docs, id_col, text_col, terms, topk=topk_recall)
+    # materialize the tiny candidate set ONCE — it feeds two joins, and
+    # without this each would re-run the whole BM25 corpus scan
+    cands = bm25_search(
+        docs, id_col, text_col, terms, topk=topk_recall
+    ).localCheckpoint(eager=False)
     cand_ids = cands.select(F.col("doc_id"))
     cand_emb = emb.join(
         F.broadcast(cand_ids), emb[emb_id_col] == F.col("doc_id"), "left_semi"
     )
-    reranked = brute_topk(
-        cand_emb, query_vectors, k=topk, id_col=emb_id_col, vec_col=vec_col
+    # score ALL candidates, then cut on the ROUNDED cosine (engine-portable
+    # rank rule, like every other top-k in the library) with an id tiebreak
+    scored = brute_topk(
+        cand_emb, query_vectors, k=topk_recall, id_col=emb_id_col,
+        vec_col=vec_col,
+    ).drop("rank")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    reranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
     )
     return (
         reranked.join(

@@ -147,14 +147,20 @@ def remove_duplicate_spans(
     joined = toks_df.join(cov, "id", "left").withColumn(
         "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        "toks", lambda t, i: ~F.array_contains(F.col("cov"), i)
-    )
+    # O(n + c) rebuild: set-subtract the covered positions from the
+    # position range (array_except keeps left order), then gather — a
+    # per-position array_contains scan would be O(n·c) on boilerplate-
+    # heavy documents.  sequence() guard: it DESCENDS for empty docs.
+    kept_pos = F.when(
+        F.col("n_tokens") > 0,
+        F.array_except(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1), F.col("cov")
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.transform(kept_pos, lambda i: F.get("toks", i))  # 0-based gather
     return joined.select(
         "id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.size("cov").cast("long").alias("n_removed"),
-        F.when(F.col("n_tokens") == 0, F.lit("")).otherwise(
-            F.concat_ws(" ", kept)
-        ).alias("text_clean"),
+        F.concat_ws(" ", kept).alias("text_clean"),
     )

@@ -527,12 +527,11 @@ _HYBRID_SQL = _bm25_sql_ctes(["hash", "join", "vector"], 50) + """
          list_cosine_similarity(q.qv, e.embedding) AS sim_raw
   FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id CROSS JOIN q
 ), r AS (
-  SELECT doc_id, bm25, sim_raw,
-         ROW_NUMBER() OVER (ORDER BY sim_raw DESC, doc_id) AS rank
+  SELECT doc_id, bm25, ROUND(sim_raw, 4) AS sim,
+         ROW_NUMBER() OVER (ORDER BY ROUND(sim_raw, 4) DESC, doc_id) AS rank
   FROM s
 )
-SELECT doc_id, CAST(0 AS BIGINT) AS qid, rank,
-       ROUND(sim_raw, 4) AS sim, bm25
+SELECT doc_id, CAST(0 AS BIGINT) AS qid, rank, sim, bm25
 FROM r WHERE rank <= 10 ORDER BY rank
 """
 
@@ -900,7 +899,10 @@ _PAIRS_CACHE: dict = {}
 
 
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    # keyed on the session OBJECT (not id(): a freed address can be reused
+    # by a new session) — the strong ref pins at most 4 sessions, and
+    # eviction tolerates already-stopped ones
+    key = (spark, sf_dir)
     entry = _PAIRS_CACHE.get(key)
     if entry is None:
         docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
@@ -909,7 +911,10 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str):
         ).cache()
         if len(_PAIRS_CACHE) >= 4:  # bound: unpersist the oldest entry
             old = _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))
-            old[1].unpersist()
+            try:
+                old[1].unpersist()
+            except Exception:
+                pass  # its session may already be stopped
         entry = (docs, pairs)
         _PAIRS_CACHE[key] = entry
     return entry
@@ -1838,7 +1843,11 @@ def q_filter_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    scored = classifier_scores(docs, "text", dim=1024, salt="0")
+    # project BEFORE the window: the per-lang exchange must carry
+    # (doc_id, lang, logit), not the text bytes
+    scored = classifier_scores(docs, "text", dim=1024, salt="0").select(
+        "doc_id", "lang", "logit"
+    )
     # asc_nulls_last matches DuckDB's default NULLS LAST for the id tiebreak
     w = Window.partitionBy("lang").orderBy(
         F.col("logit").desc(), F.col("doc_id").asc_nulls_last()
