@@ -295,6 +295,19 @@ def md5_hash60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _integral_keys(arr: np.ndarray) -> np.ndarray:
+    """float batch → int64 keys, refusing anything non-integral: hash
+    keys are ints, strings, or bytes — a true float key is a caller bug,
+    not something to hash by bit pattern silently."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if not (np.isfinite(arr).all() and (arr == np.rint(arr)).all()):
+        raise TypeError(
+            "hash_any: non-integral float batch — drop NaN/None rows and "
+            "pass int, string, or bytes keys"
+        )
+    return arr.astype(np.int64)
+
+
 def hash_any(values, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
     """Dispatch on batch dtype and return (h1, h2) — the reference's
     byte-collapse rule (string→utf8, int→8 bytes, bytes→bytes)."""
@@ -302,12 +315,21 @@ def hash_any(values, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
 
     if isinstance(values, pd.Series):
         if pd.api.types.is_integer_dtype(values.dtype):
-            return murmur3_x64_128_u64(values.to_numpy(), seed)
+            # to_numpy(dtype=...) also flattens pandas nullable-Int64
+            # extension arrays (object-backed) into plain int64
+            return murmur3_x64_128_u64(values.to_numpy(dtype="int64"), seed)
+        if pd.api.types.is_float_dtype(values.dtype):
+            # nullable-int parquet columns surface as float64 after a
+            # dropna; integral floats are integer keys (same acceptance
+            # rule as FrequentItemsSketch), anything else is a caller bug
+            return murmur3_x64_128_u64(_integral_keys(values.to_numpy()), seed)
         if len(values) and isinstance(values.iloc[0], (bytes, bytearray)):
             return murmur3_x64_128(*bytes_view_of_binary(values), seed)
         return murmur3_x64_128(*bytes_view_of_strings(values), seed)
     if isinstance(values, np.ndarray) and values.dtype.kind in ("i", "u"):
         return murmur3_x64_128_u64(values, seed)
+    if isinstance(values, np.ndarray) and values.dtype.kind == "f":
+        return murmur3_x64_128_u64(_integral_keys(values), seed)
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         t = values.type
         if pa.types.is_integer(t):

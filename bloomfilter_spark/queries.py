@@ -248,8 +248,11 @@ FROM documents
 
 def q_hll_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped HLL (applyInPandas per key): distinct users per day."""
+    # NULL-ts events form an explicit "(none)" day: a plain inner join on
+    # the day key would silently DROP the null group (NULL != NULL), while
+    # the SQL GROUP BY keeps it
     ev = _t(spark, sf_dir, "events").withColumn(
-        "day", F.date_format("ts", "yyyy-MM-dd")
+        "day", F.coalesce(F.date_format("ts", "yyyy-MM-dd"), F.lit("(none)"))
     )
     grouped = build_grouped(ev, "day", "user_id", hll_factory(precision=14))
 
@@ -265,17 +268,23 @@ def q_hll_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             "exact_users",
-            (
-                F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
-                <= F.lit(bound)
-            ).alias("hll_ok"),
+            # a group whose users are all NULL has exact 0 (countDistinct
+            # skips nulls, as does the sketch build) — est must be 0 too
+            F.when(
+                F.col("exact_users") > 0,
+                F.abs(F.col("est") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(bound),
+            )
+            .otherwise(F.col("est") == 0.0)
+            .alias("hll_ok"),
         )
         .orderBy("day")
     )
 
 
 _HLL_DAY_SQL = """
-SELECT strftime(ts, '%Y-%m-%d') AS day,
+SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '(none)') AS day,
        COUNT(DISTINCT user_id)  AS exact_users,
        TRUE                     AS hll_ok
 FROM events GROUP BY 1 ORDER BY 1
@@ -288,7 +297,10 @@ def q_hll_users_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 8 tasks; stage 2 merges the partials per key.  Result must equal
     the unsalted path within the same HLL bound — the salt only changes the
     merge tree, never the estimate (max-merge is commutative)."""
-    ev = _t(spark, sf_dir, "events")
+    # explicit "(none)" bucket for NULL types (see q_hll_users_by_day)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "event_type", F.coalesce(F.col("event_type"), F.lit("(none)"))
+    )
     grouped = build_grouped(
         ev, "event_type", "user_id", hll_factory(precision=14), salts=8
     )
@@ -307,18 +319,21 @@ def q_hll_users_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "exact_users",
-            (
+            F.when(
+                F.col("exact_users") > 0,
                 F.abs(F.col("est") - F.col("exact_users"))
                 / F.col("exact_users")
-                <= F.lit(bound)
-            ).alias("hll_ok"),
+                <= F.lit(bound),
+            )
+            .otherwise(F.col("est") == 0.0)
+            .alias("hll_ok"),
         )
         .orderBy("event_type")
     )
 
 
 _HLL_SALTED_SQL = """
-SELECT event_type,
+SELECT COALESCE(event_type, '(none)') AS event_type,
        COUNT(DISTINCT user_id) AS exact_users,
        TRUE                    AS hll_ok
 FROM events GROUP BY 1 ORDER BY 1
@@ -574,7 +589,13 @@ def q_cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     sk = build_sketch(ev, "event_type", cms_factory(epsilon=0.0005, delta=0.001))
-    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_cnt"))
+    # NULL keys are skipped by the sketch build (SQL-aggregate semantics)
+    # and a point query cannot address NULL — exclude them from the compare
+    exact = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
     bound = sk.error_bound()
     est = query_counts_udf(spark, sk)
 
@@ -594,7 +615,8 @@ def q_cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_SQL = """
 SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cms_ok
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -686,8 +708,11 @@ def _heavy_hitters(
     are driver-sized by definition, so the CMS bound check runs driver-side
     on the already-merged sketch (no extra Spark job)."""
     sk = build_sketch(df, key_col, cms_factory(epsilon=epsilon, delta=0.001))
+    # NULL keys: skipped by the build, unaddressable by a point query —
+    # excluded from the ranking (COUNT(col)-style semantics)
     top = (
-        df.groupBy(key_col)
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
         .agg(F.count("*").alias("exact_cnt"))
         .orderBy(F.col("exact_cnt").desc(), F.col(key_col).asc())
         .limit(k)
@@ -730,7 +755,7 @@ SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) AS rank,
        event_type,
        COUNT(*) AS exact_cnt,
        TRUE     AS cms_ok
-FROM events GROUP BY event_type
+FROM events WHERE event_type IS NOT NULL GROUP BY event_type
 ORDER BY exact_cnt DESC, event_type ASC LIMIT 5
 """
 
@@ -750,7 +775,7 @@ SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS rank,
        user_id,
        COUNT(*) AS exact_cnt,
        TRUE     AS cms_ok
-FROM events GROUP BY user_id
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ORDER BY exact_cnt DESC, user_id ASC LIMIT 10
 """
 
@@ -788,7 +813,7 @@ SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS rank,
        user_id,
        COUNT(*) AS est_cnt,
        CAST(0 AS BIGINT) AS deduction_bound
-FROM events GROUP BY user_id
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ORDER BY est_cnt DESC, user_id ASC LIMIT 10
 """
 
@@ -856,6 +881,9 @@ FROM qv ORDER BY q
 """
 
 
+_DDS_ZERO_BUCKET = -(2**62)  # sentinel index for the zero store
+
+
 def q_dds_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch quantiles over events.value with a FULL value oracle — the
     sketch is a log-scale histogram (ranks exact, values α-quantized), so
@@ -872,12 +900,14 @@ def q_dds_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for q in _QS:
         est = sk.quantile(q)
-        # recover the bucket index exactly from the estimate's closed form
-        # (None for the dedicated zero bucket, which has no log index)
+        # recover the bucket index exactly from the estimate's closed form.
+        # The dedicated zero store has no log index — use a sentinel far
+        # below any real bucket, NOT NULL: DuckDB's MIN_BY skips NULL
+        # values and would silently pick the next bucket's index
         i = (
             int(round(np.log(est * (sk.gamma + 1.0) / 2.0) / np.log(sk.gamma)))
             if est > 0.0
-            else None
+            else _DDS_ZERO_BUCKET
         )
         rows.append((q, i, round(float(est), 6), sk.n_added))
     return spark.createDataFrame(
@@ -889,13 +919,14 @@ _DDS_SQL = """
 WITH pos AS (
   SELECT CAST(CEIL(LN(value)/LN((1.0+0.01)/(1.0-0.01))) AS BIGINT) AS i,
          COUNT(*) AS c
-  FROM events WHERE value > 0 GROUP BY 1
+  FROM events WHERE isfinite(value) AND value > 0 GROUP BY 1
 ), allb AS (
   SELECT i, 2 * POWER((1.0+0.01)/(1.0-0.01), i)
             / ((1.0+0.01)/(1.0-0.01) + 1) AS est, c
   FROM pos
   UNION ALL
-  SELECT NULL, 0.0, COUNT(*) FROM events WHERE value = 0 HAVING COUNT(*) > 0
+  SELECT -4611686018427387904, 0.0, COUNT(*)
+  FROM events WHERE value = 0 HAVING COUNT(*) > 0
 ), ordered AS (
   SELECT i, est, c, SUM(c) OVER (ORDER BY est) AS cw, SUM(c) OVER () AS total
   FROM allb

@@ -453,16 +453,25 @@ def q_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ASOF_SQL = """
-WITH c AS (
+WITH c0 AS (
   SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us
   FROM events WHERE event_type = 'click'
+), c AS (
+  SELECT * FROM c0 WHERE ts IS NOT NULL
 ), e AS (
   SELECT user_id, ts, epoch_us(ts) AS err_ts_us, value
-  FROM events WHERE event_type = 'error'
+  FROM events WHERE event_type = 'error' AND ts IS NOT NULL
 )
-SELECT c.user_id, c.event_id, c.ts_us, e.err_ts_us, e.value AS err_value
-FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
-ORDER BY c.user_id, c.ts_us
+-- NULL >= x is NULL, so a NULL-ts probe matches nothing; DuckDB's native
+-- ASOF instead pairs it with the latest row — carve those probes out and
+-- re-attach them unmatched to pin comparison semantics
+SELECT * FROM (
+  SELECT c.user_id, c.event_id, c.ts_us, e.err_ts_us, e.value AS err_value
+  FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+  UNION ALL
+  SELECT user_id, event_id, ts_us, NULL, NULL FROM c0 WHERE ts IS NULL
+)
+ORDER BY user_id, ts_us
 """
 
 
@@ -628,7 +637,12 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_PROPS_SQL = """
 WITH e AS (
-  SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events
+  -- json_valid guard + TRY_CAST: malformed JSON and non-numeric values
+  -- must become NULL (matching get_json_object + try_cast), not raise
+  SELECT event_type,
+         TRY_CAST((CASE WHEN json_valid(props) THEN props ->> '$.k' END)
+                  AS BIGINT) AS k
+  FROM events
 )
 SELECT event_type,
        COUNT(*) AS n_events,

@@ -35,17 +35,72 @@ def edge_dir(spark, tmp_path_factory):
     return str(d), pdf
 
 
-def _compare(spark, edge_dir, qname):
-    from bloomfilter_spark import queries_dataops as q
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory):
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for i in range(60):
+        rows.append(
+            (i, base + pd.Timedelta(minutes=7 * i), i % 5,
+             ["click", "view", "error"][i % 3], round(1.5 * i, 2),
+             f'{{"k": {i}}}')
+        )
+    rows += [
+        (100, None, 1, "click", 5.0, '{"k": 1}'),        # NULL ts
+        (101, base + pd.Timedelta(hours=40), None, "view", None, "not json"),
+        (102, base + pd.Timedelta(hours=41), 2, None, 7.0, None),  # NULL type
+        (103, base + pd.Timedelta(hours=41), 2, "click", float("nan"),
+         '{"k": "str"}'),                                 # NaN value
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value",
+                       "props"]
+    ).astype({"event_id": "Int64", "user_id": "Int64"})
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark rejects NANOS
+    d = tmp_path_factory.mktemp("edgeev")
+    pdf.to_parquet(d / "events.parquet", index=False)
+    return str(d), pdf
 
+
+def _all_catalog():
+    from bloomfilter_spark import queries_dataops as qd
+    from bloomfilter_spark.queries import ORACLES, QUERIES
+
+    q = dict(QUERIES)
+    q.update(qd.QUERIES2)
+    o = dict(ORACLES)
+    o.update(qd.ORACLES2)
+    return q, o
+
+
+def _compare(spark, edge_dir, qname, table="documents"):
+    queries, oracles = _all_catalog()
     sf_dir, pdf = edge_dir
-    got = canon(q.QUERIES2[qname](spark, sf_dir).toPandas())
+    got = canon(queries[qname](spark, sf_dir).toPandas())
     con = duckdb.connect()
-    con.register("documents", pdf)
-    want = canon(con.execute(q.ORACLES2[qname]).df())
+    con.register(table, pdf)
+    want = canon(con.execute(oracles[qname]).df())
     con.close()
     assert list(got.columns) == list(want.columns), qname
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["sessionize_events", "asof_click_error", "json_props_stats",
+     "hll_users_by_day", "hll_users_by_type_salted", "cms_event_type_counts",
+     "heavy_hitters_event_types", "heavy_hitters_users",
+     "tdigest_quantiles_value", "dds_quantiles_value",
+     "topk_users_freqitems"],
+)
+def test_event_queries_match_oracle_on_adversarial_table(
+    spark, edge_events_dir, qname
+):
+    """NULL ts / NULL user / NULL type / NaN value / malformed JSON —
+    shapes the fixture lacks; policy: sketch aggregates skip NULL keys
+    and non-finite values, group keys get explicit '(none)' buckets,
+    NULL-ts rows never as-of match."""
+    _compare(spark, edge_events_dir, qname, table="events")
 
 
 @pytest.mark.parametrize(
