@@ -305,6 +305,14 @@ def _integral_keys(arr: np.ndarray) -> np.ndarray:
             "hash_any: non-integral float batch — drop NaN/None rows and "
             "pass int, string, or bytes keys"
         )
+    # same acceptance bound as FrequentItemsSketch: above 2^53 float64
+    # cannot represent every integer, so distinct keys would silently
+    # collapse to one hash — refuse instead
+    if arr.size and np.abs(arr).max() >= 2.0**53:
+        raise TypeError(
+            "hash_any: integer keys above 2^53 arrived as float64 (lossy) "
+            "— cast the column to long upstream"
+        )
     return arr.astype(np.int64)
 
 
@@ -334,6 +342,12 @@ def hash_any(values, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
         t = values.type
         if pa.types.is_integer(t):
             return murmur3_x64_128_u64(values.to_numpy(zero_copy_only=False), seed)
+        if pa.types.is_floating(t):
+            # same rule as the pandas branch — never fall through to
+            # hashing a float's string repr
+            return murmur3_x64_128_u64(
+                _integral_keys(values.to_numpy(zero_copy_only=False)), seed
+            )
         if pa.types.is_binary(t) or pa.types.is_large_binary(t):
             return murmur3_x64_128(*bytes_view_of_binary(values), seed)
         return murmur3_x64_128(*bytes_view_of_strings(values), seed)

@@ -856,7 +856,13 @@ FROM qv ORDER BY q
 def q_tdigest_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sk = build_sketch(ev, "value", tdigest_factory(delta=200))
-    exact = ev.agg(
+    # like-for-like exact side: the sketch family skips non-finite values,
+    # so the exact quantiles must too (a single inf would pin p99 at inf)
+    finite = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    exact = finite.agg(
         F.percentile("value", F.array(*[F.lit(q) for q in _QS])).alias("ex")
     ).first()["ex"]
     rows = []
@@ -872,7 +878,7 @@ def q_tdigest_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TDIGEST_SQL = """
 WITH qv AS (
   SELECT quantile_cont(value, [0.01, 0.25, 0.5, 0.75, 0.99]) AS vals
-  FROM events
+  FROM events WHERE isfinite(value)
 )
 SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.99])      AS q,
        ROUND(CAST(UNNEST(vals) AS DOUBLE), 6)     AS exact_value,
@@ -893,7 +899,11 @@ def q_dds_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound-check oracles; this one proves the estimator itself."""
     from bloomfilter_spark.operators.build import build_sketch, dds_factory
 
-    ev = _t(spark, sf_dir, "events")
+    # the ORACLE replays the positive + zero stores only, so the query
+    # pins that domain explicitly (the sketch's negative store is
+    # pytest-covered in test_companions.py); NaN passes a Spark >= filter
+    # (NaN sorts high) but the update's isfinite skip drops it
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") >= 0)
     sk = build_sketch(ev, "value", dds_factory(alpha=0.01))
     import numpy as np
 

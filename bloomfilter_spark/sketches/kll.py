@@ -65,7 +65,9 @@ class KLLSketch:
 
     def update(self, values) -> None:
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        # family-wide skip contract (see ddsketch.py): NaN AND ±inf are
+        # dropped — an inf would poison every rank above it
+        v = v[np.isfinite(v)]
         if v.size == 0:
             return
         self.levels[0] = np.concatenate([self.levels[0], v])

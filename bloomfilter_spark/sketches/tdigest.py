@@ -85,7 +85,8 @@ class TDigest:
             w = np.ones(v.size, dtype=np.float64)
         else:
             w = np.asarray(weights, dtype=np.float64)
-        keep = ~np.isnan(v)
+        # family-wide skip contract (see ddsketch.py): NaN AND ±inf dropped
+        keep = np.isfinite(v)
         v, w = v[keep], w[keep]
         if v.size == 0:
             return

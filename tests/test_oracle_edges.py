@@ -51,6 +51,8 @@ def edge_events_dir(spark, tmp_path_factory):
         (102, base + pd.Timedelta(hours=41), 2, None, 7.0, None),  # NULL type
         (103, base + pd.Timedelta(hours=41), 2, "click", float("nan"),
          '{"k": "str"}'),                                 # NaN value
+        (104, base + pd.Timedelta(hours=42), 3, "view", -5.0, None),  # negative
+        (105, base + pd.Timedelta(hours=43), 3, "view", float("inf"), None),
     ]
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value",
@@ -62,19 +64,10 @@ def edge_events_dir(spark, tmp_path_factory):
     return str(d), pdf
 
 
-def _all_catalog():
-    from bloomfilter_spark import queries_dataops as qd
-    from bloomfilter_spark.queries import ORACLES, QUERIES
-
-    q = dict(QUERIES)
-    q.update(qd.QUERIES2)
-    o = dict(ORACLES)
-    o.update(qd.ORACLES2)
-    return q, o
-
-
 def _compare(spark, edge_dir, qname, table="documents"):
-    queries, oracles = _all_catalog()
+    # queries.py already merges the dataops catalog at import time
+    from bloomfilter_spark.queries import ORACLES as oracles
+    from bloomfilter_spark.queries import QUERIES as queries
     sf_dir, pdf = edge_dir
     got = canon(queries[qname](spark, sf_dir).toPandas())
     con = duckdb.connect()
