@@ -873,6 +873,48 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SKIP_PROBE_IDS = [3, 77, 123, 456, 999_999_999]  # last one absent
+
+
+def q_bloom_skip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar file skipping: documents written partitionBy(source)
+    (the natural ingest layout), point-looked-up BY DOC ID through
+    per-partition Bloom sidecars — the driver probes ~KB of sketches and
+    the scan touches only candidate directories (PartitionFilters,
+    pytest-pinned).  Exact after the final id filter, so the oracle is a
+    plain IN-list select."""
+    import shutil
+    import tempfile
+
+    from bloomfilter_spark.operators.skipindex import (
+        bloom_skipping_lookup,
+        write_partitioned_with_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="bfs_skipidx_")
+    try:
+        write_partitioned_with_bloom(docs, f"{work}/docs", "source", "doc_id")
+        rows, _, _ = bloom_skipping_lookup(
+            spark, f"{work}/docs", "source", "doc_id", _SKIP_PROBE_IDS
+        )
+        out = (
+            rows.select("doc_id", "source", "n_chars")
+            .orderBy("doc_id")
+            .localCheckpoint()  # materialize before the dir is removed
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+_BLOOM_SKIP_SQL = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id IN ({", ".join(str(i) for i in _SKIP_PROBE_IDS)})
+ORDER BY doc_id
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).orderBy(
@@ -2170,6 +2212,7 @@ QUERIES2 = {
     "bm25_search": q_bm25_search,
     "bm25_indexed": q_bm25_indexed,
     "hybrid_search": q_hybrid_search,
+    "bloom_skip_lookup": q_bloom_skip_lookup,
     "pii_redaction": q_pii_redaction,
     "url_normalize": q_url_normalize,
     "tfidf_vectors": q_tfidf_vectors,
@@ -2217,6 +2260,7 @@ ORACLES2 = {
     "bm25_search": _BM25_SQL,
     "bm25_indexed": _BM25_SQL,
     "hybrid_search": _HYBRID_SQL,
+    "bloom_skip_lookup": _BLOOM_SKIP_SQL,
     "pii_redaction": _pii_oracle_sql(),
     "url_normalize": _URL_NORMALIZE_SQL,
     "tfidf_vectors": _TFIDF_SQL,
