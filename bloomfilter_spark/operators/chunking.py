@@ -1,0 +1,62 @@
+"""Document chunking — the RAG/embedding-pipeline shape: split each
+document into overlapping fixed-token windows, keeping provenance
+(doc id, chunk index) so chunk vectors join back to sources.
+
+Map-only Catalyst: tokenize → window starts via a stepped sequence() →
+slice + re-join per window → posexplode.  No shuffle, no Python; the
+chunk table inherits the scan's partitioning, which is exactly what the
+downstream embedding UDF wants (one Arrow batch per task, no skew
+introduced).  Cross-engine exact: the same windows fall out of DuckDB's
+range()/list_slice, so the catalog oracle value-checks every chunk
+string.
+
+Reference analog: none (text-pipeline surface from the driver brief);
+tokenization is the library-wide rule (textstats.tokens_nonempty).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bloomfilter_spark.functions.textstats import tokens_nonempty
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """One row per chunk: (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Windows start every `chunk_tokens - overlap` tokens; the final
+    window may be shorter (never empty).  Empty/NULL documents produce
+    no chunks.  chunk_idx is 0-based and dense per document.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    step = chunk_tokens - overlap
+    toks = tokens_nonempty(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    # guard: sequence() DESCENDS for stop < start without this
+    starts = F.when(
+        F.size("__toks") > 0,
+        F.sequence(F.lit(1), F.size("__toks"), F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts, lambda s: F.slice("__toks", s, chunk_tokens)
+    )
+    return (
+        base.select("id", F.posexplode(chunks).alias("chunk_idx", "__c"))
+        .select(
+            "id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("__c").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__c").alias("chunk_text"),
+        )
+    )

@@ -915,6 +915,45 @@ ORDER BY doc_id
 """
 
 
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (RAG/embedding prep), map-only;
+    the oracle regenerates every window with range()/list_slice and
+    value-checks each chunk string."""
+    from bloomfilter_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(
+        docs, "doc_id", "text", _CHUNK_TOKENS, _CHUNK_OVERLAP
+    )
+    return out.withColumnRenamed("id", "doc_id").orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), s AS (
+  SELECT doc_id, ts, UNNEST(range(1, len(ts) + 1,
+                                  {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS st
+  FROM toks WHERE len(ts) > 0
+)
+SELECT doc_id,
+       CAST((st - 1) / {_CHUNK_TOKENS - _CHUNK_OVERLAP} AS BIGINT)
+         AS chunk_idx,
+       CAST(len(list_slice(ts, st, st + {_CHUNK_TOKENS - 1})) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(ts, st, st + {_CHUNK_TOKENS - 1}), ' ')
+         AS chunk_text
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).orderBy(
@@ -2213,6 +2252,7 @@ QUERIES2 = {
     "bm25_indexed": q_bm25_indexed,
     "hybrid_search": q_hybrid_search,
     "bloom_skip_lookup": q_bloom_skip_lookup,
+    "chunk_documents": q_chunk_documents,
     "pii_redaction": q_pii_redaction,
     "url_normalize": q_url_normalize,
     "tfidf_vectors": q_tfidf_vectors,
@@ -2261,6 +2301,7 @@ ORACLES2 = {
     "bm25_indexed": _BM25_SQL,
     "hybrid_search": _HYBRID_SQL,
     "bloom_skip_lookup": _BLOOM_SKIP_SQL,
+    "chunk_documents": _CHUNK_SQL,
     "pii_redaction": _pii_oracle_sql(),
     "url_normalize": _URL_NORMALIZE_SQL,
     "tfidf_vectors": _TFIDF_SQL,

@@ -1341,3 +1341,40 @@ class TestSpanRemoval:
         )
         out = remove_duplicate_spans(docs, "doc_id", "text", k=4).collect()
         assert all(r["text_clean"] == "" and r["n_removed"] == 4 for r in out)
+
+
+class TestChunking:
+    def test_windows_overlap_and_tail(self, spark):
+        import pytest
+        from bloomfilter_spark.operators.chunking import chunk_documents
+
+        toks = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, toks), (2, "a b"), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+            for r in chunk_documents(df, "doc_id", "text", 4, 2).collect()
+        }
+        # doc 1: starts at 0,2,4,6,8 (step 2), windows of 4, tail shorter
+        assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+        assert got[(1, 1)] == (4, "t2 t3 t4 t5")
+        assert got[(1, 4)] == (2, "t8 t9")
+        assert len([k for k in got if k[0] == 1]) == 5
+        # short doc -> one short chunk; empty/null docs -> none
+        assert got[(2, 0)] == (2, "a b")
+        assert not [k for k in got if k[0] in (3, 4)]
+        with pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", 4, 4)
+        with pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", 0)
+
+    def test_map_only_plan(self, spark, documents):
+        from bloomfilter_spark.operators.chunking import chunk_documents
+
+        plan = (
+            chunk_documents(documents, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
