@@ -100,7 +100,7 @@ def test_event_queries_match_oracle_on_adversarial_table(
     "qname",
     ["pack_shards", "mix_corpus", "classifier_score", "ngram_counts",
      "sample_k_per_lang", "dedup_incremental", "dedup_clusters_best",
-     "filter_top_quality", "chunk_documents",
+     "filter_top_quality", "chunk_documents", "snapshot_diff", "pii_redaction",
      # pre-existing documents-only queries, pinned against null regressions
      "text_token_stats", "text_quality", "text_repetition", "lang_id_counts",
      "tfidf_vectors", "url_normalize", "sample_stratified",
