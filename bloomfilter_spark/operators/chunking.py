@@ -30,9 +30,13 @@ def chunk_documents(
 ) -> DataFrame:
     """One row per chunk: (id, chunk_idx, n_chunk_tokens, chunk_text).
 
-    Windows start every `chunk_tokens - overlap` tokens; the final
-    window may be shorter (never empty).  Empty/NULL documents produce
-    no chunks.  chunk_idx is 0-based and dense per document.
+    Windows start every `chunk_tokens - overlap` tokens, with starts
+    capped at `n_tokens - overlap` so no chunk is fully contained in its
+    predecessor (a start beyond that cap would re-emit tokens an earlier
+    window already covered — wasted embeddings, duplicate retrieval
+    hits).  Every token is covered; the final window may be shorter.
+    Empty/NULL documents produce no chunks.  chunk_idx is 0-based and
+    dense per document.
     """
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
@@ -43,10 +47,15 @@ def chunk_documents(
     step = chunk_tokens - overlap
     toks = tokens_nonempty(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
-    # guard: sequence() DESCENDS for stop < start without this
+    # guard: sequence() DESCENDS for stop < start without this.  Stop at
+    # n - overlap: the previous window already reached the end beyond it
     starts = F.when(
         F.size("__toks") > 0,
-        F.sequence(F.lit(1), F.size("__toks"), F.lit(step)),
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.lit(1), F.size("__toks") - overlap),
+            F.lit(step),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts, lambda s: F.slice("__toks", s, chunk_tokens)

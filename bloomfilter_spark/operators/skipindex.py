@@ -6,8 +6,8 @@ re-expressed with this library's own sketch: data lands partitioned by
 its NATURAL key (ingest day, source, host bucket) but gets probed by a
 DIFFERENT key (url, doc id) that partition pruning can't serve.  A
 per-partition Bloom over the probe key — a few KB per partition, built
-in the same pass that wrote the data — lets the driver prune partitions
-before the scan:
+by a grouped sketch pass alongside the write — lets the driver prune
+partitions before the scan:
 
 1. `write_partitioned_with_bloom` writes `partitionBy(part_col)` data
    plus a `<path>__bloomidx` sidecar of (part_value, blob) rows;
@@ -68,7 +68,9 @@ def write_partitioned_with_bloom(
         df, part_col, key_col, bloom_factory(max(1, int(n_max or 1)), fpp)
     )
     sidecar.write.mode("overwrite").parquet(path + _SIDECAR_SUFFIX)
-    return sidecar.count()
+    # count from the written KB-scale sidecar — counting the DataFrame
+    # would re-run the whole grouped build
+    return df.sparkSession.read.parquet(path + _SIDECAR_SUFFIX).count()
 
 
 def bloom_skipping_lookup(
@@ -95,8 +97,12 @@ def bloom_skipping_lookup(
     ]
     data = spark.read.parquet(path)
     # isin on the partition column compiles to PartitionFilters — only
-    # candidate directories are listed/read (pytest-pinned)
-    pruned = data.filter(F.col(part_col).isin(cands)).filter(
-        F.col(key_col).isin(keys)
-    )
+    # candidate directories are listed/read (pytest-pinned).  SQL IN never
+    # matches NULL, so the NULL partition (Hive default dir) needs its own
+    # isNull branch or its rows would be FALSE NEGATIVES
+    non_null = [c for c in cands if c is not None and not pd.isna(c)]
+    part_pred = F.col(part_col).isin(non_null)
+    if len(non_null) != len(cands):
+        part_pred = part_pred | F.col(part_col).isNull()
+    pruned = data.filter(part_pred).filter(F.col(key_col).isin(keys))
     return pruned, len(cands), len(side)

@@ -939,8 +939,9 @@ WITH toks AS (
                      t -> t <> '') AS ts
   FROM documents
 ), s AS (
-  SELECT doc_id, ts, UNNEST(range(1, len(ts) + 1,
-                                  {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS st
+  SELECT doc_id, ts,
+         UNNEST(range(1, GREATEST(1, len(ts) - {_CHUNK_OVERLAP}) + 1,
+                      {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS st
   FROM toks WHERE len(ts) > 0
 )
 SELECT doc_id,

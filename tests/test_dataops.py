@@ -1357,11 +1357,16 @@ class TestChunking:
             (r["id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
             for r in chunk_documents(df, "doc_id", "text", 4, 2).collect()
         }
-        # doc 1: starts at 0,2,4,6,8 (step 2), windows of 4, tail shorter
+        # doc 1: starts 0,2,4,6 (step 2, capped at n-overlap=8 so no
+        # chunk is a subset of its predecessor); last window reaches t9
         assert got[(1, 0)] == (4, "t0 t1 t2 t3")
         assert got[(1, 1)] == (4, "t2 t3 t4 t5")
-        assert got[(1, 4)] == (2, "t8 t9")
-        assert len([k for k in got if k[0] == 1]) == 5
+        assert got[(1, 3)] == (4, "t6 t7 t8 t9")
+        assert len([k for k in got if k[0] == 1]) == 4
+        # no chunk fully contained in the previous one
+        texts = [got[(1, i)][1] for i in range(4)]
+        for prev, cur in zip(texts, texts[1:]):
+            assert not set(cur.split()) <= set(prev.split())
         # short doc -> one short chunk; empty/null docs -> none
         assert got[(2, 0)] == (2, "a b")
         assert not [k for k in got if k[0] in (3, 4)]

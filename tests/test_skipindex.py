@@ -45,9 +45,12 @@ def test_lookup_exact_and_pruned(spark, indexed):
     assert n_cand <= 8  # way under the 40 an unindexed scan reads
 
     # the isin on the partition column must reach the scan as a real
-    # partition filter (directory pruning, not a post-scan filter)
+    # partition filter (directory pruning, not a post-scan filter).
+    # FileSourceScan always prints a PartitionFilters clause — assert the
+    # filter is INSIDE it, not just present somewhere in the plan
     plan = rows._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "part#" in plan
+    inside = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "part#" in inside and "IN" in inside.upper()
 
 
 def test_no_false_negatives_all_keys(spark, indexed):
@@ -62,3 +65,18 @@ def test_empty_keys_rejected(spark, indexed):
     _, path = indexed
     with pytest.raises(ValueError):
         bloom_skipping_lookup(spark, path, "part", "k", [])
+
+
+def test_null_partition_rows_are_found(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "b", 30)],
+        "k long, part string, payload long",
+    )
+    path = str(tmp_path / "nulldata")
+    assert write_partitioned_with_bloom(df, path, "part", "k") == 3
+    rows, n_cand, n_parts = bloom_skipping_lookup(
+        spark, path, "part", "k", [1, 2, 3]
+    )
+    got = sorted(r["k"] for r in rows.collect())
+    assert got == [1, 2, 3]  # the NULL-partition row must NOT be lost
+    assert n_parts == 3
