@@ -291,6 +291,80 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def _week_of(day_col):
+    """Cross-engine 7-day bucket from the fixture epoch; '(none)' → -1.
+    CASE short-circuits per row, so to_date never sees the sentinel."""
+    return F.when(day_col == "(none)", F.lit(-1)).otherwise(
+        F.floor(
+            F.datediff(F.to_date(day_col), F.lit("2024-01-01")) / 7
+        ).cast("long")
+    )
+
+
+def q_hll_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-TABLE re-aggregation (the lakehouse datasketches contract):
+    daily HLL blobs are PERSISTED to parquet, and the weekly rollup merges
+    blobs read back from that table — the raw events are never rescanned.
+    Each week's estimate reduces through the bucketed canonical-order
+    rollup tree (rollup_grouped: no driver collect of the per-day blobs)
+    and must sit within the HLL bound of the exact weekly distinct count."""
+    import shutil
+    import tempfile
+
+    from bloomfilter_spark.operators.build import rollup_grouped
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.coalesce(F.date_format("ts", "yyyy-MM-dd"), F.lit("(none)"))
+    )
+    daily = build_grouped(ev, "day", "user_id", hll_factory(precision=14))
+    work = tempfile.mkdtemp(prefix="bfs_hlltbl_")
+    try:
+        daily.write.mode("overwrite").parquet(f"{work}/daily_hll")
+        tbl = spark.read.parquet(f"{work}/daily_hll").withColumn(
+            "week", _week_of(F.col("day"))
+        )
+        weeks = sorted(r["week"] for r in tbl.select("week").distinct().collect())
+        exact = {
+            r["week"]: r["x"]
+            for r in ev.withColumn("week", _week_of(F.col("day")))
+            .groupBy("week")
+            .agg(F.countDistinct("user_id").alias("x"))
+            .collect()
+        }
+        bound = 4 * (1.04 / (2**14) ** 0.5)
+        rows = []
+        for w in weeks:
+            sk = rollup_grouped(
+                tbl.filter(F.col("week") == w), "day", hll_factory(precision=14)
+            )
+            est = float(sk.estimate())
+            ex = int(exact[w])
+            ok = est == 0.0 if ex == 0 else abs(est - ex) / ex <= bound
+            rows.append((int(w), ex, bool(ok)))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "week long, exact_users long, hll_ok boolean"
+    ).orderBy("week")
+
+
+_HLL_ROLLUP_WEEKLY_SQL = """
+WITH e AS (
+  SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '(none)') AS day, user_id
+  FROM events
+), w AS (
+  SELECT CASE WHEN day = '(none)' THEN -1
+              ELSE CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                                        CAST(day AS DATE)) / 7.0) AS BIGINT)
+         END AS week,
+         user_id
+  FROM e
+)
+SELECT week, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+FROM w GROUP BY week ORDER BY week
+"""
+
+
 def q_hll_users_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped HLL through the SALTED two-stage path (north rule's skew
     defense): stage 1 groups by (key, hash(value)%8) so a hot key fans out
@@ -1401,6 +1475,7 @@ QUERIES = {
     "bloom_grouped_membership": q_bloom_grouped_membership,
     "hll_distinct_doc_id": q_hll_distinct_doc_id,
     "hll_users_by_day": q_hll_users_by_day,
+    "hll_rollup_weekly": q_hll_rollup_weekly,
     "hll_users_by_type_salted": q_hll_users_by_type_salted,
     "hll_set_ops": q_hll_set_ops,
     "theta_set_ops": q_theta_set_ops,
@@ -1436,6 +1511,7 @@ ORACLES = {
     "bloom_grouped_membership": _GROUPED_MEMBERSHIP_SQL,
     "hll_distinct_doc_id": _HLL_DOC_SQL,
     "hll_users_by_day": _HLL_DAY_SQL,
+    "hll_rollup_weekly": _HLL_ROLLUP_WEEKLY_SQL,
     "hll_users_by_type_salted": _HLL_SALTED_SQL,
     "hll_set_ops": _HLL_SET_OPS_SQL,
     "theta_set_ops": _THETA_SET_OPS_SQL,

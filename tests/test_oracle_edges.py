@@ -84,7 +84,7 @@ def _compare(spark, edge_dir, qname, table="documents"):
      "hll_users_by_day", "hll_users_by_type_salted", "cms_event_type_counts",
      "heavy_hitters_event_types", "heavy_hitters_users",
      "tdigest_quantiles_value", "dds_quantiles_value",
-     "topk_users_freqitems"],
+     "topk_users_freqitems", "hll_rollup_weekly"],
 )
 def test_event_queries_match_oracle_on_adversarial_table(
     spark, edge_events_dir, qname
