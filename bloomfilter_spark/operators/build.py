@@ -500,6 +500,52 @@ def rollup_grouped(
     return tree_merge_blobs(partials, factory, n_buckets, fanin=fanin)
 
 
+def rollup_regroup(
+    grouped_blobs: DataFrame,
+    fine_key_cols: list[str] | str,
+    coarse_col: str,
+    factory: Callable[[], object],
+) -> DataFrame:
+    """Merge fine-group sketch blobs into COARSER groups (day → week,
+    host → domain, shard → tenant) in ONE applyInPandas pass — the
+    hierarchy rollup that `rollup_grouped` (all groups → one sketch)
+    doesn't cover.
+
+    Per coarse group, blobs merge in canonical (fine_key_str, blob) order
+    — a pure function of the data, bit-deterministic under any
+    scheduling.  Task memory holds one coarse group's blobs (hierarchy
+    fan-ins are small: 7 days/week, ~10² hosts/domain); a pathological
+    fan-in belongs in `rollup_grouped`'s bucketed tree instead.
+
+    Returns (coarse_col, blob) — feed `grouped_estimates` or roll up
+    again for the next hierarchy level.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(fine_key_cols, str):
+        fine_key_cols = [fine_key_cols]
+    key_str = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in fine_key_cols]
+    )
+    coarse_type = dict(grouped_blobs.dtypes)[coarse_col]
+    src = grouped_blobs.select(
+        F.col(coarse_col), key_str.alias("__fine"), "blob"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__fine", "blob"], kind="stable")
+        merged = _nary_merge(
+            factory, [serde.deserialize(b) for b in pdf["blob"]]
+        )
+        return pd.DataFrame(
+            {coarse_col: [pdf[coarse_col].iloc[0]], "blob": [merged.to_bytes()]}
+        )
+
+    return src.groupBy(coarse_col).applyInPandas(
+        merge, schema=f"`{coarse_col}` {coarse_type}, blob binary"
+    )
+
+
 def grouped_estimates(grouped_blobs: DataFrame, finalize: str = "estimate") -> DataFrame:
     """Map per-key blobs to per-key scalar estimates:
     finalize ∈ {estimate (HLL), popcount/estimated_fpp (Bloom), ...}."""

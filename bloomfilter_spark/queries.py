@@ -305,13 +305,16 @@ def q_hll_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-TABLE re-aggregation (the lakehouse datasketches contract):
     daily HLL blobs are PERSISTED to parquet, and the weekly rollup merges
     blobs read back from that table — the raw events are never rescanned.
-    Each week's estimate reduces through the bucketed canonical-order
-    rollup tree (rollup_grouped: no driver collect of the per-day blobs)
-    and must sit within the HLL bound of the exact weekly distinct count."""
+    All weeks reduce in ONE `rollup_regroup` pass (per-week canonical-
+    order blob merges, no driver collect, no per-week job loop), and each
+    estimate must sit within the HLL bound of the exact weekly count."""
     import shutil
     import tempfile
 
-    from bloomfilter_spark.operators.build import rollup_grouped
+    from bloomfilter_spark.operators.build import (
+        grouped_estimates,
+        rollup_regroup,
+    )
 
     ev = _t(spark, sf_dir, "events").withColumn(
         "day", F.coalesce(F.date_format("ts", "yyyy-MM-dd"), F.lit("(none)"))
@@ -323,29 +326,33 @@ def q_hll_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl = spark.read.parquet(f"{work}/daily_hll").withColumn(
             "week", _week_of(F.col("day"))
         )
-        weeks = sorted(r["week"] for r in tbl.select("week").distinct().collect())
-        exact = {
-            r["week"]: r["x"]
-            for r in ev.withColumn("week", _week_of(F.col("day")))
-            .groupBy("week")
-            .agg(F.countDistinct("user_id").alias("x"))
-            .collect()
-        }
+        weekly = grouped_estimates(
+            rollup_regroup(tbl, "day", "week", hll_factory(precision=14))
+        )
+        exact = ev.withColumn("week", _week_of(F.col("day"))).groupBy(
+            "week"
+        ).agg(F.countDistinct("user_id").alias("exact_users"))
         bound = 4 * (1.04 / (2**14) ** 0.5)
-        rows = []
-        for w in weeks:
-            sk = rollup_grouped(
-                tbl.filter(F.col("week") == w), "day", hll_factory(precision=14)
+        out = (
+            exact.join(weekly.select("week", "estimate"), "week")
+            .select(
+                "week",
+                "exact_users",
+                F.when(
+                    F.col("exact_users") > 0,
+                    F.abs(F.col("estimate") - F.col("exact_users"))
+                    / F.col("exact_users")
+                    <= F.lit(bound),
+                )
+                .otherwise(F.col("estimate") == 0.0)
+                .alias("hll_ok"),
             )
-            est = float(sk.estimate())
-            ex = int(exact[w])
-            ok = est == 0.0 if ex == 0 else abs(est - ex) / ex <= bound
-            rows.append((int(w), ex, bool(ok)))
+            .orderBy("week")
+            .localCheckpoint()  # materialize before the table dir is removed
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "week long, exact_users long, hll_ok boolean"
-    ).orderBy("week")
+    return out
 
 
 _HLL_ROLLUP_WEEKLY_SQL = """

@@ -490,3 +490,45 @@ def test_dds_grouped_salted_equals_local_exactly(spark, documents):
             docs_pdf[docs_pdf["lang"] == row["lang"]]["n_chars"].to_numpy(float)
         )
         assert serde.deserialize(bytes(row["blob"])) == local, row["lang"]
+
+
+def test_rollup_regroup_matches_direct_grouped_build(spark):
+    """day→week re-aggregation from blobs must be register-identical to
+    building the weekly sketches directly from the raw rows (HLL max-merge
+    is commutative), and deterministic across partitionings."""
+    from pyspark.sql import functions as F
+
+    from bloomfilter_spark.operators.build import (
+        build_grouped,
+        hll_factory,
+        rollup_regroup,
+    )
+
+    rows = (
+        spark.range(0, 4000)
+        .select(
+            F.concat(F.lit("d"), F.pmod("id", F.lit(21)).cast("string")).alias("day"),
+            F.pmod(F.col("id") * 2654435761, F.lit(900)).alias("user"),
+        )
+        .withColumn("week", F.pmod(F.xxhash64("day"), F.lit(3)).cast("string"))
+    )
+    daily = build_grouped(rows, "day", "user", hll_factory(precision=12))
+    wk = daily.join(rows.select("day", "week").distinct(), "day")
+    rolled = {
+        r["week"]: r["blob"]
+        for r in rollup_regroup(wk, "day", "week", hll_factory(precision=12)).collect()
+    }
+    direct = {
+        r["week"]: r["blob"]
+        for r in build_grouped(rows, "week", "user", hll_factory(precision=12)).collect()
+    }
+    assert rolled.keys() == direct.keys()
+    for k in direct:
+        assert rolled[k] == direct[k]  # bit-identical (commutative max-merge)
+    again = {
+        r["week"]: r["blob"]
+        for r in rollup_regroup(
+            wk.repartition(13), "day", "week", hll_factory(precision=12)
+        ).collect()
+    }
+    assert again == rolled
