@@ -1,15 +1,28 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract).
 
-Runs the headline query catalog at $SPARK_GRAFT_SF_DIR (default
+Runs the graded query catalog at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q": sec, ...}, "sf": ..., ...extras}
 
-Extras (informational, not part of the driver contract): docs/sec sketch
-build throughput over the synthetic Common-Crawl-style `pages` table — the
-north-rule headline number (BASELINE.json: sketch-build throughput).
+Output discipline (the r03 lesson — the driver's capture was truncated
+mid-JSON): fd 1 is redirected to stderr for the WHOLE run, so nothing the
+JVM or any library writes can land on real stdout; the single JSON line is
+written to a saved dup of the original stdout as the process's only stdout
+bytes, after the full result has also been persisted to BENCH.json.
+
+Extras (informational, not part of the driver contract):
+  queries_extended — timings for the extended (non-graded) catalog;
+  index_phases     — one-time index/checkpoint BUILD time split from the
+                     repeated PROBE time for the materializing operators
+                     (the probe is the product; billing the build to the
+                     query made the fastest lookup look like the slowest
+                     query in r03);
+  pages_*          — docs/sec sketch-suite build throughput over the
+                     synthetic Common-Crawl-style `pages` table (the
+                     north-rule headline number in BASELINE.json).
 """
 
 from __future__ import annotations
@@ -21,17 +34,37 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_queries(spark, sf_dir: str, catalog: dict) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name, fn in catalog.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # keep the bench line emitting no matter what
+            dt = time.perf_counter() - t0
+            print(f"[bench] query {name} FAILED: {exc}", file=sys.stderr)
+        timings[name] = round(dt, 3)
+    return timings
+
 
 def main() -> None:
+    # --- stdout purity: real stdout gets exactly one JSON line, ever ---
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
     from bloomfilter_spark.plans.session import get_spark
-    from bloomfilter_spark.queries import QUERIES
+    from bloomfilter_spark.queries import EXTENDED_QUERIES, QUERIES
 
     spark = get_spark(app_name="bloomfilter_spark-bench")
 
-    timings: dict[str, float] = {}
     # warm the JVM and the python-worker pool once so per-query numbers
     # measure the query, not executor/worker startup
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -48,22 +81,20 @@ def main() -> None:
         _noop, schema="id long"
     ).count()
 
-    total = 0.0
-    for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.collect()
-            dt = time.perf_counter() - t0
-        except Exception as exc:  # keep the bench line emitting no matter what
-            dt = time.perf_counter() - t0
-            print(f"[bench] query {name} FAILED: {exc}", file=sys.stderr)
-        timings[name] = round(dt, 3)
-        total += dt
+    timings = run_queries(spark, sf_dir, QUERIES)
+    total = sum(timings.values())
 
-    extras = {}
+    extras: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_EXTENDED", "") != "1":
+        ext = run_queries(spark, sf_dir, EXTENDED_QUERIES)
+        extras["queries_extended"] = ext
+        extras["value_extended"] = round(sum(ext.values()), 3)
     try:
-        extras = pages_throughput(spark)
+        extras["index_phases"] = index_phases(spark, sf_dir)
+    except Exception as exc:
+        print(f"[bench] index_phases failed: {exc}", file=sys.stderr)
+    try:
+        extras.update(pages_throughput(spark))
     except Exception as exc:
         print(f"[bench] pages throughput failed: {exc}", file=sys.stderr)
 
@@ -75,15 +106,73 @@ def main() -> None:
         "sf": float(sf),
     }
     out.update(extras)
-    print(json.dumps(out))
+
+    line = json.dumps(out)
+    with open(os.path.join(REPO, "BENCH.json"), "w") as f:
+        f.write(line + "\n")
+
     spark.stop()
+    # the one and only write to real stdout, after everything else
+    os.write(real_stdout, (line + "\n").encode())
+    os._exit(0)  # skip interpreter teardown: nothing may write after the JSON
+
+
+def index_phases(spark, sf_dir: str) -> dict:
+    """One-time materialization (build) vs repeated lookup (probe) timings
+    for the operators whose catalog entries must rebuild their artifact
+    in-query for self-containment.  The probe column is the product."""
+    import shutil
+    import tempfile
+
+    from bloomfilter_spark.operators.search import (
+        bm25_search_indexed,
+        write_inverted_index,
+    )
+    from bloomfilter_spark.operators.skipindex import (
+        bloom_skipping_lookup,
+        write_partitioned_with_bloom,
+    )
+    from bloomfilter_spark.queries_dataops import _SKIP_PROBE_IDS, _t
+
+    out: dict = {}
+    docs = _t(spark, sf_dir, "documents")
+
+    work = tempfile.mkdtemp(prefix="bfs_bench_invidx_")
+    try:
+        t0 = time.perf_counter()
+        write_inverted_index(docs, f"{work}/idx", "doc_id", "text")
+        out["bm25_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        bm25_search_indexed(
+            spark, f"{work}/idx", ["hash", "join", "vector"], topk=20
+        ).collect()
+        out["bm25_probe_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    work = tempfile.mkdtemp(prefix="bfs_bench_skipidx_")
+    try:
+        t0 = time.perf_counter()
+        write_partitioned_with_bloom(docs, f"{work}/docs", "source", "doc_id")
+        out["skipindex_build_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        rows, _, _ = bloom_skipping_lookup(
+            spark, f"{work}/docs", "source", "doc_id", _SKIP_PROBE_IDS
+        )
+        rows.select("doc_id", "source", "n_chars").collect()
+        out["skipindex_probe_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    return out
 
 
 def pages_throughput(spark) -> dict:
     """North-rule headline: docs/sec building the full sketch suite (Bloom +
-    HLL + CMS + KLL + t-digest in ONE scan) over the synthetic pages table."""
-    from bloomfilter_spark.sources.pages import ensure_pages
+    HLL + CMS + KLL + t-digest + ... in ONE scan) over the synthetic pages
+    table."""
     from bloomfilter_spark.operators.pipeline import build_suite
+    from bloomfilter_spark.sources.pages import ensure_pages, pages_table_path
 
     n_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "200000"))
     path = ensure_pages(spark, n_rows)
@@ -102,8 +191,6 @@ def pages_throughput(spark) -> dict:
     # at 200k rows the wall is <1s and fixed-cost dominated; when the 2M
     # cached table is already materialized, also report the steady-state
     # rate (never generate here — keep the bench's runtime bounded)
-    from bloomfilter_spark.sources.pages import pages_table_path
-
     path2m = pages_table_path(2_000_000)
     if n_rows != 2_000_000 and os.path.exists(os.path.join(path2m, "_SUCCESS")):
         df2 = spark.read.parquet(path2m)

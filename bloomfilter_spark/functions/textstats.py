@@ -315,7 +315,12 @@ def compression_features(df, text_col: str = "text", id_col: str = "doc_id"):
             ]
             yield _pd.DataFrame(
                 {
-                    "id": pdf[id_col].astype("int64"),
+                    # nullable Int64: a NULL id (nullable-int parquet cols
+                    # surface as float64/NaN here) passes through as a
+                    # null-id row with computed features — the same
+                    # contract as the Catalyst map-only text ops — instead
+                    # of astype('int64') raising on the whole batch
+                    "id": pdf[id_col].astype("Int64"),
                     "n_bytes": nb,
                     "n_compressed": nc,
                     "compression_ratio": ratio,

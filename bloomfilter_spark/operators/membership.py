@@ -92,10 +92,13 @@ def bloom_semi_join(
     if not exact:
         return pre
     # no .distinct() on the build side: left-semi dedups by construction,
-    # and the distinct would add an extra exchange+aggregate
+    # and the distinct would add an extra exchange+aggregate.
+    # The build side is aliased to a reserved name: an unqualified
+    # F.col(build_col) is AMBIGUOUS_REFERENCE when probe_col == build_col
+    # (the common same-named-key case).
     return pre.join(
-        build_df.select(F.col(build_col)),
-        on=pre[probe_col] == F.col(build_col),
+        build_df.select(F.col(build_col).alias("__build_key")),
+        on=pre[probe_col] == F.col("__build_key"),
         how="left_semi",
     )
 
@@ -135,12 +138,17 @@ def bloom_anti_join(
     pkey = F.col(probe_col)
     null_probe = probe_df.filter(pkey.isNull())
     probe_nn = probe_df.filter(pkey.isNotNull())
-    build_nn = build_df.select(F.col(build_col)).filter(F.col(build_col).isNotNull())
+    # reserved alias: keeps the exact-join condition unambiguous when
+    # probe_col == build_col (same-named-key case)
+    build_nn = (
+        build_df.select(F.col(build_col).alias("__build_key"))
+        .filter(F.col("__build_key").isNotNull())
+    )
 
     if n_expected is None:
         n_expected = build_nn.count()
     n_expected = max(1, n_expected)
-    sketch = build_sketch(build_nn, build_col, bloom_factory(n_expected, fpp))
+    sketch = build_sketch(build_nn, "__build_key", bloom_factory(n_expected, fpp))
     pred = might_contain_udf(probe_df.sparkSession, sketch)  # one broadcast
     clean = probe_nn.filter(~pred(pkey))
     cand = probe_nn.filter(pred(pkey))
@@ -149,9 +157,9 @@ def bloom_anti_join(
     if counter_filter:
         n_cand = max(1, cand.count())
         cand_sketch = build_sketch(cand, probe_col, bloom_factory(n_cand, fpp))
-        build_side = filter_might_contain(build_side, build_col, cand_sketch)
+        build_side = filter_might_contain(build_side, "__build_key", cand_sketch)
     survivors = cand.join(
-        build_side, on=cand[probe_col] == F.col(build_col), how="left_anti"
+        build_side, on=cand[probe_col] == F.col("__build_key"), how="left_anti"
     )
     return clean.unionByName(survivors).unionByName(null_probe)
 

@@ -137,11 +137,16 @@ def pack_shards(
     size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
     out = global_running_sum(df, order_cols, size_col, "running_bytes", n_ranges)
     start = F.col("running_bytes") - size
-    # Integer floor-division spelled so the double quotient is exact:
-    # (start - start % t) is divisible by t, and the quotient stays far
-    # below 2^53 — no rounding at 10^14-byte corpus offsets.
-    shard = (start - F.pmod(start, F.lit(target_size))) / F.lit(target_size)
-    return out.withColumn("shard_id", shard.cast("long"))
+    # True integer division (Spark's `div` is long/long -> long, no double
+    # round-trip), exact at ANY offset — a `/` quotient converts the
+    # dividend to double and rounds once start exceeds 2^53 (~9 PB).
+    # start >= 0 by construction (running_bytes sums coalesced >=0 sizes),
+    # so div's truncation IS floor here.
+    return (
+        out.withColumn("__start", start)
+        .withColumn("shard_id", F.expr(f"__start div {int(target_size)}"))
+        .drop("__start")
+    )
 
 
 def shard_summary(packed: DataFrame, size_col: str) -> DataFrame:

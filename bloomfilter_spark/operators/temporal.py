@@ -45,8 +45,18 @@ def asof_join(
     payload = F.struct(
         F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in value_cols]
     )
+    # NULL-key right rows can never match under equality semantics
+    # (pandas merge_asof / DuckDB ASOF `ON l.k = r.k` never pairs NULLs),
+    # but Window.partitionBy groups NULL keys into one partition and would
+    # carry them into NULL-key left rows — drop them here; NULL-key left
+    # rows then see an empty right side in their partition and match
+    # nothing, which is the documented semantics.
+    key_ok = F.lit(True)
+    for k in keys:
+        key_ok = key_ok & F.col(k).isNotNull()
     r = (
         right.filter(F.col(ts_col).isNotNull())  # un-timestamped rows can't match
+        .filter(key_ok)
         .select(*keys, F.col(ts_col), payload.alias("__payload"))
         .withColumn("__side", F.lit(0))
     )

@@ -2,7 +2,10 @@
 Spark and its oracle on DuckDB at sf0.01; compare row count, column names,
 and order-insensitive values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--all|--extended] [sf_dir] [query ...]
+
+--all runs the graded 50-query window plus the extended set; --extended
+runs only the extended set.  Default: the graded window.
 """
 
 from __future__ import annotations
@@ -35,8 +38,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    which = "window"
+    if argv and argv[0] in ("--all", "--extended"):
+        which = argv.pop(0).lstrip("-")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -48,8 +55,11 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = {} if which == "extended" else entrymod.queries()
+    oracles = {} if which == "extended" else entrymod.oracle_sql()
+    if which in ("all", "extended"):
+        qs.update(entrymod.queries_extended())
+        oracles.update(entrymod.oracle_sql_extended())
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

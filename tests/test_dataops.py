@@ -1073,6 +1073,31 @@ def test_asof_join_null_timestamps(spark):
         assert vals[1] != vals[1]      # null ts -> NaN, 99.0 never leaks
 
 
+def test_asof_join_null_keys_never_match(spark):
+    """NULL-key left rows match nothing and NULL-key right rows are never
+    matchable (pandas merge_asof / DuckDB ASOF equality semantics) — the
+    window partition for NULLs must not pair them (r3 ADVICE)."""
+    from datetime import datetime
+
+    from bloomfilter_spark.operators.temporal import asof_join
+
+    T0, T1 = datetime(2024, 5, 1), datetime(2024, 5, 2)
+    left = spark.createDataFrame(
+        [(1, T1), (None, T1)], "k long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(1, T0, 1.0), (None, T0, 99.0)], "k long, ts timestamp_ntz, v double"
+    )
+    got = (
+        asof_join(left, right, "k", "ts", ["v"])
+        .toPandas()
+        .sort_values("k", na_position="last")
+    )
+    vals = got["v_matched"].tolist()
+    assert vals[0] == 1.0      # real key matches its own right row
+    assert vals[1] != vals[1]  # NULL key -> NaN; 99.0 must never leak
+
+
 def test_normalize_url_rules(spark):
     from bloomfilter_spark.functions.urls import host_of, normalize_url
 
@@ -1196,6 +1221,24 @@ def test_compression_features_replay(spark):
     assert got.loc[2]["compression_ratio"] > 0.5       # high entropy
     assert not got.loc[1]["compression_ok"]
     assert bool(got.loc[2]["compression_ok"]) and bool(got.loc[4]["compression_ok"])
+
+
+def test_compression_features_null_id_passes_through(spark):
+    """A NULL doc_id row (arrives as NaN in the Arrow batch) must pass
+    through as a null-id row with computed features — the library-wide
+    map-only null contract — not crash the whole task (r3 ADVICE)."""
+    import zlib
+
+    from bloomfilter_spark.functions.textstats import compression_features
+
+    df = spark.createDataFrame(
+        [(None, "some text here"), (7, "other text")],
+        "doc_id long, text string",
+    )
+    got = compression_features(df, "text", "doc_id").toPandas()
+    assert len(got) == 2
+    nrow = got[got["doc_id"].isna()].iloc[0]
+    assert nrow["n_compressed"] == len(zlib.compress(b"some text here", 6))
 
 
 def test_snapshot_diff_statuses(spark):

@@ -43,6 +43,19 @@ def test_empty_sides(spark):
                            probe.select(F.col("k").alias("b")), "b").count() == 0
 
 
+def test_same_named_key_columns(spark):
+    """probe_col == build_col (the common same-named-key case) must not
+    raise AMBIGUOUS_REFERENCE in the exact-join condition (r3 ADVICE)."""
+    from bloomfilter_spark.operators.membership import bloom_semi_join
+
+    probe = spark.range(0, 300).select(F.col("id").alias("k"))
+    build = spark.range(100, 200).select(F.col("id").alias("k"))
+    anti = _ids(bloom_anti_join(probe, "k", build, "k", counter_filter=True))
+    assert anti == list(range(0, 100)) + list(range(200, 300))
+    semi = _ids(bloom_semi_join(probe, "k", build, "k"))
+    assert semi == list(range(100, 200))
+
+
 def test_dedup_keep_best_prefers_priority(spark):
     from bloomfilter_spark.operators.components import dedup_keep_best
 

@@ -53,6 +53,10 @@ def edge_events_dir(spark, tmp_path_factory):
          '{"k": "str"}'),                                 # NaN value
         (104, base + pd.Timedelta(hours=42), 3, "view", -5.0, None),  # negative
         (105, base + pd.Timedelta(hours=43), 3, "view", float("inf"), None),
+        # NULL-key right row + later NULL-key probe: asof must NOT pair
+        # them (equality semantics never match NULL keys); r3 ADVICE case
+        (106, base + pd.Timedelta(hours=44), None, "error", 1.0, None),
+        (107, base + pd.Timedelta(hours=45), None, "click", 2.0, None),
     ]
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value",
@@ -65,9 +69,10 @@ def edge_events_dir(spark, tmp_path_factory):
 
 
 def _compare(spark, edge_dir, qname, table="documents"):
-    # queries.py already merges the dataops catalog at import time
-    from bloomfilter_spark.queries import ORACLES as oracles
-    from bloomfilter_spark.queries import QUERIES as queries
+    # full catalog (graded window + extended) — adversarial coverage must
+    # not shrink when a query moves out of the 50-entry driver window
+    from bloomfilter_spark.queries import ALL_ORACLES as oracles
+    from bloomfilter_spark.queries import ALL_QUERIES as queries
     sf_dir, pdf = edge_dir
     got = canon(queries[qname](spark, sf_dir).toPandas())
     con = duckdb.connect()

@@ -98,3 +98,19 @@ def test_null_sizes_count_as_zero(spark):
 def test_empty_order_cols_rejected(spark, sized_docs):
     with pytest.raises(ValueError):
         global_running_sum(sized_docs, [], "sz")
+
+
+def test_shard_id_exact_beyond_double_precision(spark):
+    """shard_id must use true integer division: at offsets > 2^53 a
+    double-quotient path rounds the dividend and is off by one shard
+    (r3 ADVICE).  start = 2^55 + 3 with target 3 is such a case."""
+    from bloomfilter_spark.operators.packing import pack_shards
+
+    big = (1 << 55) + 3
+    df = spark.createDataFrame([(1, big), (2, 5)], "doc_id long, sz long")
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(df, ["doc_id"], "sz", 3).collect()
+    }
+    assert got[1] == 0
+    assert got[2] == big // 3  # 12009599006321323; double math gives ...322
