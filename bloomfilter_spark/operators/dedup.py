@@ -114,12 +114,23 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
     Candidate generation = equi-join on shingle (only pairs sharing ≥1
     shingle are scored — exact, since J>0 requires a shared shingle).
     Columns: id_a, id_b (id_a < id_b), jaccard (rounded 6dp).
+
+    max_doc_freq (opt-in, CCNet/Gopher stop-shingle practice): drop
+    shingles appearing in more than this many documents BEFORE the
+    self-join.  A single boilerplate shingle shared by 1M docs otherwise
+    creates ~5·10^11 candidate rows that no AQE skew-split can shrink —
+    the cap collapses that hot key's cross product entirely.  Semantics:
+    Jaccard is computed over the FILTERED shingle universe (hot shingles
+    are treated as stopwords on both the intersection and the set sizes),
+    so scores change only for pairs that share a hot shingle; the default
+    (None) keeps the exact all-shingle answer and the unchanged plan.
     """
     df = ensure_parallelism(df)
     toks_df = df.select(
@@ -141,6 +152,25 @@ def ngram_jaccard_pairs(
         .select("id", "sz", F.xxhash64("_s").alias("s"))
         .localCheckpoint(eager=False)
     )
+    if max_doc_freq is not None:
+        # hot set is tiny by construction (shingles in > cap docs), so it
+        # broadcasts; one extra groupBy recomputes set sizes over the
+        # filtered universe — the price for collapsing the hot-key cross
+        # product from O(df^2) to zero.
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("s")
+        )
+        kept = ex.join(F.broadcast(hot), "s", "left_anti")
+        sz2 = kept.groupBy("id").agg(F.count(F.lit(1)).alias("__sz"))
+        ex = (
+            kept.drop("sz")
+            .join(sz2, "id")
+            .select("id", F.col("__sz").alias("sz"), "s")
+            .localCheckpoint(eager=False)
+        )
     a = ex.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("s")
     )

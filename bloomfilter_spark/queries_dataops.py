@@ -956,10 +956,13 @@ FROM s ORDER BY doc_id, chunk_idx
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).orderBy(
-        "id_a", "id_b"
-    )
+    # shares the cached pair set with dedup_clusters / dedup_clusters_best
+    # so the shingle self-join runs ONCE per catalog pass.  The cache's
+    # doc_id-not-null pre-filter is a no-op for the pairs themselves: a
+    # NULL id can never satisfy `a.doc_id < b.doc_id` (NULL comparison) in
+    # either engine, so the pair set is identical to the unfiltered run.
+    _, pairs = _jaccard_pairs_cached(spark, sf_dir)
+    return pairs.orderBy("id_a", "id_b")
 
 
 _NGRAM_JACCARD_SQL = """

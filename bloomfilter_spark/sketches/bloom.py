@@ -191,13 +191,49 @@ class BloomFilter:
     # -- query --------------------------------------------------------------
 
     def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Lane-at-a-time probe with candidate compaction.
+
+        A miss needs only ONE zero lane, so lanes are evaluated in order
+        and the candidate set is compacted after each: at design load
+        (~50% bits set) a random absent key survives each lane with
+        p≈0.5, so expected gathers are ~2 per miss instead of k — the
+        probe path does no staging scatter, just gather + AND per lane.
+        Bit semantics are identical to the full (n, k) evaluation: lane i
+        probes (h1 + i·h2) mod m on the uint64-wrapped sum."""
         if len(h1) == 0:
             return np.zeros(0, dtype=bool)
-        pos = self._positions(h1, h2)
-        masks = U64(1) << (pos & U64(63))
-        word_idx = (pos >> U64(6)).view(np.int64)
-        vals = self.words[word_idx]
-        return ((vals & masks) != 0).all(axis=1)
+        words = self.words  # folds any staged bits once, before the lanes
+        m = U64(self.m)
+        sixty3 = U64(63)
+
+        def lane_bits(pos: np.ndarray) -> np.ndarray:
+            # bit test as (word >> (pos & 63)) & 1 — one variable shift
+            # instead of building a mask array then AND+compare
+            g = words[(pos >> U64(6)).view(np.int64)]
+            g >>= pos & sixty3
+            g &= U64(1)
+            return g
+
+        with np.errstate(over="ignore"):
+            pos = h1 % m
+            bits = lane_bits(pos)
+            if self.k == 1:
+                return bits != 0
+            alive = np.flatnonzero(bits)
+            h1a, h2a = h1[alive], h2[alive]
+            for i in range(1, self.k):
+                if alive.size == 0:
+                    break
+                pos = h1a + U64(i) * h2a
+                pos %= m
+                bits = lane_bits(pos)
+                if bits.min() == 0:  # compact only when something died
+                    keep = np.flatnonzero(bits)
+                    alive = alive[keep]
+                    h1a, h2a = h1a[keep], h2a[keep]
+        out = np.zeros(len(h1), dtype=bool)
+        out[alive] = True
+        return out
 
     def contains(self, values) -> np.ndarray:
         """Vectorized Contains over a batch; True = probably present,

@@ -167,6 +167,50 @@ def test_ngram_jaccard_exactness(spark):
         assert abs(got_map[k] - expected[k]) < 1e-6
 
 
+def test_ngram_jaccard_doc_freq_cap_collapses_boilerplate(spark):
+    """Planted boilerplate: every doc shares one stop-shingle, so the
+    uncapped join scores all C(n,2) pairs; max_doc_freq drops the hot
+    shingle and only the true near-dup pair survives, with its Jaccard
+    computed exactly over the filtered shingle universe."""
+    from bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter"
+    n_docs = 40
+    rows = [
+        (i, f"{boiler} unique words {i} alpha{i} beta{i} gamma{i}")
+        for i in range(n_docs - 2)
+    ]
+    # a planted near-dup pair sharing real (non-boilerplate) content
+    rows += [
+        (97, f"{boiler} the quick brown fox jumps over the lazy dog"),
+        (98, f"{boiler} the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=1e-9
+    ).count()
+    assert uncapped == n_docs * (n_docs - 1) // 2  # boilerplate pairs all
+
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=1e-9, max_doc_freq=5
+    ).toPandas()
+    assert [(a, b) for a, b in zip(capped.id_a, capped.id_b)] == [(97, 98)]
+
+    # exact score over the filtered universe (python replay of the cap)
+    from collections import Counter
+
+    def sh(t):
+        ts = t.lower().split()
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    dfreq = Counter(s for _, t in rows for s in sh(t))
+    hot = {s for s, c in dfreq.items() if c > 5}
+    a, b = sh(rows[-2][1]) - hot, sh(rows[-1][1]) - hot
+    want = len(a & b) / len(a | b)
+    assert abs(capped.jaccard.iloc[0] - want) < 1e-6
+
+
 # ---------------------------------------------------------------------------
 # fingerprints
 # ---------------------------------------------------------------------------
