@@ -2243,7 +2243,65 @@ FROM documents
 """
 
 
+_BUDGET_TOP_K = 200
+_BUDGET_CHARS_PER_PIECE = 4
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware per-document token budget: corpus-derived top-200
+    vocabulary counts as single tokens, out-of-vocab words estimate
+    ceil(len/4) pieces — the model-token budgeting approximation
+    (functions/tokenbudget.py); oracle replays the identical vocabulary
+    CTE and CASE formula."""
+    from bloomfilter_spark.functions.tokenbudget import token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget(
+        docs,
+        "doc_id",
+        "text",
+        top_k=_BUDGET_TOP_K,
+        chars_per_piece=_BUDGET_CHARS_PER_PIECE,
+    ).orderBy("doc_id")
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                                        '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), vocab AS (
+  SELECT word FROM (
+    SELECT UNNEST(list_distinct(ts)) AS word FROM toks
+  ) GROUP BY word
+  ORDER BY COUNT(*) DESC, word
+  LIMIT {_BUDGET_TOP_K}
+), words AS (
+  -- [NULL] for token-less docs mirrors Spark's explode_outer: the doc
+  -- survives with n_words = 0 instead of vanishing
+  SELECT doc_id,
+         UNNEST(CASE WHEN len(ts) = 0 THEN [CAST(NULL AS VARCHAR)]
+                ELSE ts END) AS word
+  FROM toks
+), scored AS (
+  SELECT w.doc_id,
+         CASE WHEN w.word IS NULL THEN 0
+              WHEN v.word IS NOT NULL THEN 1
+              ELSE CAST(CEIL(length(w.word) / {_BUDGET_CHARS_PER_PIECE}.0)
+                        AS BIGINT) END AS pieces,
+         CASE WHEN w.word IS NULL THEN 0 ELSE 1 END AS is_word
+  FROM words w LEFT JOIN vocab v ON w.word = v.word
+)
+SELECT doc_id,
+       CAST(SUM(is_word) AS BIGINT) AS n_words,
+       CAST(SUM(pieces) AS BIGINT) AS n_tokens_est
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES2 = {
+    "token_budget": q_token_budget,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
@@ -2293,6 +2351,7 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "token_budget": _TOKEN_BUDGET_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,

@@ -1230,6 +1230,69 @@ def test_json_extraction_malformed_tolerant(spark):
     assert all(k != k for k in ks[1:])  # NaN for all the rest
 
 
+def test_token_budget_supplied_vocab_exact(spark):
+    """With a tokenizer-exported vocab, in-vocab words contribute their
+    exact piece counts; OOV words fall back to ceil(len/4); empty/NULL
+    text scores 0 but the row survives."""
+    import math
+
+    from bloomfilter_spark.functions.tokenbudget import token_budget
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello tokenization hello"),
+            (2, "unbelievable"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("hello", 1), ("tokenization", 3)], "word string, n_pieces int"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens_est"])
+        for r in token_budget(docs, "doc_id", "text", vocab=vocab).collect()
+    }
+    assert got[1] == (3, 1 + 3 + 1)
+    assert got[2] == (1, math.ceil(len("unbelievable") / 4))  # OOV
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)
+
+
+def test_token_budget_corpus_vocab_and_groups(spark):
+    """Corpus-derived vocabulary: the frequent word counts as 1 token,
+    rare long words split; budget_by_group sums per source."""
+    from bloomfilter_spark.functions.tokenbudget import (
+        budget_by_group,
+        corpus_vocabulary,
+        token_budget,
+    )
+
+    rows = [(i, "the common words here", "a") for i in range(8)]
+    rows += [(100, "the extraordinarily incomprehensible text", "b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    vocab = {r["word"] for r in corpus_vocabulary(docs, "text", top_k=4).collect()}
+    assert vocab == {"the", "common", "words", "here"}  # df 9,8,8,8
+
+    per_doc = {
+        r["doc_id"]: r["n_tokens_est"]
+        for r in token_budget(docs, "doc_id", "text", top_k=4).collect()
+    }
+    assert per_doc[0] == 4  # all in vocab
+    # the(1) + ceil(15/4)=4 + ceil(16/4)=4 + ceil(4/4)=1
+    assert per_doc[100] == 1 + 4 + 4 + 1
+
+    groups = {
+        r["source"]: (r["n_docs"], r["tokens_est"])
+        for r in budget_by_group(
+            docs, "source", "doc_id", "text", top_k=4
+        ).collect()
+    }
+    assert groups["a"] == (8, 32)
+    assert groups["b"] == (1, 10)
+
+
 def test_compression_features_replay(spark):
     """Spark output equals a direct python zlib replay; repetitive text
     scores low ratio, high-entropy text scores high."""
