@@ -71,8 +71,14 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
 
     def _noop(it):
+        # warm what every worker pays once: numpy/pandas AND the library
+        # import (sketch kernels, hashing) — a long-running cluster pays
+        # worker spawn + imports once, not inside the first timed query
         import numpy  # noqa: F401
         import pandas  # noqa: F401
+
+        import bloomfilter_spark.functions.hashing  # noqa: F401
+        import bloomfilter_spark.operators.pipeline  # noqa: F401
 
         for pdf in it:
             yield pdf

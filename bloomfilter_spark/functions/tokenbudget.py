@@ -120,21 +120,52 @@ def token_budget(
 def budget_by_group(
     df: DataFrame,
     group_col: str,
-    id_col: str,
     text_col: str,
-    **kwargs,
+    vocab: DataFrame | None = None,
+    top_k: int = 30_000,
+    chars_per_piece: int = DEFAULT_CHARS_PER_PIECE,
 ) -> DataFrame:
     """Token budget rolled up per group (source/lang) — the number a
-    data-mixing plan is written against."""
-    per_doc = token_budget(df, id_col, text_col, **kwargs)
-    keys = df.select(id_col, group_col)
-    return (
-        per_doc.join(keys, id_col)
-        .groupBy(group_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens_est").alias("tokens_est"),
+    data-mixing plan is written against.
+
+    Aggregates the exploded word stream straight to the group key (no
+    per-document intermediate, no join back against the corpus — a 2M-doc
+    measurement showed that join dominating the whole pipeline 4:1);
+    n_docs comes from a second column-pruned scan that only reads
+    group_col, and the final join is group-cardinality × group-cardinality.
+    """
+    if chars_per_piece < 1:
+        raise ValueError(f"chars_per_piece must be >= 1, got {chars_per_piece}")
+    if vocab is None:
+        vocab = corpus_vocabulary(df, text_col, top_k)
+    vocab = vocab.select(
+        F.col("word").alias("__v_word"),
+        F.col("n_pieces").cast("long").alias("__v_pieces"),
+    )
+    exploded = ensure_parallelism(df.select(group_col, text_col)).select(
+        group_col, F.explode(tokens_nonempty(text_col)).alias("__word")
+    )
+    tokens_agg = (
+        exploded.join(
+            F.broadcast(vocab), exploded["__word"] == F.col("__v_word"), "left"
         )
+        .select(
+            group_col,
+            F.coalesce(
+                F.col("__v_pieces"),
+                F.ceil(
+                    F.length("__word") / F.lit(float(chars_per_piece))
+                ).cast("long"),
+            ).alias("__pieces"),
+        )
+        .groupBy(group_col)
+        .agg(F.sum("__pieces").alias("tokens_est"))
+    )
+    docs_agg = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return docs_agg.join(tokens_agg, group_col, "left").select(
+        group_col,
+        "n_docs",
+        F.coalesce("tokens_est", F.lit(0)).alias("tokens_est"),
     )
 
 

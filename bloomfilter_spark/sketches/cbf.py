@@ -127,12 +127,36 @@ class CountingBloomFilter:
 
     def contains(self, values) -> np.ndarray:
         """True = probably present (net count ≥ 1 on all k cells). Defined on
-        a merged filter; on a raw delta partial the answer is meaningless."""
+        a merged filter; on a raw delta partial the answer is meaningless.
+
+        Lane-at-a-time with candidate compaction (same probe shape as
+        BloomFilter.contains_hashes): a miss early-outs on its first
+        zero counter, so expected gathers per absent key are ~2, not k."""
         h1, h2 = hash_any(values, self.seed)
         if len(h1) == 0:
             return np.zeros(0, dtype=bool)
-        pos = self._positions(h1, h2).view(np.int64)
-        return (self.counts[pos] >= 1).all(axis=1)
+        m = U64(self.m)
+        counts = self.counts
+        with np.errstate(over="ignore"):
+            pos = h1 % m
+            hit = counts[pos.view(np.int64)] >= 1
+            if self.k == 1:
+                return hit
+            alive = np.flatnonzero(hit)
+            h1a, h2a = h1[alive], h2[alive]
+            for i in range(1, self.k):
+                if alive.size == 0:
+                    break
+                pos = h1a + U64(i) * h2a
+                pos %= m
+                lane = counts[pos.view(np.int64)] >= 1
+                if not lane.all():
+                    keep = np.flatnonzero(lane)
+                    alive = alive[keep]
+                    h1a, h2a = h1a[keep], h2a[keep]
+        out = np.zeros(len(h1), dtype=bool)
+        out[alive] = True
+        return out
 
     # -- bulk ops --------------------------------------------------------------
 

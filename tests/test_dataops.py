@@ -1285,12 +1285,36 @@ def test_token_budget_corpus_vocab_and_groups(spark):
 
     groups = {
         r["source"]: (r["n_docs"], r["tokens_est"])
-        for r in budget_by_group(
-            docs, "source", "doc_id", "text", top_k=4
-        ).collect()
+        for r in budget_by_group(docs, "source", "text", top_k=4).collect()
     }
     assert groups["a"] == (8, 32)
     assert groups["b"] == (1, 10)
+
+    # a group whose docs have no tokens still appears, with 0 tokens
+    docs2 = docs.unionByName(
+        spark.createDataFrame([(200, "", "c")], docs.schema)
+    )
+    g2 = {
+        r["source"]: r["tokens_est"]
+        for r in budget_by_group(docs2, "source", "text", top_k=4).collect()
+    }
+    assert g2["c"] == 0
+
+
+def test_token_budget_plan_broadcasts_vocab(spark):
+    """The vocabulary join must be a BroadcastHashJoin — a sort-merge
+    join would shuffle the exploded word stream (corpus-sized) against a
+    tokenizer-sized table."""
+    from bloomfilter_spark.functions.tokenbudget import token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "some words here") for i in range(100)], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("some", 1)], "word string, n_pieces int")
+    plan = token_budget(docs, "doc_id", "text", vocab=vocab)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_compression_features_replay(spark):
