@@ -40,6 +40,31 @@ from bloomfilter_spark.plans.skew import ensure_parallelism
 DEFAULT_CHARS_PER_PIECE = 4
 
 
+def _prepared_vocab(vocab: DataFrame) -> DataFrame:
+    """Reserved-name projection of a (word, n_pieces) vocabulary, deduped:
+    a duplicate word row would fan out the left join and silently inflate
+    both n_words and the piece sums, so conflicting duplicates collapse
+    deterministically to the smallest piece count."""
+    return (
+        vocab.select(
+            F.col("word").alias("__v_word"),
+            F.col("n_pieces").cast("long").alias("__v_pieces"),
+        )
+        .groupBy("__v_word")
+        .agg(F.min("__v_pieces").alias("__v_pieces"))
+    )
+
+
+def _pieces_expr(chars_per_piece: int) -> Column:
+    """Piece count for one joined word row: the vocabulary's count when
+    the word matched, else ceil(len/L).  The ONE formula both token_budget
+    and budget_by_group ship, and the one the SQL oracle replays."""
+    return F.coalesce(
+        F.col("__v_pieces"),
+        F.ceil(F.length("__word") / F.lit(float(chars_per_piece))).cast("long"),
+    )
+
+
 def corpus_vocabulary(
     df: DataFrame, text_col: str, top_k: int = 30_000
 ) -> DataFrame:
@@ -86,10 +111,7 @@ def token_budget(
         raise ValueError(f"chars_per_piece must be >= 1, got {chars_per_piece}")
     if vocab is None:
         vocab = corpus_vocabulary(df, text_col, top_k)
-    vocab = vocab.select(
-        F.col("word").alias("__v_word"),
-        F.col("n_pieces").cast("long").alias("__v_pieces"),
-    )
+    vocab = _prepared_vocab(vocab)
     exploded = ensure_parallelism(df.select(id_col, text_col)).select(
         id_col, F.explode_outer(tokens_nonempty(text_col)).alias("__word")
     )
@@ -100,12 +122,7 @@ def token_budget(
     ).select(
         id_col,
         F.when(F.col("__word").isNull(), F.lit(0))
-        .when(F.col("__v_pieces").isNotNull(), F.col("__v_pieces"))
-        .otherwise(
-            F.ceil(F.length("__word") / F.lit(float(chars_per_piece))).cast(
-                "long"
-            )
-        )
+        .otherwise(_pieces_expr(chars_per_piece))
         .alias("__pieces"),
         F.when(F.col("__word").isNull(), F.lit(0))
         .otherwise(F.lit(1))
@@ -138,10 +155,7 @@ def budget_by_group(
         raise ValueError(f"chars_per_piece must be >= 1, got {chars_per_piece}")
     if vocab is None:
         vocab = corpus_vocabulary(df, text_col, top_k)
-    vocab = vocab.select(
-        F.col("word").alias("__v_word"),
-        F.col("n_pieces").cast("long").alias("__v_pieces"),
-    )
+    vocab = _prepared_vocab(vocab)
     exploded = ensure_parallelism(df.select(group_col, text_col)).select(
         group_col, F.explode(tokens_nonempty(text_col)).alias("__word")
     )
@@ -149,21 +163,20 @@ def budget_by_group(
         exploded.join(
             F.broadcast(vocab), exploded["__word"] == F.col("__v_word"), "left"
         )
-        .select(
-            group_col,
-            F.coalesce(
-                F.col("__v_pieces"),
-                F.ceil(
-                    F.length("__word") / F.lit(float(chars_per_piece))
-                ).cast("long"),
-            ).alias("__pieces"),
-        )
+        .select(group_col, _pieces_expr(chars_per_piece).alias("__pieces"))
         .groupBy(group_col)
         .agg(F.sum("__pieces").alias("tokens_est"))
     )
     docs_agg = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    return docs_agg.join(tokens_agg, group_col, "left").select(
-        group_col,
+    # eqNullSafe: groupBy keeps a NULL group key in BOTH aggregates, but a
+    # plain equality join would never pair them — the unlabeled slice's
+    # budget would silently read 0
+    return docs_agg.join(
+        tokens_agg,
+        docs_agg[group_col].eqNullSafe(tokens_agg[group_col]),
+        "left",
+    ).select(
+        docs_agg[group_col],
         "n_docs",
         F.coalesce("tokens_est", F.lit(0)).alias("tokens_est"),
     )

@@ -153,17 +153,23 @@ def ngram_jaccard_pairs(
         .localCheckpoint(eager=False)
     )
     if max_doc_freq is not None:
-        # hot set is tiny by construction (shingles in > cap docs), so it
-        # broadcasts; one extra groupBy recomputes set sizes over the
-        # filtered universe — the price for collapsing the hot-key cross
-        # product from O(df^2) to zero.
+        # One extra groupBy recomputes set sizes over the filtered
+        # universe — the price for collapsing the hot-key cross product
+        # from O(df^2) to zero.  The hot set is usually tiny (shingles in
+        # > cap docs), but its size is data-dependent — bounded only by
+        # total_shingles/cap — so the broadcast hint is gated on an
+        # actual count: a forced broadcast of a huge hot set would OOM
+        # exactly in the boilerplate-heavy scenario this flag exists for.
         hot = (
             ex.groupBy("s")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") > max_doc_freq)
             .select("s")
+            .localCheckpoint()  # count once, reuse for the join
         )
-        kept = ex.join(F.broadcast(hot), "s", "left_anti")
+        if hot.count() <= 2_000_000:  # ~16 MB of 8-byte keys broadcast
+            hot = F.broadcast(hot)
+        kept = ex.join(hot, "s", "left_anti")
         sz2 = kept.groupBy("id").agg(F.count(F.lit(1)).alias("__sz"))
         ex = (
             kept.drop("sz")

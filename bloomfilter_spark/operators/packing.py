@@ -65,8 +65,10 @@ def global_running_sum(
     order given by `order_cols` — without a global single-reducer window.
 
     `order_cols` must define a total order (unique tuples): ties would make
-    the prefix sum depend on physical row placement.  NULL sizes count as 0
-    (the row still occupies a position).
+    the prefix sum depend on physical row placement.  NULL and negative
+    sizes count as 0 (the row still occupies a position) — a negative size
+    is meaningless for byte packing and would also make downstream offsets
+    negative, where integer `div` truncation is no longer floor.
     """
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
@@ -74,7 +76,7 @@ def global_running_sum(
     if n_ranges is None:
         n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    size = F.greatest(F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(0))
 
     # Materialize the range layout ONCE so the totals job and the cumsum
     # job see identical partition ids and row order (at cluster scale:
@@ -134,7 +136,7 @@ def pack_shards(
     """
     if target_size <= 0:
         raise ValueError(f"target_size must be positive, got {target_size}")
-    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    size = F.greatest(F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(0))
     out = global_running_sum(df, order_cols, size_col, "running_bytes", n_ranges)
     start = F.col("running_bytes") - size
     # True integer division (Spark's `div` is long/long -> long, no double
@@ -151,7 +153,7 @@ def pack_shards(
 
 def shard_summary(packed: DataFrame, size_col: str) -> DataFrame:
     """Per-shard doc count + byte total (the balance report a writer logs)."""
-    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    size = F.greatest(F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(0))
     return packed.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(size).alias("shard_bytes"),

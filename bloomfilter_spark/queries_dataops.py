@@ -1682,7 +1682,7 @@ def _pack_shards_oracle_sql() -> str:
     ok = MD5_HASH60_SQL.format(expr="COALESCE(CAST(doc_id AS VARCHAR), '')")
     return f"""
 WITH h AS (
-  SELECT doc_id, COALESCE(n_chars, 0) AS sz, {ok} AS ok
+  SELECT doc_id, GREATEST(COALESCE(n_chars, 0), 0) AS sz, {ok} AS ok
   FROM documents
 ), c AS (
   SELECT sz,

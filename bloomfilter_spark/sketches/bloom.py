@@ -50,6 +50,34 @@ def popcount_words(words: np.ndarray) -> int:
     return int(_POP8[words.view(np.uint8)].sum())
 
 
+def lane_probe(h1: np.ndarray, h2: np.ndarray, k: int, m: int, lane_fn) -> np.ndarray:
+    """Shared lane-at-a-time membership evaluation (Bloom bit test, CBF
+    counter test): evaluate lane i's positions (uint64-wrapped h1 + i*h2,
+    then mod m) for the still-alive candidates only, compacting after
+    each lane.  A miss early-outs on its first zero lane, so expected
+    lane_fn gathers per absent key are ~1/(1-load) ≈ 2 at design load
+    instead of k.  `lane_fn(pos)` returns truthy-per-position (bool or
+    0/1 ints); bit semantics are identical to evaluating the full (n, k)
+    position matrix."""
+    mm = U64(m)
+    with np.errstate(over="ignore"):
+        pos = h1 % mm
+        alive = np.flatnonzero(lane_fn(pos))
+        h1a, h2a = h1[alive], h2[alive]
+        for i in range(1, k):
+            if alive.size == 0:
+                break
+            pos = h1a + U64(i) * h2a
+            pos %= mm
+            keep = np.flatnonzero(lane_fn(pos))
+            if keep.size != h1a.size:  # compact only when something died
+                alive = alive[keep]
+                h1a, h2a = h1a[keep], h2a[keep]
+    out = np.zeros(len(h1), dtype=bool)
+    out[alive] = True
+    return out
+
+
 @serde.register(serde.KIND_BLOOM)
 class BloomFilter:
     """Mergeable Bloom filter over a packed uint64 word array."""
@@ -203,7 +231,6 @@ class BloomFilter:
         if len(h1) == 0:
             return np.zeros(0, dtype=bool)
         words = self.words  # folds any staged bits once, before the lanes
-        m = U64(self.m)
         sixty3 = U64(63)
 
         def lane_bits(pos: np.ndarray) -> np.ndarray:
@@ -214,26 +241,7 @@ class BloomFilter:
             g &= U64(1)
             return g
 
-        with np.errstate(over="ignore"):
-            pos = h1 % m
-            bits = lane_bits(pos)
-            if self.k == 1:
-                return bits != 0
-            alive = np.flatnonzero(bits)
-            h1a, h2a = h1[alive], h2[alive]
-            for i in range(1, self.k):
-                if alive.size == 0:
-                    break
-                pos = h1a + U64(i) * h2a
-                pos %= m
-                bits = lane_bits(pos)
-                if bits.min() == 0:  # compact only when something died
-                    keep = np.flatnonzero(bits)
-                    alive = alive[keep]
-                    h1a, h2a = h1a[keep], h2a[keep]
-        out = np.zeros(len(h1), dtype=bool)
-        out[alive] = True
-        return out
+        return lane_probe(h1, h2, self.k, self.m, lane_bits)
 
     def contains(self, values) -> np.ndarray:
         """Vectorized Contains over a batch; True = probably present,

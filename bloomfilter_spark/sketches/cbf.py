@@ -38,7 +38,7 @@ import numpy as np
 
 from bloomfilter_spark.functions.hashing import DEFAULT_SEED, hash_any
 from bloomfilter_spark.sketches import serde
-from bloomfilter_spark.sketches.bloom import BloomFilter
+from bloomfilter_spark.sketches.bloom import BloomFilter, lane_probe
 
 U64 = np.uint64
 
@@ -135,28 +135,11 @@ class CountingBloomFilter:
         h1, h2 = hash_any(values, self.seed)
         if len(h1) == 0:
             return np.zeros(0, dtype=bool)
-        m = U64(self.m)
         counts = self.counts
-        with np.errstate(over="ignore"):
-            pos = h1 % m
-            hit = counts[pos.view(np.int64)] >= 1
-            if self.k == 1:
-                return hit
-            alive = np.flatnonzero(hit)
-            h1a, h2a = h1[alive], h2[alive]
-            for i in range(1, self.k):
-                if alive.size == 0:
-                    break
-                pos = h1a + U64(i) * h2a
-                pos %= m
-                lane = counts[pos.view(np.int64)] >= 1
-                if not lane.all():
-                    keep = np.flatnonzero(lane)
-                    alive = alive[keep]
-                    h1a, h2a = h1a[keep], h2a[keep]
-        out = np.zeros(len(h1), dtype=bool)
-        out[alive] = True
-        return out
+        return lane_probe(
+            h1, h2, self.k, self.m,
+            lambda pos: counts[pos.view(np.int64)] >= 1,
+        )
 
     # -- bulk ops --------------------------------------------------------------
 

@@ -1300,6 +1300,32 @@ def test_token_budget_corpus_vocab_and_groups(spark):
     }
     assert g2["c"] == 0
 
+    # NULL group key: the unlabeled slice's budget must survive the final
+    # join (eqNullSafe), not silently read 0
+    docs3 = docs.unionByName(
+        spark.createDataFrame([(300, "the common words here", None)], docs.schema)
+    )
+    g3 = {
+        r["source"]: r["tokens_est"]
+        for r in budget_by_group(docs3, "source", "text", top_k=4).collect()
+    }
+    assert g3[None] == 4
+
+
+def test_token_budget_duplicate_vocab_rows_no_fanout(spark):
+    """A duplicated vocab word must not fan out the join and inflate
+    counts; conflicting duplicates collapse to the smaller piece count."""
+    from bloomfilter_spark.functions.tokenbudget import token_budget
+
+    docs = spark.createDataFrame(
+        [(1, "the the the")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame(
+        [("the", 1), ("the", 2)], "word string, n_pieces int"
+    )
+    row = token_budget(docs, "doc_id", "text", vocab=vocab).collect()[0]
+    assert (row["n_words"], row["n_tokens_est"]) == (3, 3)
+
 
 def test_token_budget_plan_broadcasts_vocab(spark):
     """The vocabulary join must be a BroadcastHashJoin — a sort-merge
