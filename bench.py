@@ -199,10 +199,16 @@ def pages_throughput(spark) -> dict:
     # rate (never generate here — keep the bench's runtime bounded)
     path2m = pages_table_path(2_000_000)
     if n_rows != 2_000_000 and os.path.exists(os.path.join(path2m, "_SUCCESS")):
+        # the 2M build runs after the whole catalog: drop cached relations
+        # and take best-of-2 so the steady-state rate isn't hostage to the
+        # end-of-catalog JVM state (measured 2-3x swings from exactly that)
+        spark.catalog.clearCache()
         df2 = spark.read.parquet(path2m)
-        t0 = time.perf_counter()
-        build_suite(df2, n_expected=2_000_000)
-        dt2 = time.perf_counter() - t0
+        dt2 = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build_suite(df2, n_expected=2_000_000)
+            dt2 = min(dt2, time.perf_counter() - t0)
         out["pages2m_build_sec"] = round(dt2, 3)
         out["pages2m_docs_per_sec"] = round(2_000_000 / dt2, 1)
     return out

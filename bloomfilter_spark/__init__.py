@@ -47,6 +47,8 @@ from bloomfilter_spark.operators.pipeline import (
     build_suite,
 )
 from bloomfilter_spark.operators.checkpoint import build_sketch_checkpointed
+from bloomfilter_spark.operators.membership import bloom_anti_join
+from bloomfilter_spark.functions.tokenbudget import budget_by_group, token_budget
 
 __all__ = [
     "BloomFilter",
@@ -67,6 +69,9 @@ __all__ = [
     "build_suite",
     "build_sketch_checkpointed",
     "bloom_semi_join",
+    "bloom_anti_join",
     "filter_might_contain",
     "might_contain_udf",
+    "token_budget",
+    "budget_by_group",
 ]
