@@ -61,6 +61,44 @@ def test_bloom_never_false_negative(keys):
 
 
 @_SET
+@given(
+    st.integers(min_value=1, max_value=9),                 # k
+    st.integers(min_value=1, max_value=40),                # blocks of 512 bits
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+             min_size=1, max_size=120),                    # h1 stream
+    st.integers(min_value=0, max_value=2**64 - 1),         # h2 base
+)
+def test_lane_probe_equals_full_matrix(k, blocks, h1s, h2base):
+    """The lane-at-a-time early-out probe must be bit-equivalent to
+    evaluating the full (n, k) position matrix — including uint64
+    wraparound in h1 + i*h2 — for arbitrary geometry and hash values."""
+    from bloomfilter_spark.sketches.bloom import U64, lane_probe
+
+    m = blocks * 512
+    bf = BloomFilter(m=m, k=k)
+    # populate ~half the filter deterministically from the inputs
+    rng = np.random.RandomState(blocks * 31 + k)
+    fill = rng.randint(0, 2**63, size=max(1, m // 128), dtype=np.int64)
+    bf.add_hashes(fill.astype(np.uint64), (fill * 31 + 7).astype(np.uint64))
+
+    h1 = np.array(h1s, dtype=np.uint64)
+    h2 = (h1 * U64(2654435761) + U64(h2base)) # arbitrary paired stream
+    got = bf.contains_hashes(h1, h2)
+
+    pos = bf._positions(h1, h2)
+    want = ((bf.words[(pos >> U64(6)).view(np.int64)]
+             >> (pos & U64(63))) & U64(1)).astype(bool).all(axis=1)
+    assert (got == want).all()
+    # and the shared helper agrees when driven directly
+    words = bf.words
+    direct = lane_probe(
+        h1, h2, k, m,
+        lambda p: (words[(p >> U64(6)).view(np.int64)] >> (p & U64(63))) & U64(1),
+    )
+    assert (direct == want).all()
+
+
+@_SET
 @given(st.lists(st.text(min_size=1, max_size=40), min_size=2, max_size=100,
                 unique=True))
 def test_bloom_split_merge_equals_single_build(keys):
