@@ -44,10 +44,13 @@ def _prepared_vocab(vocab: DataFrame) -> DataFrame:
     """Reserved-name projection of a (word, n_pieces) vocabulary, deduped:
     a duplicate word row would fan out the left join and silently inflate
     both n_words and the piece sums, so conflicting duplicates collapse
-    deterministically to the smallest piece count."""
+    deterministically to the smallest piece count.  Words are lowercased
+    to match the corpus tokenizer (tokens() lowercases) — a case-sensitive
+    tokenizer export would otherwise silently treat every capitalized
+    entry as out-of-vocab."""
     return (
         vocab.select(
-            F.col("word").alias("__v_word"),
+            F.lower(F.col("word")).alias("__v_word"),
             F.col("n_pieces").cast("long").alias("__v_pieces"),
         )
         .groupBy("__v_word")
@@ -76,7 +79,10 @@ def corpus_vocabulary(
     """
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
-    words = df.select(
+    # ensure_parallelism: the explode + partial aggregation here is the
+    # most CPU-heavy stage of the whole estimator and must not serialize
+    # on a one-split parquet input
+    words = ensure_parallelism(df.select(text_col)).select(
         F.explode(F.array_distinct(tokens_nonempty(text_col))).alias("word")
     )
     by_df = words.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
@@ -187,10 +193,14 @@ def token_budget_expr(
 ) -> Column:
     """The no-vocabulary fallback as a single map-only expression:
     Σ ceil(len(word)/L) over whitespace words — zero joins, zero shuffle,
-    for quick budget scans where ±15% is fine."""
-    return F.aggregate(
-        tokens_nonempty(col),
+    for quick budget scans where ±15% is fine.  NULL/empty text scores 0
+    (same contract as token_budget)."""
+    return F.coalesce(
+        F.aggregate(
+            tokens_nonempty(col),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + F.ceil(F.length(w) / F.lit(float(chars_per_piece))).cast("long"),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, w: acc
-        + F.ceil(F.length(w) / F.lit(float(chars_per_piece))).cast("long"),
     )

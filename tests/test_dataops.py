@@ -1327,6 +1327,33 @@ def test_token_budget_duplicate_vocab_rows_no_fanout(spark):
     assert (row["n_words"], row["n_tokens_est"]) == (3, 3)
 
 
+def test_token_budget_vocab_case_insensitive_and_expr_null(spark):
+    """A case-sensitive tokenizer export still matches the lowercased
+    corpus tokens; token_budget_expr scores NULL/empty text 0, not NULL."""
+    from pyspark.sql import functions as F
+
+    from bloomfilter_spark.functions.tokenbudget import (
+        token_budget,
+        token_budget_expr,
+    )
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [("Hello", 1), ("WORLD", 1)], "word string, n_pieces int"
+    )
+    row = token_budget(docs, "doc_id", "text", vocab=vocab).collect()[0]
+    assert row["n_tokens_est"] == 2  # both matched, not OOV ceil fallback
+
+    vals = (
+        spark.createDataFrame(
+            [(None,), ("",), ("four char word",)], "text string"
+        )
+        .select(token_budget_expr(F.col("text")).alias("est"))
+        .collect()
+    )
+    assert [r["est"] for r in vals] == [0, 0, 1 + 1 + 1]
+
+
 def test_token_budget_plan_broadcasts_vocab(spark):
     """The vocabulary join must be a BroadcastHashJoin — a sort-merge
     join would shuffle the exploded word stream (corpus-sized) against a

@@ -23,6 +23,13 @@ def edge_dir(spark, tmp_path_factory):
         (4, "x y", "de", "mystery0", None),  # unlisted AND zero total chars
         (5, "", "fr", "src3", 0),
         (6, "hello world common tokens here", "fr", "src0", 31),  # dup text
+        # >200 distinct rare words push the corpus past token_budget's
+        # top_k=200 vocabulary, so the OOV ceil(len/4) branch — the part
+        # of the Spark/SQL pair most likely to diverge — is exercised
+        # under the adversarial shapes too (plus one very long word)
+        (7, "pneumonoultramicroscopicsilicovolcanoconiosis "
+            + " ".join(f"gibberish{j}word" for j in range(220)),
+         "en", "src4", 58),
     ] + [
         (10 + i, f"filler doc {i} with some shared words", "en", f"src{i % 20}", 36)
         for i in range(40)
