@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from bloomfilter_spark.functions.textstats import WS_SPLIT_PATTERN
+
 
 def _dim_of(term, d: int):
     return F.pmod(
@@ -38,7 +40,7 @@ def tfidf_vectors(
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)
         ).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

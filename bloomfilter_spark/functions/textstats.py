@@ -30,10 +30,19 @@ _DIGIT_CLASS = r"[^0-9]"
 _ALPHA_CLASS = r"[^A-Za-z]"
 
 
+# THE whitespace class, spelled explicitly: Java regex \s is
+# [ \t\n\x0B\f\r] but RE2 (DuckDB string_split_regex) \s omits \x0B, so a
+# literal \s+ on the Spark side diverges from every SQL oracle the first
+# time a document contains a vertical tab.  Every Catalyst tokenizer in
+# the library splits on this class — which RE2's \s+ matches exactly —
+# so Spark and the oracles agree on all byte values.
+WS_SPLIT_PATTERN = r"[ \t\n\f\r]+"
+
+
 def tokens(col) -> Column:
     """Whitespace tokenizer (lowercased)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    return F.split(F.lower(F.trim(c)), WS_SPLIT_PATTERN)
 
 
 def tokens_nonempty(col) -> Column:

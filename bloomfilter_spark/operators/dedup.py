@@ -38,6 +38,7 @@ from bloomfilter_spark.functions.hashing import (
     murmur3_x64_128,
 )
 from bloomfilter_spark.plans.skew import ensure_parallelism
+from bloomfilter_spark.functions.textstats import WS_SPLIT_PATTERN
 
 # 2-universal permutation parameters for MinHash: sig_j = min((a_j*h + b_j))
 _MERSENNE61 = np.uint64((1 << 61) - 1)
@@ -66,7 +67,7 @@ def shingles_col(text_col: str, n: int = 3):
     re-evaluate under the transform lambda (no CSE through higher-order
     functions), measured ~1.4× slower.  Project the token array first and use shingles_of_toks for the hot
     path (as ngram_jaccard_pairs does); this wrapper stays for ad-hoc use."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)
     return _shingles_of(toks, n)
 
 
@@ -135,7 +136,7 @@ def ngram_jaccard_pairs(
     df = ensure_parallelism(df)
     toks_df = df.select(
         F.col(id_col).alias("id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN).alias("toks"),
     )
     sh = (
         toks_df.select("id", shingles_of_toks("toks", n).alias("sh"))
@@ -728,7 +729,7 @@ def simhash_sql(
     LANES = 3
     LANE_W = 21
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)
     ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
     ex = ex.select("id", md5_hash60(F.col("tok")).alias("h"))
     n_aggs = -(-bits // LANES)

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from bloomfilter_spark.functions.textstats import WS_SPLIT_PATTERN
+
 
 def _score_tf(tf: DataFrame, stats: DataFrame, k1: float, b: float, topk: int) -> DataFrame:
     """Shared BM25 scoring tail: (doc_id, dl, term, tf) + 1-row corpus
@@ -81,9 +83,9 @@ def write_inverted_index(
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN).alias("toks"),
         F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)))
         .alias("dl"),
     )
     toks.agg(
@@ -215,9 +217,9 @@ def bm25_search(
     terms = [t.lower() for t in terms]
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN).alias("toks"),
         F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)))
         .alias("dl"),
     )
     # one-row corpus stats; broadcast into the scoring plan (no collect)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from bloomfilter_spark.plans.skew import ensure_parallelism
+from bloomfilter_spark.functions.textstats import WS_SPLIT_PATTERN
 
 
 def _covered_positions(df, id_col, text_col, k, min_count):
@@ -37,11 +38,11 @@ def _covered_positions(df, id_col, text_col, k, min_count):
     df = ensure_parallelism(df)
     toks_df = df.select(
         F.col(id_col).alias("id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN).alias("toks"),
         # the split of an all-whitespace string is [''] (size 1) — the
         # shared token-count rule treats those documents as 0 tokens
         F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)))
         .alias("n_tokens"),
     )
     # positional k-grams; materialized once (localCheckpoint) because both

@@ -30,6 +30,10 @@ def edge_dir(spark, tmp_path_factory):
         (7, "pneumonoultramicroscopicsilicovolcanoconiosis "
             + " ".join(f"gibberish{j}word" for j in range(220)),
          "en", "src4", 58),
+        # vertical tab: Java \s splits on \x0B, RE2 \s does not — the
+        # library's WS_SPLIT_PATTERN pins the RE2 class, so both engines
+        # must read "alpha\x0Bbeta" as ONE token
+        (8, "alpha\x0bbeta gamma delta words", "en", "src5", 28),
     ] + [
         (10 + i, f"filler doc {i} with some shared words", "en", f"src{i % 20}", 36)
         for i in range(40)
