@@ -25,9 +25,22 @@ LANG_MARKERS: dict[str, list[str]] = {
     "es": ["el", "los", "y", "una", "por"],
 }
 
-_PUNCT_CLASS = r"[^.,;:!?]"
-_DIGIT_CLASS = r"[^0-9]"
-_ALPHA_CLASS = r"[^A-Za-z]"
+# char-family COUNTS are computed as length(text) - length(translate(text,
+# family, "")) — translate is a single-pass char-table delete, identical
+# counts to the old length(regexp_replace(text, [^family], "")) but ~13×
+# faster, and immune to a JVM JIT pathology where TWO different negated-
+# class regexes in ONE codegen'd projection ran 33× slower than either
+# alone (measured: alpha 5.3s + digit 7.7s separately, 175.8s combined,
+# at 2M pages; translate: all three families in 13.0s)
+_PUNCT_CHARS = ".,;:!?"
+_DIGIT_CHARS = "0123456789"
+_ALPHA_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _family_count(c, chars: str):
+    return (F.length(c) - F.length(F.translate(c, chars, ""))).cast("double")
 
 
 # THE whitespace class, spelled explicitly: Java regex \s is
@@ -98,11 +111,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = token_count(c)
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
-    # regexp_replace with the negated class keeps ONLY that char family;
-    # its length is the family count
-    punct = F.length(F.regexp_replace(c, _PUNCT_CLASS, "")).cast("double")
-    digit = F.length(F.regexp_replace(c, _DIGIT_CLASS, "")).cast("double")
-    alpha = F.length(F.regexp_replace(c, _ALPHA_CLASS, "")).cast("double")
+    punct = _family_count(c, _PUNCT_CHARS)
+    digit = _family_count(c, _DIGIT_CHARS)
+    alpha = _family_count(c, _ALPHA_CHARS)
     stop = marker_count(c, LANG_MARKERS["en"]).cast("double")
     out = (
         df.withColumn("n_chars", n_chars.cast("long"))
