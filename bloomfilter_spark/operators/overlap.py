@@ -1,0 +1,164 @@
+"""Corpus-overlap estimation between document sources (MinHash signatures).
+
+The data-mixing diligence question — "how much does source A's content
+overlap source B's?" — answered at corpus scale with ONE aggregated
+MinHash signature per source over the source's word-shingle set, instead
+of any pairwise document join.
+
+Spark-first plan (the 100 TB story):
+- the shingle explode is map-only;
+- the per-source signature is a single ``groupBy(source)`` with
+  ``num_perm`` ``min()`` aggregates — partial (map-side) aggregation
+  collapses every input partition to ``n_sources × num_perm`` longs
+  before the ONLY shuffle, so the shuffle payload is independent of
+  corpus size;
+- the pairwise comparison runs over ``n_sources²`` signature rows
+  (broadcast self-join — sources number in the dozens, not millions).
+Nothing except the map-side scan grows with the corpus; contrast the
+exact baseline below, whose shingle self-join is the thing MinHash
+replaces (same trade as `operators/dedup.py`, but at corpus rather
+than document granularity).
+
+Estimator: for permutation j, ``sig_j(S) = min_{s∈S} h_j(s)`` and
+``P[sig_j(A) = sig_j(B)] = J(A, B)`` (Broder 1997), so the match
+fraction across ``num_perm`` permutations is an unbiased estimate of
+the shingle-set Jaccard with stderr ``≈ sqrt(J(1−J)/num_perm)``.
+
+Cross-engine rule: ``h_j(s) = md5_hash60(str(j) || ':' || s)`` — the
+library's one SQL-replayable hash — which makes the whole ESTIMATE
+(values, not just row counts) verifiable in DuckDB; catalog query
+``corpus_overlap`` carries the full value oracle.  The murmur3
+permutation fast path used by document-level MinHash
+(`dedup.minhash_signatures`) is deliberately not reused here: corpus
+signatures are tiny (num_perm longs per source) so hash throughput is
+not the bottleneck, and replayability buys a full oracle.
+
+Group-key policy (library-wide): NULL group keys fold into an explicit
+``'(none)'`` bucket.  Sources whose documents yield zero shingles
+(all-NULL / shorter than n tokens) have no signature and appear in no
+pair — an empty set has no MinHash.
+
+Reference parity: the reference is a single-sketch library with no
+corpus operator (bloomfilter.go has only per-filter ops); this extends
+its MinHash-adjacent surface the way SURVEY.md §2.3 companions do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bloomfilter_spark.functions.hashing import md5_hash60
+from bloomfilter_spark.operators.dedup import _shingles_of
+from bloomfilter_spark.functions.textstats import WS_SPLIT_PATTERN
+from bloomfilter_spark.plans.skew import ensure_parallelism
+
+NONE_BUCKET = "(none)"
+
+
+def _grouped_shingles(
+    df: DataFrame, text_col: str, group_col: str, n: int
+) -> DataFrame:
+    """(grp, s) rows: one row per shingle occurrence per document.
+
+    Duplicates within a group are NOT removed — ``min()`` (and the exact
+    baseline's DISTINCT) are idempotent, and an early per-group distinct
+    would itself be a shuffle."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)
+    return ensure_parallelism(df).select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit(NONE_BUCKET)).alias(
+            "grp"
+        ),
+        F.explode(_shingles_of(toks, n)).alias("s"),
+    )
+
+
+def source_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_perm: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """One MinHash signature row per group: (grp, m0..m{num_perm-1}).
+
+    Each ``m_j`` is ``min(md5_hash60(str(j) || ':' || shingle))`` over the
+    group's shingles — num_perm independent hash families via distinct
+    prefixes.  One aggregation, map-side combined."""
+    if num_perm < 1:
+        raise ValueError(f"num_perm must be >= 1, got {num_perm}")
+    sh = _grouped_shingles(df, text_col, group_col, n)
+    mins = [
+        F.min(md5_hash60(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"m{j}")
+        for j in range(num_perm)
+    ]
+    return sh.groupBy("grp").agg(*mins)
+
+
+def corpus_overlap_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_perm: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Estimated shingle-set Jaccard for every unordered group pair.
+
+    Returns (source_a, source_b, est_jaccard) with source_a < source_b;
+    est_jaccard is an exact multiple of 1/num_perm (rounded to 6 decimals
+    for cross-engine hash stability — lossless when num_perm divides 10^6
+    scaled powers of 2, e.g. the default 32)."""
+    sig = source_minhash_signatures(df, text_col, group_col, num_perm, n)
+    cols = [f"m{j}" for j in range(num_perm)]
+    a = sig.select(
+        F.col("grp").alias("source_a"), F.array(*cols).alias("sig_a")
+    )
+    b = sig.select(
+        F.col("grp").alias("source_b"), F.array(*cols).alias("sig_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    matched = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(matched / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+    )
+
+
+def corpus_overlap_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard per group pair — the small-scale oracle
+    baseline the MinHash estimate is tested against.  The shingle
+    self-join makes this the non-scale path by construction (documented
+    trade; see module docstring)."""
+    sh = _grouped_shingles(df, text_col, group_col, n).distinct()
+    sz = sh.groupBy("grp").agg(F.count("*").alias("sz"))
+    left = sh.select(F.col("grp").alias("ga"), F.col("s").alias("sa"))
+    right = sh.select(F.col("grp").alias("gb"), F.col("s").alias("sb"))
+    inter = (
+        left.join(right, (F.col("sa") == F.col("sb")) & (F.col("ga") < F.col("gb")))
+        .groupBy(F.col("ga").alias("source_a"), F.col("gb").alias("source_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sz.select(F.col("grp").alias("source_a"), F.col("sz").alias("sz_a"))
+    zb = sz.select(F.col("grp").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "source_a")
+        .join(zb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

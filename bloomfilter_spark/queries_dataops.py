@@ -2300,8 +2300,118 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-overlap estimation (per-source MinHash signatures, full value oracle)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_PERMS = 32
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimate via per-source MinHash signatures.
+
+    ONE map-side-combined aggregation builds a 32-permutation signature per
+    source (the only shuffle carries n_sources × 32 longs — corpus-size
+    independent); a broadcast self-join compares signatures.  The hash is
+    the md5_hash60 rule, so the oracle replays the ESTIMATE value-for-value:
+    MinHash is an approximation of Jaccard, but a deterministic one, so it
+    gets a full value oracle rather than a rows-only check (the
+    estimate-vs-exact error bound is pytest-gated in tests/test_overlap.py)."""
+    from bloomfilter_spark.operators.overlap import corpus_overlap_minhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_overlap_minhash(
+        docs, "text", "source", num_perm=_OVERLAP_PERMS, n=3
+    ).orderBy("source_a", "source_b")
+
+
+_CORPUS_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT coalesce(source, '(none)') AS grp,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT grp, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), sig AS (
+  SELECT grp, j,
+         MIN(('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))::BIGINT) AS m
+  FROM sh CROSS JOIN range({_OVERLAP_PERMS}) p(j)
+  GROUP BY grp, j
+)
+SELECT a.grp AS source_a, b.grp AS source_b,
+       ROUND(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) * 1.0
+             / {_OVERLAP_PERMS}, 6) AS est_jaccard
+FROM sig a JOIN sig b ON a.j = b.j AND a.grp < b.grp
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# HTML→text extraction differential (north-rule byte-identity, oracle-gated)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction roundtrip, oracle-gated end to end.
+
+    Builds a deterministic html page around each row's sanitized text
+    (printable ASCII with '<'/'>' removed, so user text can never open a
+    tag or embed whitespace the two engines class differently), runs the
+    REAL versioned extractor (functions/text.py, the pandas-UDF path the
+    pages fixture is generated by), and emits the extracted text.  The
+    oracle computes the expected-by-construction result — head/script/style
+    blocks and tags dropped, whitespace collapsed, trimmed — so any drift
+    in the extraction chain (regex order, whitespace class, decode policy)
+    is a VALUE mismatch: this upgrades the north rule's byte-identical-
+    extraction contract (BASELINE.json input_hint) from pytest-golden-only
+    to driver-oracle-gated."""
+    from bloomfilter_spark.functions.text import with_extracted_text
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[^ -~]", " "),
+        r"[<>]",
+        " ",
+    )
+    html = F.concat(
+        F.lit(
+            "<html><head><title>doc</title><style>p { color: #000 }</style>"
+            "</head><body><p>"
+        ),
+        clean,
+        F.lit("</p><script>var x = 1;</script></body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    out = with_extracted_text(pages, "html", "text_out")
+    return out.select(
+        "doc_id",
+        "text_out",
+        F.length("text_out").cast("long").alias("n_out"),
+    ).orderBy("doc_id")
+
+
+_EXTRACT_TEXT_SQL = """
+WITH cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(coalesce(text, ''), '[^ -~]', ' ', 'g'),
+             '[<>]', ' ', 'g'),
+           ' +', ' ', 'g')) AS text_out
+  FROM documents
+)
+SELECT doc_id, text_out, CAST(length(text_out) AS BIGINT) AS n_out
+FROM cleaned ORDER BY doc_id NULLS FIRST
+"""
+
+
 QUERIES2 = {
     "token_budget": q_token_budget,
+    "corpus_overlap": q_corpus_overlap,
+    "extract_text": q_extract_text,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
@@ -2352,6 +2462,8 @@ QUERIES2 = {
 
 ORACLES2 = {
     "token_budget": _TOKEN_BUDGET_SQL,
+    "corpus_overlap": _CORPUS_OVERLAP_SQL,
+    "extract_text": _EXTRACT_TEXT_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,
