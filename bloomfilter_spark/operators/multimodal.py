@@ -183,7 +183,7 @@ def decode_media_features(
     return df.mapInPandas(feat_iter, schema=schema)
 
 
-def synthetic_media(spark, n: int) -> DataFrame:
+def synthetic_media(spark, n: int, num_partitions: int | None = None) -> DataFrame:
     """Deterministic media table: even ids are BFIM images, odd ids BFAU
     audio; dimensions and content are pure functions of media_id, so an
     external oracle can recompute the decoded dimensions from the id
@@ -215,7 +215,17 @@ def synthetic_media(spark, n: int) -> DataFrame:
                     rows.append((i, "audio", encode_audio_array(s, 8000)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "blob"])
 
-    return spark.range(n).mapInPandas(
+    if num_partitions is None:
+        # n is small by construction (a synthetic test/bench table, not the
+        # scale path — real media arrives via media_from_pages).  Don't fan
+        # a few hundred rows across every core: each extra partition is a
+        # python-worker checkout whose fixed cost dwarfs the ~60-row batch,
+        # and measured end-of-catalog worker churn made a 300-row decode
+        # pay 32 respawns (~15-20 s) for ~0.5 s of work.
+        num_partitions = max(
+            1, min(spark.sparkContext.defaultParallelism, n // 64 + 1)
+        )
+    return spark.range(n, numPartitions=num_partitions).mapInPandas(
         gen, schema="media_id long, kind string, blob binary"
     )
 
