@@ -105,6 +105,61 @@ def sample_k_per_group(
     )
 
 
+def sample_weighted_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly min(k, eligible rows) rows, sampled WITHOUT replacement
+    with probability proportional to weight — quality-weighted carve-outs
+    ("5 docs per language, longer docs more likely, same 5 forever").
+
+    Algorithm A-ES (Efraimidis & Spirakis 2006): each row gets
+    ``r = ln(u) / w`` with ``u = (hash+1)/2⁶⁰ ∈ (0, 1]`` from the
+    content-hash rule, and the k LARGEST r win — equivalent to the
+    classical ``u^(1/w)`` keys but numerically tamer.  Because u comes
+    from md5_hash60 rather than an RNG, the selection is a pure function
+    of the data: stable under repartitioning/retries/engines and fully
+    SQL-replayable (catalog query `sample_weighted` value-checks every
+    selected row and its rank key).
+
+    r is rounded to 9 decimals before ranking — the pinned cross-engine
+    semantic (ln differs by ~1 ulp between libm and Java); ties (already
+    measure-zero, quantized or not) break on the key, nulls last, like
+    `filter_top_quality`.  Rows with NULL or non-positive weight are
+    never selected (they carry no sampling mass; NaN weights fail the
+    ``> 0`` predicate in Spark — the SQL oracle must exclude NaN
+    explicitly, where ``NaN > 0`` is TRUE in DuckDB).
+
+    One shuffle (window partitioned by group, or one global partition
+    when group_col is None — use groups at scale, exactly like
+    `sample_k_per_group`)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    u = (_key_hash(key_col, seed) + F.lit(1)).cast("double") / F.lit(
+        float(_HASH_SPACE)
+    )
+    r = F.round(F.log(u) / w, 9)
+    eligible = df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
+    parts = [group_col] if group_col is not None else []
+    win = Window.partitionBy(*parts).orderBy(
+        F.desc("__es_r"), F.col(key_col).asc_nulls_last()
+    )
+    return (
+        eligible.withColumn("__es_r", r)
+        .withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+        .withColumnRenamed("__es_r", "sample_key")
+    )
+
+
 def normalize_weights(weights: dict[str, float]) -> dict[str, float]:
     """weights → proportions summing to 1, in SORTED-key accumulation
     order so the float sum (and thus every downstream rate) is identical

@@ -2037,6 +2037,49 @@ SELECT doc_id, lang FROM r WHERE rk <= {_KPG_K} ORDER BY lang, doc_id
 """
 
 
+_WKS_K = 5
+_WKS_SEED = 7
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis), k per
+    language with weight = n_chars: longer documents are proportionally
+    more likely, the slice is exact-size and a pure function of the data.
+    The md5-derived uniform makes the A-ES rank key SQL-replayable, so
+    the oracle value-checks every selected row AND its rank key."""
+    from bloomfilter_spark.operators.sampling import sample_weighted_k
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = sample_weighted_k(
+        docs, "doc_id", "n_chars", _WKS_K, group_col="lang", seed=_WKS_SEED
+    )
+    return kept.select("lang", "doc_id", "sample_key").orderBy("lang", "doc_id")
+
+
+def _sample_weighted_oracle_sql() -> str:
+    from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
+
+    key_expr = f"COALESCE(CAST(doc_id AS VARCHAR), '') || ':{_WKS_SEED}'"
+    kh = MD5_HASH60_SQL.format(expr=key_expr)
+    # n_chars is BIGINT so `> 0` alone excludes NULL and non-positive
+    # weights (no NaN in an integer column; a double weight column would
+    # need an explicit NOT isnan() here — DuckDB's NaN > 0 is TRUE)
+    return f"""
+WITH keyed AS (
+  SELECT lang, doc_id,
+         ROUND(LN(({kh} + 1) / {float(1 << 60)!r}) / n_chars, 9) AS sample_key
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT lang, doc_id, sample_key,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY sample_key DESC, doc_id NULLS LAST) AS rk
+  FROM keyed
+)
+SELECT lang, doc_id, sample_key FROM r WHERE rk <= {_WKS_K}
+ORDER BY lang NULLS FIRST, doc_id
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → analyze pipeline over the deterministic fake-codec media
     table (BFIM images / BFAU audio).  The decoded dimensions are pure
@@ -2450,6 +2493,7 @@ QUERIES2 = {
     "classifier_score": q_classifier_score,
     "ngram_counts": q_ngram_counts,
     "sample_k_per_lang": q_sample_k_per_lang,
+    "sample_weighted": q_sample_weighted,
     "dedup_incremental": q_dedup_incremental,
     "filter_top_quality": q_filter_top_quality,
     "multimodal_features": q_multimodal_features,
@@ -2499,6 +2543,7 @@ ORACLES2 = {
     "classifier_score": _CLASSIFIER_SQL,
     "ngram_counts": _NGRAM_COUNTS_SQL,
     "sample_k_per_lang": _sample_k_per_lang_oracle_sql(),
+    "sample_weighted": _sample_weighted_oracle_sql(),
     "dedup_incremental": _dedup_incremental_oracle_sql(),
     "filter_top_quality": _filter_top_quality_oracle_sql(),
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,

@@ -117,3 +117,49 @@ class TestKPerGroup:
         assert out.count() == 3  # min(k, group size)
         with pytest.raises(ValueError):
             sample_k_per_group(df, "k", "src", 0)
+
+
+class TestWeightedK:
+    def test_k1_selection_tracks_weights(self, spark):
+        """E-S with k=1 selects item i with probability exactly w_i/Σw.
+        200 independent groups of {two weight-1 items, one weight-8 item}
+        → the heavy item should win ≈ 0.8·200 times (±4σ ≈ 23)."""
+        from bloomfilter_spark.operators.sampling import sample_weighted_k
+
+        rows = []
+        for g in range(200):
+            rows += [(g * 3, g, 1.0), (g * 3 + 1, g, 1.0), (g * 3 + 2, g, 8.0)]
+        df = spark.createDataFrame(rows, "k long, grp long, w double")
+        won = sample_weighted_k(df, "k", "w", 1, group_col="grp")
+        heavy = won.filter(F.col("k") % 3 == 2).count()
+        assert won.count() == 200
+        assert 137 <= heavy <= 183, heavy  # E[160], σ≈5.7
+
+    def test_nested_deterministic_and_invariant(self, spark):
+        from bloomfilter_spark.operators.sampling import sample_weighted_k
+
+        rows = [(i, "g", float(1 + i % 17)) for i in range(300)]
+        df = spark.createDataFrame(rows, "k long, grp string, w double")
+        k10 = {r["k"] for r in sample_weighted_k(df, "k", "w", 10, "grp").collect()}
+        k25 = {r["k"] for r in sample_weighted_k(df, "k", "w", 25, "grp").collect()}
+        assert len(k10) == 10 and len(k25) == 25 and k10 <= k25  # nested
+        alt = {r["k"] for r in
+               sample_weighted_k(df.repartition(13), "k", "w", 10, "grp").collect()}
+        assert alt == k10  # partitioning-invariant
+        # different seed → a genuinely different slice
+        other = {r["k"] for r in
+                 sample_weighted_k(df, "k", "w", 10, "grp", seed=99).collect()}
+        assert other != k10
+
+    def test_nonpositive_and_null_weights_never_selected(self, spark):
+        from bloomfilter_spark.operators.sampling import sample_weighted_k
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 0.0), (3, -2.0), (4, None), (5, float("nan")),
+             (6, 3.0)],
+            "k long, w double",
+        )
+        out = sample_weighted_k(df, "k", "w", 10)
+        assert {r["k"] for r in out.collect()} == {1, 6}
+        with pytest.raises(ValueError):
+            sample_weighted_k(df, "k", "w", 0)

@@ -123,7 +123,8 @@ def test_event_queries_match_oracle_on_adversarial_table(
      "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprints",
      "dup_span_stats", "dedup_span_removal", "decontaminate_ngrams",
      "dedup_minhash_verified",
-     "dedup_clusters", "token_budget", "corpus_overlap", "extract_text"],
+     "dedup_clusters", "token_budget", "corpus_overlap", "extract_text",
+     "sample_weighted"],
 )
 def test_queries_match_oracle_on_adversarial_table(spark, edge_dir, qname):
     _compare(spark, edge_dir, qname)
