@@ -114,10 +114,18 @@ def main() -> None:
     out.update(extras)
 
     line = json.dumps(out)
-    with open(os.path.join(REPO, "BENCH.json"), "w") as f:
-        f.write(line + "\n")
-
-    spark.stop()
+    # nothing may stand between here and the stdout write: a dead JVM
+    # (stop() raising) or an unwritable repo dir must not suppress the one
+    # line the driver contract requires — that was exactly the r03 failure
+    try:
+        with open(os.path.join(REPO, "BENCH.json"), "w") as f:
+            f.write(line + "\n")
+    except Exception as exc:
+        print(f"[bench] BENCH.json write failed: {exc}", file=sys.stderr)
+    try:
+        spark.stop()
+    except Exception as exc:
+        print(f"[bench] spark.stop failed: {exc}", file=sys.stderr)
     # the one and only write to real stdout, after everything else
     os.write(real_stdout, (line + "\n").encode())
     os._exit(0)  # skip interpreter teardown: nothing may write after the JSON

@@ -87,9 +87,26 @@ def _shingles_of(toks, n: int):
     )
 
 
+def _tokenize_catalyst_rule(texts: pd.Series) -> pd.Series:
+    """pandas replay of the library's pinned Catalyst tokenizer:
+    lower → trim SPACES ONLY (F.trim / DuckDB trim) → split on the
+    explicit RE2-compatible class WS_SPLIT_PATTERN, KEEPING empty edge
+    tokens (Spark split limit=-1 / DuckDB string_split_regex both keep
+    them).  Python str.split() must not be used here: it splits on \\x0b,
+    \\xa0 and all Unicode whitespace and drops empties, so pandas-path
+    shingles would diverge from every Catalyst path and SQL oracle on
+    those bytes."""
+    return (
+        texts.fillna("")
+        .str.lower()
+        .str.strip(" ")
+        .str.split(WS_SPLIT_PATTERN, regex=True)
+    )
+
+
 def _shingle_sets(texts: pd.Series, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """(flat distinct shingle strings, offsets) per doc — pandas/numpy."""
-    toks = texts.fillna("").str.lower().str.strip().str.split()
+    toks = _tokenize_catalyst_rule(texts)
     out_shingles: list[str] = []
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)
     for i, ts in enumerate(toks):
@@ -491,7 +508,11 @@ def simhash64(
     def sim_iter(batches):
         bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            toks = pdf[text_col].fillna("").str.lower().str.strip().str.split()
+            toks = _tokenize_catalyst_rule(pdf[text_col]).map(
+                lambda ts: [t for t in ts if t]  # simhash weighs tokens;
+                # empty edge tokens carry no content, drop them like
+                # tokens_nonempty does on the Catalyst simhash path
+            )
             counts = toks.map(len).to_numpy(dtype=np.int64)
             flat_tokens = [t for ts in toks for t in ts]
             out = np.zeros(len(pdf), dtype=np.int64)

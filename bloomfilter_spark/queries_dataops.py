@@ -2368,7 +2368,11 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
-_CORPUS_OVERLAP_SQL = f"""
+def _corpus_overlap_oracle_sql() -> str:
+    from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
+
+    perm_hash = MD5_HASH60_SQL.format(expr="j::VARCHAR || ':' || s")
+    return f"""
 WITH toks AS (
   SELECT coalesce(source, '(none)') AS grp,
          string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -2378,8 +2382,7 @@ WITH toks AS (
   FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
   WHERE len(t) >= 3
 ), sig AS (
-  SELECT grp, j,
-         MIN(('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))::BIGINT) AS m
+  SELECT grp, j, MIN({perm_hash}) AS m
   FROM sh CROSS JOIN range({_OVERLAP_PERMS}) p(j)
   GROUP BY grp, j
 )
@@ -2506,7 +2509,7 @@ QUERIES2 = {
 
 ORACLES2 = {
     "token_budget": _TOKEN_BUDGET_SQL,
-    "corpus_overlap": _CORPUS_OVERLAP_SQL,
+    "corpus_overlap": _corpus_overlap_oracle_sql(),
     "extract_text": _EXTRACT_TEXT_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality": _TEXT_QUALITY_SQL,

@@ -35,6 +35,17 @@ def edge_dir(spark, tmp_path_factory):
         # must read "alpha\x0Bbeta" as ONE token
         (8, "alpha\x0bbeta gamma delta words", "en", "src5", 28),
     ] + [
+        # planted \x0B near-dup pair: under the pinned RE2 class
+        # "alpha\x0Bbeta" is ONE token → J = 8/9 = 0.888889; a python
+        # str.split() tokenizer (splits on \x0B) would score 9/10 = 0.9
+        # — so any pandas-path tokenizer drift (the _shingle_sets bug
+        # class) flips this VALUE and fails dedup_minhash_verified /
+        # dedup_ngram_jaccard against their oracles
+        (50, "alpha\x0bbeta " + " ".join(f"shared{j}" for j in range(9)),
+         "en", "src6", 60),
+        (51, "alpha\x0bbeta " + " ".join(f"shared{j}" for j in range(9))
+         + " tail", "en", "src6", 65),
+    ] + [
         (10 + i, f"filler doc {i} with some shared words", "en", f"src{i % 20}", 36)
         for i in range(40)
     ]
