@@ -24,14 +24,27 @@ Estimator: for permutation j, ``sig_j(S) = min_{s∈S} h_j(s)`` and
 fraction across ``num_perm`` permutations is an unbiased estimate of
 the shingle-set Jaccard with stderr ``≈ sqrt(J(1−J)/num_perm)``.
 
-Cross-engine rule: ``h_j(s) = md5_hash60(str(j) || ':' || s)`` — the
-library's one SQL-replayable hash — which makes the whole ESTIMATE
-(values, not just row counts) verifiable in DuckDB; catalog query
-``corpus_overlap`` carries the full value oracle.  The murmur3
-permutation fast path used by document-level MinHash
-(`dedup.minhash_signatures`) is deliberately not reused here: corpus
-signatures are tiny (num_perm longs per source) so hash throughput is
-not the bottleneck, and replayability buys a full oracle.
+Cross-engine rule: ONE ``md5_hash60(s)`` per shingle (the library's one
+SQL-replayable hash), then ``num_perm`` Carter–Wegman permutations
+``h_j(x) = (a_j·x + c_j) mod (2⁶¹−1)`` with 31-bit ``a_j`` — the same
+permutation trick the document-level MinHash fast path uses
+(`dedup._perm_params`), re-derived so BOTH engines can evaluate it in
+plain 64-bit integers (Spark ANSI and DuckDB BIGINT both refuse
+overflow; a naive ``a·x`` needs 91 bits).  With ``x = hi·2³⁰ + lo``
+and ``u = a·hi`` (< 2⁶¹, exact), the identity ``2⁶¹ ≡ 1 (mod 2⁶¹−1)``
+gives::
+
+    a·x + c ≡ (u >> 31) + (u & (2³¹−1))·2³⁰ + a·lo + c   (mod 2⁶¹−1)
+
+— every intermediate < 2⁶³, yet the multiplier wraps the modulus ~2³⁰
+times, which is what makes the map min-wise mixing (a low-coefficient
+affine form that wraps ≤ once is nearly monotone and biases the
+estimate badly — pinned by the bound test).  Hashing the shingle once
+instead of num_perm times cuts the map-side cost ~10×; the standard
+one-hash MinHash trade applies (shingles colliding in the 60-bit base
+hash collide in all permutations).  The whole ESTIMATE is therefore
+verifiable value-for-value in DuckDB; catalog query ``corpus_overlap``
+carries the full oracle.
 
 Group-key policy (library-wide): NULL group keys fold into an explicit
 ``'(none)'`` bucket.  Sources whose documents yield zero shingles
@@ -45,6 +58,8 @@ its MinHash-adjacent surface the way SURVEY.md §2.3 companions do.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
 
 from bloomfilter_spark.functions.hashing import md5_hash60
@@ -53,6 +68,23 @@ from bloomfilter_spark.functions.textstats import WS_SPLIT_PATTERN
 from bloomfilter_spark.plans.skew import ensure_parallelism
 
 NONE_BUCKET = "(none)"
+
+MERSENNE61 = (1 << 61) - 1
+_LO_MASK = (1 << 30) - 1
+
+
+def perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, c_j) for the affine permutations: 31-bit values
+    from md5 of the permutation index, a forced odd (nonzero).  Fixed
+    scheme = part of the signature format; the Catalyst expressions and
+    the SQL oracle interpolate the SAME literals."""
+    out = []
+    for j in range(num_perm):
+        d = hashlib.md5(f"overlap-perm:{j}".encode()).digest()
+        a = (int.from_bytes(d[0:4], "big") & 0x7FFFFFFF) | 1
+        c = int.from_bytes(d[8:12], "big") & 0x7FFFFFFF
+        out.append((a, c))
+    return out
 
 
 def _grouped_shingles(
@@ -81,17 +113,29 @@ def source_minhash_signatures(
 ) -> DataFrame:
     """One MinHash signature row per group: (grp, m0..m{num_perm-1}).
 
-    Each ``m_j`` is ``min(md5_hash60(str(j) || ':' || shingle))`` over the
-    group's shingles — num_perm independent hash families via distinct
-    prefixes.  One aggregation, map-side combined."""
+    Each ``m_j = min((a_j·x + c_j) mod (2⁶¹−1))`` over the group's
+    shingle hashes x, evaluated in overflow-free 64-bit form (module
+    docstring).  One aggregation, map-side combined."""
     if num_perm < 1:
         raise ValueError(f"num_perm must be >= 1, got {num_perm}")
     sh = _grouped_shingles(df, text_col, group_col, n)
-    mins = [
-        F.min(md5_hash60(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"m{j}")
-        for j in range(num_perm)
-    ]
-    return sh.groupBy("grp").agg(*mins)
+    h = md5_hash60(F.col("s"))
+    hashed = sh.select(
+        "grp",
+        F.shiftrightunsigned(h, 30).alias("hi"),
+        h.bitwiseAND(F.lit(_LO_MASK)).alias("lo"),
+    )
+    mins = []
+    for j, (a, c) in enumerate(perm_constants(num_perm)):
+        u = F.col("hi") * F.lit(a)  # < 2^61, exact
+        folded = (
+            F.shiftrightunsigned(u, 31)
+            + u.bitwiseAND(F.lit(0x7FFFFFFF)) * F.lit(1 << 30)
+            + F.col("lo") * F.lit(a)
+            + F.lit(c)
+        )
+        mins.append(F.min(F.pmod(folded, F.lit(MERSENNE61))).alias(f"m{j}"))
+    return hashed.groupBy("grp").agg(*mins)
 
 
 def corpus_overlap_minhash(

@@ -2370,8 +2370,16 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corpus_overlap_oracle_sql() -> str:
     from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
+    from bloomfilter_spark.operators.overlap import MERSENNE61, perm_constants
 
-    perm_hash = MD5_HASH60_SQL.format(expr="j::VARCHAR || ':' || s")
+    base_hash = MD5_HASH60_SQL.format(expr="s")
+    perms = ", ".join(
+        f"({j}, {a}, {c})"
+        for j, (a, c) in enumerate(perm_constants(_OVERLAP_PERMS))
+    )
+    # (a*x + c) mod 2^61-1 in overflow-free 64-bit form via 2^61 ≡ 1:
+    # u = a*hi; (u >> 31) + (u & (2^31-1))*2^30 + a*lo + c — identical to
+    # the Catalyst expression in operators/overlap.py (same literals)
     return f"""
 WITH toks AS (
   SELECT coalesce(source, '(none)') AS grp,
@@ -2381,9 +2389,17 @@ WITH toks AS (
   SELECT grp, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
   FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
   WHERE len(t) >= 3
+), perms(j, a, c) AS (
+  VALUES {perms}
+), hashed AS (
+  SELECT grp, {base_hash} >> 30 AS hi,
+         {base_hash} & {(1 << 30) - 1} AS lo
+  FROM sh
 ), sig AS (
-  SELECT grp, j, MIN({perm_hash}) AS m
-  FROM sh CROSS JOIN range({_OVERLAP_PERMS}) p(j)
+  SELECT grp, j,
+         MIN((((hi * a) >> 31) + ((hi * a) & {(1 << 31) - 1}) * {1 << 30}
+              + lo * a + c) % {MERSENNE61}) AS m
+  FROM hashed CROSS JOIN perms
   GROUP BY grp, j
 )
 SELECT a.grp AS source_a, b.grp AS source_b,

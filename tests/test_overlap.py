@@ -92,16 +92,19 @@ def test_signatures_partitioning_invariant_and_replayable(spark):
     sig8 = source_minhash_signatures(df.repartition(8), num_perm=8).collect()
     assert sorted(map(tuple, sig1)) == sorted(map(tuple, sig8))
 
-    # plain-Python replay of the md5_hash60 rule over the same shingle set
+    # plain-Python replay with TRUE big-int arithmetic: (a*x + c) mod
+    # 2^61-1 directly — proving the engines' overflow-free split form
+    # computes exactly the classical Carter-Wegman permutation
+    from bloomfilter_spark.operators.overlap import MERSENNE61, perm_constants
+
     shingle_union = set()
     for _, t, _ in rows:
         shingle_union |= _shingles(t)
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+          for s in shingle_union]
     row = {r["grp"]: r for r in sig1}["s0"]
-    for j in range(8):
-        want = min(
-            int(hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:15], 16)
-            for s in shingle_union
-        )
+    for j, (a, c) in enumerate(perm_constants(8)):
+        want = min((a * h + c) % MERSENNE61 for h in hs)
         assert row[f"m{j}"] == want, j
 
 
