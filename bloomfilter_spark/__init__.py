@@ -19,6 +19,7 @@ Design (see SURVEY.md §7):
 __version__ = "0.2.0"
 
 from bloomfilter_spark.sketches.bloom import BloomFilter
+from bloomfilter_spark.sketches.blocked import BlockedBloomFilter, blocked_bloom_factory
 from bloomfilter_spark.sketches.hll import HyperLogLog
 from bloomfilter_spark.sketches.cms import CountMinSketch
 from bloomfilter_spark.sketches.kll import KLLSketch
@@ -52,6 +53,8 @@ from bloomfilter_spark.functions.tokenbudget import budget_by_group, token_budge
 
 __all__ = [
     "BloomFilter",
+    "BlockedBloomFilter",
+    "blocked_bloom_factory",
     "HyperLogLog",
     "CountMinSketch",
     "KLLSketch",

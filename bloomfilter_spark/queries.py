@@ -102,6 +102,58 @@ SELECT
 """
 
 
+def q_bloom_blocked_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same membership invariants as q_bloom_membership but through the
+    cache-line-BLOCKED layout (sketches/blocked.py, Putze et al. 2009):
+    all k bits of a key live in one 512-bit block, so a DRAM-resident
+    partition-private filter costs one line + one TLB entry per probe.
+    The blocking inflates FPP ~1.2x (Poisson block-load convexity), which
+    must still clear the reference acceptance band of <= 2x configured
+    (bloomfilter_test.go:338-370) — that is exactly what fp_rate_ok
+    asserts here."""
+    from bloomfilter_spark.sketches.blocked import blocked_bloom_factory
+
+    docs = _t(spark, sf_dir, "documents")
+    n = max(1000, docs.count())
+    inserted_df = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("key")
+    )
+    sketch = build_sketch(inserted_df, "key", blocked_bloom_factory(n, 0.01))
+
+    probes = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        (F.col("doc_id") % 2 == 0).alias("is_inserted"),
+    ).unionAll(
+        spark.range(5000).select(
+            F.concat(F.lit("neg-"), F.col("id").cast("string")).alias("key"),
+            F.lit(False).alias("is_inserted"),
+        )
+    )
+    hit = might_contain_udf(spark, sketch)
+    return (
+        probes.withColumn("hit", hit("key"))
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(F.col("is_inserted").cast("long")).alias("inserted"),
+            F.sum((F.col("is_inserted") & F.col("hit")).cast("long")).alias(
+                "found_inserted"
+            ),
+            F.sum((F.col("is_inserted") & ~F.col("hit")).cast("long")).alias(
+                "false_negatives"
+            ),
+            F.sum((~F.col("is_inserted") & F.col("hit")).cast("long")).alias("_fp"),
+            F.sum((~F.col("is_inserted")).cast("long")).alias("_negs"),
+        )
+        .select(
+            "n_probes",
+            "inserted",
+            "found_inserted",
+            "false_negatives",
+            (F.col("_fp") / F.col("_negs") <= 2 * 0.01).alias("fp_rate_ok"),
+        )
+    )
+
+
 def q_bloom_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same membership invariants as q_bloom_membership but through the
     SHARDED filter (operators/partitioned.py) — the 10¹²-key path where the
@@ -1478,6 +1530,7 @@ FROM raw ORDER BY n, p
 
 _QUERIES1 = {
     "bloom_membership": q_bloom_membership,
+    "bloom_blocked_membership": q_bloom_blocked_membership,
     "bloom_sharded_membership": q_bloom_sharded_membership,
     "bloom_grouped_membership": q_bloom_grouped_membership,
     "hll_distinct_doc_id": q_hll_distinct_doc_id,
@@ -1515,6 +1568,7 @@ ALL_QUERIES.update(QUERIES2)
 
 _ORACLES1 = {
     "bloom_membership": _BLOOM_MEMBERSHIP_SQL,
+    "bloom_blocked_membership": _BLOOM_MEMBERSHIP_SQL,
     "bloom_sharded_membership": _BLOOM_MEMBERSHIP_SQL,
     "bloom_grouped_membership": _GROUPED_MEMBERSHIP_SQL,
     "hll_distinct_doc_id": _HLL_DOC_SQL,

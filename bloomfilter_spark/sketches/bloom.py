@@ -150,7 +150,8 @@ class BloomFilter:
         return cls(m=m, k=k, seed=seed)
 
     def empty_like(self) -> "BloomFilter":
-        return BloomFilter(self.m, self.k, self.seed)
+        # type(self): subclasses (blocked layout) must clone as themselves
+        return type(self)(self.m, self.k, self.seed)
 
     # -- update -------------------------------------------------------------
 
@@ -252,9 +253,12 @@ class BloomFilter:
     # -- bulk ops ------------------------------------------------------------
 
     def _check_geometry(self, other: "BloomFilter", op: str) -> None:
-        # mirror of the cacheLineCount check, bloomfilter.go:197-199/220-222
+        # mirror of the cacheLineCount check, bloomfilter.go:197-199/220-222;
+        # layout (flat vs blocked subclass) is geometry too — same (m, k,
+        # seed) filters with different position maps must never merge
         if (
-            self.m != other.m
+            type(self) is not type(other)
+            or self.m != other.m
             or self.k != other.k
             or self.seed != other.seed
         ):
@@ -342,7 +346,7 @@ class BloomFilter:
 
     def __eq__(self, other) -> bool:
         return (
-            isinstance(other, BloomFilter)
+            type(other) is type(self)  # a blocked and a flat filter differ
             and self.m == other.m
             and self.k == other.k
             and self.seed == other.seed

@@ -30,6 +30,7 @@ KIND_FREQ = 6
 KIND_THETA = 7
 KIND_CBF = 8
 KIND_DDS = 9
+KIND_BBLOOM = 10
 
 _HEADER = struct.Struct("<4sBBHQQI")  # magic, version, kind, flags, seed, n_added, param_len
 
@@ -82,7 +83,7 @@ def _register_all() -> None:
 
     for mod in (
         "bloom", "hll", "cms", "kll", "tdigest", "freqitems", "theta", "cbf",
-        "ddsketch",
+        "ddsketch", "blocked",
     ):
         importlib.import_module(f"bloomfilter_spark.sketches.{mod}")
 
