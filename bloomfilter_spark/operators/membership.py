@@ -56,6 +56,22 @@ def filter_might_contain(df: DataFrame, col: str | Column, sketch) -> DataFrame:
     return df.filter(udf(F.col(col) if isinstance(col, str) else col))
 
 
+def _bloom_factory_for(layout: str, n: int, fpp: float):
+    """flat = the reference's exact position semantics; blocked = the
+    cache-line-blocked layout (sketches/blocked.py) — one DRAM line/TLB
+    entry per probe on giant filters, at ~1.2x FPP inflation.  Choose
+    blocked when the filter is sized far past LLC (>= hundreds of MB)."""
+    if layout == "flat":
+        from bloomfilter_spark.operators.build import bloom_factory
+
+        return bloom_factory(n, fpp)
+    if layout == "blocked":
+        from bloomfilter_spark.sketches.blocked import blocked_bloom_factory
+
+        return blocked_bloom_factory(n, fpp)
+    raise ValueError(f"layout must be flat|blocked, got {layout!r}")
+
+
 def bloom_semi_join(
     probe_df: DataFrame,
     probe_col: str,
@@ -64,6 +80,7 @@ def bloom_semi_join(
     n_expected: int | None = None,
     fpp: float = 0.01,
     exact: bool = True,
+    layout: str = "flat",
 ) -> DataFrame:
     """Semi-join accelerated by a Bloom pre-filter.
 
@@ -82,11 +99,11 @@ def bloom_semi_join(
     lowers the FPP, so the unfiltered table's metadata row count is the
     recommended zero-scan default.
     """
-    from bloomfilter_spark.operators.build import bloom_factory, build_sketch
+    from bloomfilter_spark.operators.build import build_sketch
 
     if n_expected is None:
         n_expected = max(1, build_df.count())
-    factory = bloom_factory(n_expected, fpp)
+    factory = _bloom_factory_for(layout, n_expected, fpp)
     sketch = build_sketch(build_df, build_col, factory)
     pre = filter_might_contain(probe_df, probe_col, sketch)
     if not exact:
@@ -111,6 +128,7 @@ def bloom_anti_join(
     n_expected: int | None = None,
     fpp: float = 0.01,
     counter_filter: bool = False,
+    layout: str = "flat",
 ) -> DataFrame:
     """Probe rows whose `probe_col` value does NOT appear in
     build_df[build_col] — the incremental-dedup shape ("drop documents
@@ -132,8 +150,14 @@ def bloom_anti_join(
     NULL keys follow anti-join semantics: a NULL-keyed probe row matches
     nothing and is always kept (routed around the sketch, which cannot
     hash NULL); NULL build keys are ignored.
+
+    layout="blocked" swaps in the cache-line-blocked filter — the right
+    choice when n_expected puts the filter far past LLC (a 10^9-key corpus
+    filter is 1.2 GB): probes cost one DRAM line instead of k, and the
+    ~1.2x FPP inflation only grows the candidate fraction the exact join
+    kills anyway — the result is identical.
     """
-    from bloomfilter_spark.operators.build import bloom_factory, build_sketch
+    from bloomfilter_spark.operators.build import build_sketch
 
     pkey = F.col(probe_col)
     null_probe = probe_df.filter(pkey.isNull())
@@ -148,7 +172,9 @@ def bloom_anti_join(
     if n_expected is None:
         n_expected = build_nn.count()
     n_expected = max(1, n_expected)
-    sketch = build_sketch(build_nn, "__build_key", bloom_factory(n_expected, fpp))
+    sketch = build_sketch(
+        build_nn, "__build_key", _bloom_factory_for(layout, n_expected, fpp)
+    )
     pred = might_contain_udf(probe_df.sparkSession, sketch)  # one broadcast
     clean = probe_nn.filter(~pred(pkey))
     cand = probe_nn.filter(pred(pkey))
@@ -156,7 +182,11 @@ def bloom_anti_join(
     build_side = build_nn
     if counter_filter:
         n_cand = max(1, cand.count())
-        cand_sketch = build_sketch(cand, probe_col, bloom_factory(n_cand, fpp))
+        # candidate set ≈ dups + fpp·|probe| — small, so the flat layout's
+        # tighter FPP wins here regardless of the main filter's layout
+        cand_sketch = build_sketch(
+            cand, probe_col, _bloom_factory_for("flat", n_cand, fpp)
+        )
         build_side = filter_might_contain(build_side, "__build_key", cand_sketch)
     survivors = cand.join(
         build_side, on=cand[probe_col] == F.col("__build_key"), how="left_anti"

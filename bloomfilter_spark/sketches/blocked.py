@@ -59,6 +59,18 @@ class BlockedBloomFilter(BloomFilter):
 
     __slots__ = ()
 
+    def __init__(self, m: int, k: int, seed=None, words=None, n_added: int = 0):
+        # the position map divides the array into 512-bit blocks; a ragged
+        # tail block would index past the word array (create() always
+        # rounds m up, but the raw constructor and from_bytes reach here)
+        if m < BITS_PER_BLOCK or m % BITS_PER_BLOCK != 0:
+            raise ValueError(
+                f"blocked bloom: m must be a positive multiple of "
+                f"{BITS_PER_BLOCK}, got {m}"
+            )
+        kwargs = {} if seed is None else {"seed": seed}
+        super().__init__(m, k, words=words, n_added=n_added, **kwargs)
+
     @property
     def n_blocks(self) -> int:
         return self.m // BITS_PER_BLOCK

@@ -179,3 +179,16 @@ def test_validation_messages_inherited():
         BlockedBloomFilter.create(0, 0.01)
     with pytest.raises(ValueError, match="falsePositiveRate must be in range"):
         BlockedBloomFilter.create(100, 1.5)
+
+
+def test_ragged_geometry_rejected():
+    """m must tile into whole 512-bit blocks — a ragged tail would index
+    past the word array (create() always rounds up; the raw constructor
+    and blob paths must be guarded too)."""
+    with pytest.raises(ValueError, match="multiple of 512"):
+        BlockedBloomFilter(m=64, k=3)
+    with pytest.raises(ValueError, match="multiple of 512"):
+        BlockedBloomFilter(m=0, k=1)
+    b = BlockedBloomFilter(m=1024, k=3)  # exact multiple: fine
+    b.update(["x"])
+    assert b.contains(["x"]).all()

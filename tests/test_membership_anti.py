@@ -74,3 +74,28 @@ def test_dedup_keep_best_prefers_priority(spark):
         1: (1, False), 2: (1, True), 3: (1, False),
         4: (4, True), 5: (4, False),
     }
+
+
+def test_blocked_layout_identical_results(spark):
+    """layout='blocked' swaps the sketch for the cache-line-blocked filter;
+    its ~1.2x FPP inflation only grows the candidate fraction the exact
+    join kills, so semi- and anti-join results must be IDENTICAL to flat."""
+    from bloomfilter_spark.operators.membership import bloom_semi_join
+
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))
+    build = spark.range(500, 1200).select((F.col("id") * 2).alias("b"))
+    want_anti = _ids(probe.join(build, probe["k"] == F.col("b"), "left_anti"))
+    got_anti = _ids(bloom_anti_join(probe, "k", build, "b", layout="blocked"))
+    assert got_anti == want_anti
+    want_semi = _ids(probe.join(build, probe["k"] == F.col("b"), "left_semi"))
+    got_semi = _ids(bloom_semi_join(probe, "k", build, "b", layout="blocked"))
+    assert got_semi == want_semi
+
+
+def test_unknown_layout_rejected(spark):
+    import pytest
+
+    probe = spark.range(0, 10).select(F.col("id").alias("k"))
+    build = spark.range(0, 5).select(F.col("id").alias("b"))
+    with pytest.raises(ValueError, match="layout must be flat|blocked"):
+        bloom_anti_join(probe, "k", build, "b", layout="cuckoo")
