@@ -2213,6 +2213,90 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heavy-hitter users from a Misra-Gries sketch built through
+    the STREAMING stateful path (applyInPandasWithState, 3 micro-batches
+    over a staged file stream) — the third sketch family on the streaming
+    surface, next to the grouped HLL and the Bloom first-seen dedup.
+
+    The stream folds every micro-batch into ONE running MG summary (a
+    constant group key; per-key state is the 8·capacity-ish-byte summary,
+    NOT the stream), and the answer is read from the final trigger's blob.
+    Capacity 4096 ≥ distinct users at every test SF, so no prune fires,
+    stored counts are exact, and the same full-value SQL oracle as the
+    batch topk_users_freqitems query applies — stream ≡ batch ≡ exact.
+    At 10^12 events the SAME query returns ε-heavy hitters (ε = 1/4097)
+    with the certified deduction bound (Agarwal et al., PODS 2012 §3).
+    Tie-break (count desc, key asc) is the sketch's topk() order,
+    replayed by the oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from bloomfilter_spark.operators.build import freqitems_factory
+    from bloomfilter_spark.sketches import serde
+    from bloomfilter_spark.streaming.stateful import grouped_sketch_stream
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="bfs_stream_topk_")
+    src = f"{work}/src"
+    name = f"bfs_q_stream_topk_{uuid.uuid4().hex[:12]}"
+    try:
+        for i in range(3):
+            # pmod, not %: Spark % keeps the dividend's sign (see grouped hll)
+            ev.filter(
+                F.pmod(F.xxhash64("event_id"), F.lit(3)) == i
+            ).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            grouped_sketch_stream(
+                stream.select(F.lit("all").alias("g"), "user_id"),
+                "g",
+                "user_id",
+                freqitems_factory(4096),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # sink never registered (query failed before start)
+        shutil.rmtree(work, ignore_errors=True)
+    final = out.loc[out["rows_total"].idxmax()]
+    sk = serde.deserialize(bytes(final["blob"]))
+    bound = int(sk.error_bound())
+    rows = [
+        (i + 1, int(k), int(c), bound)
+        for i, (k, c) in enumerate(sk.topk(10))
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, user_id long, est_cnt long, deduction_bound long"
+    )
+
+
+_STREAMING_TOPK_SQL = """
+SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS rank,
+       user_id,
+       COUNT(*) AS est_cnt,
+       CAST(0 AS BIGINT) AS deduction_bound
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+ORDER BY est_cnt DESC, user_id ASC LIMIT 10
+"""
+
+
 def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-on-ingest through the streaming Bloom state: documents stream
     in 3 micro-batches keyed by md5(text); the operator must emit each
@@ -2520,6 +2604,7 @@ QUERIES2 = {
     "pages_sketch_suite": q_pages_sketch_suite,
     "pages_suite_checkpointed": q_pages_suite_checkpointed,
     "streaming_grouped_hll": q_streaming_grouped_hll,
+    "streaming_topk_users": q_streaming_topk_users,
     "streaming_dedup_first_seen": q_streaming_dedup_first_seen,
 }
 
@@ -2570,5 +2655,6 @@ ORACLES2 = {
     "pages_sketch_suite": _pages_suite_oracle_sql(),
     "pages_suite_checkpointed": _pages_resume_oracle_sql(),
     "streaming_grouped_hll": _STREAMING_GROUPED_SQL,
+    "streaming_topk_users": _STREAMING_TOPK_SQL,
     "streaming_dedup_first_seen": _STREAMING_DEDUP_SQL,
 }

@@ -55,8 +55,14 @@ def _fold_state(sketch, pdfs: Iterator[pd.DataFrame], value_col: str) -> int:
 
 def _estimate_of(sketch) -> float:
     for attr in ("estimate", "estimated_cardinality"):
-        if hasattr(sketch, attr):
-            return float(getattr(sketch, attr)())
+        fn = getattr(sketch, attr, None)
+        if fn is not None:
+            try:
+                return float(fn())
+            except TypeError:
+                # point-query estimators (Misra-Gries estimate(key)) have no
+                # zero-arg scalar summary; the blob column carries the state
+                continue
     return float("nan")
 
 

@@ -202,3 +202,45 @@ def test_grouped_sketch_stream_tws(spark, staged_events, tmp_path):
         s_stream = serde.deserialize(bytes(row["blob"]))
         s_batch = serde.deserialize(bytes(b_by.loc[row["event_type"], "blob"]))
         assert (s_stream.registers == s_batch.registers).all()
+
+
+def test_streaming_topk_equals_batch_exact(spark, staged_events, tmp_path):
+    """Misra-Gries through the streaming path: below capacity the final
+    blob's stored counts are EXACT, so the streamed top-10 must equal the
+    exact groupBy top-10 (count desc, key asc) — stream ≡ batch ≡ exact.
+    Also pins _estimate_of's point-query fallback: MG has no zero-arg
+    scalar summary, so the estimate column is NaN, never a crash."""
+    import math
+
+    from bloomfilter_spark.operators.build import freqitems_factory
+
+    out = _run(
+        spark,
+        staged_events,
+        lambda s: grouped_sketch_stream(
+            s.select(F.lit("all").alias("g"), "user_id"),
+            "g",
+            "user_id",
+            freqitems_factory(4096),
+        ),
+        "topk_stream",
+        str(tmp_path / "ck_topk"),
+        "update",
+    )
+    assert all(math.isnan(v) for v in out["estimate"])  # MG: no scalar summary
+    final = out.loc[out["rows_total"].idxmax()]
+    sk = serde.deserialize(bytes(final["blob"]))
+    assert sk.error_bound() == 0  # below capacity: every count exact
+    got = sk.topk(10)
+    exact = (
+        spark.read.parquet(staged_events)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("user_id").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [(int(k), int(c)) for k, c in got] == [
+        (int(r["user_id"]), int(r["count"])) for r in exact
+    ]
