@@ -2297,6 +2297,91 @@ ORDER BY est_cnt DESC, user_id ASC LIMIT 10
 """
 
 
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type running KLL over event value through the STREAMING
+    stateful path — with this, every mergeable sketch family streams
+    (HLL distinct, MG heavy-hitters, Bloom dedup, KLL quantiles).
+
+    Same self-contained bound pattern as the batch kll query: the
+    streamed sketch's rank of the exact median must sit within the
+    published rank error (+tie slack) of 0.5, and the folded row counts
+    must be exact — both SQL-replayable, so the oracle is full-value."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from bloomfilter_spark.operators.build import kll_factory
+    from bloomfilter_spark.sketches import serde
+    from bloomfilter_spark.streaming.stateful import grouped_sketch_stream
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="bfs_stream_kll_")
+    src = f"{work}/src"
+    name = f"bfs_q_stream_kll_{uuid.uuid4().hex[:12]}"
+    try:
+        for i in range(3):
+            ev.filter(
+                F.pmod(F.xxhash64("event_id"), F.lit(3)) == i
+            ).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            grouped_sketch_stream(
+                stream.select("event_type", "value"),
+                "event_type",
+                "value",
+                kll_factory(k=200),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # sink never registered (query failed before start)
+        shutil.rmtree(work, ignore_errors=True)
+    final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(0.5)).alias("exact_median"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    rows = []
+    for _, r in final.iterrows():
+        et = r["event_type"]
+        sk = serde.deserialize(bytes(r["blob"]))
+        med = float(exact.loc[et, "exact_median"])
+        ok = abs(sk.rank(med) - 0.5) <= sk.rank_error() + 0.015
+        # rows_total comes from the STREAM's folded state, so the oracle's
+        # COUNT(*) verifies the stream saw every row exactly once
+        rows.append((str(et), int(r["rows_total"]), round(med, 6), bool(ok)))
+    return spark.createDataFrame(
+        sorted(rows),
+        "event_type string, rows_total long, exact_median double, kll_ok boolean",
+    )
+
+
+_STREAMING_QUANTILES_SQL = """
+SELECT event_type,
+       COUNT(*)                                 AS rows_total,
+       ROUND(MEDIAN(value), 6)                  AS exact_median,
+       TRUE                                     AS kll_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-on-ingest through the streaming Bloom state: documents stream
     in 3 micro-batches keyed by md5(text); the operator must emit each
@@ -2605,6 +2690,7 @@ QUERIES2 = {
     "pages_suite_checkpointed": q_pages_suite_checkpointed,
     "streaming_grouped_hll": q_streaming_grouped_hll,
     "streaming_topk_users": q_streaming_topk_users,
+    "streaming_quantiles": q_streaming_quantiles,
     "streaming_dedup_first_seen": q_streaming_dedup_first_seen,
 }
 
@@ -2656,5 +2742,6 @@ ORACLES2 = {
     "pages_suite_checkpointed": _pages_resume_oracle_sql(),
     "streaming_grouped_hll": _STREAMING_GROUPED_SQL,
     "streaming_topk_users": _STREAMING_TOPK_SQL,
+    "streaming_quantiles": _STREAMING_QUANTILES_SQL,
     "streaming_dedup_first_seen": _STREAMING_DEDUP_SQL,
 }

@@ -244,3 +244,41 @@ def test_streaming_topk_equals_batch_exact(spark, staged_events, tmp_path):
     assert [(int(k), int(c)) for k, c in got] == [
         (int(r["user_id"]), int(r["count"])) for r in exact
     ]
+
+
+def test_streaming_kll_bound_and_exact_counts(spark, staged_events, tmp_path):
+    """KLL through the streaming path: fold order differs from a batch
+    build (compaction boundaries shift), so state identity is NOT the
+    contract — the published rank-error bound and exact folded row counts
+    are.  Median rank must sit within rank_error (+tie slack) of 0.5 for
+    every key, and rows_total must equal the exact per-key COUNT(*)."""
+    from bloomfilter_spark.operators.build import kll_factory
+
+    out = _run(
+        spark,
+        staged_events,
+        lambda s: grouped_sketch_stream(
+            s.select("event_type", "value"), "event_type", "value",
+            kll_factory(k=200),
+        ),
+        "kll_stream",
+        str(tmp_path / "ck_kll"),
+        "update",
+    )
+    final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
+    ev = spark.read.parquet(staged_events)
+    exact = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("value", F.lit(0.5)).alias("med"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert set(final["event_type"]) == set(exact.index)
+    for _, r in final.iterrows():
+        sk = serde.deserialize(bytes(r["blob"]))
+        med = float(exact.loc[r["event_type"], "med"])
+        assert abs(sk.rank(med) - 0.5) <= sk.rank_error() + 0.015, r["event_type"]
+        assert int(r["rows_total"]) == int(exact.loc[r["event_type"], "n"])
