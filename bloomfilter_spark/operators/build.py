@@ -565,8 +565,12 @@ def bloom_factory(n: int, p: float = 0.01, seed=None):
     from bloomfilter_spark.functions.hashing import DEFAULT_SEED
 
     s = DEFAULT_SEED if seed is None else seed
+    # validate + size ONCE on the driver, but capture only the scalars:
+    # a prototype filter in the closure would pickle its full zero words
+    # array into every executor's task binary (1.2 GB at n=1e9)
     proto = BloomFilter.create(n, p, seed=s)
-    return lambda: proto.empty_like()
+    m, k = proto.m, proto.k
+    return lambda: BloomFilter(m, k, s)
 
 
 def cbf_factory(n: int, p: float = 0.01, seed=None):
@@ -575,7 +579,8 @@ def cbf_factory(n: int, p: float = 0.01, seed=None):
 
     s = DEFAULT_SEED if seed is None else seed
     proto = CountingBloomFilter.create(n, p, seed=s)
-    return lambda: proto.empty_like()
+    m, k = proto.m, proto.k
+    return lambda: CountingBloomFilter(m, k, s)  # scalars only (see above)
 
 
 def hll_factory(precision: int = 14, seed=None):
@@ -590,7 +595,8 @@ def cms_factory(epsilon: float = 0.0005, delta: float = 0.001, seed=None):
 
     s = DEFAULT_SEED if seed is None else seed
     proto = CountMinSketch.create(epsilon, delta, seed=s)
-    return lambda: proto.empty_like()
+    depth, width = proto.depth, proto.width
+    return lambda: CountMinSketch(depth, width, s)  # scalars only (see above)
 
 
 def kll_factory(k: int = 200):

@@ -51,10 +51,14 @@ def bloom_build_sharded(
 
     per_shard = max(1024, n_expected // n_shards)
     s = DEFAULT_SEED if seed is None else seed
-    proto = BloomFilter.create(per_shard, fpp, seed=s)
+    # size once, capture only scalars — a prototype in the closure would
+    # pickle its full zero words array into every executor's task binary
+    _sized = BloomFilter.create(per_shard, fpp, seed=s)
+    m, k = _sized.m, _sized.k
+    del _sized
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = proto.empty_like()
+        sk = BloomFilter(m, k, s)
         sk.update(pdf[col].astype(str))
         return pd.DataFrame(
             {

@@ -2119,6 +2119,59 @@ FROM ids ORDER BY media_id
 # ---------------------------------------------------------------------------
 
 
+def _run_staged_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    split_col: str,
+    build_stream,
+    prefix: str,
+    out_mode: str = "update",
+    n_batches: int = 3,
+):
+    """Shared harness for every streaming catalog query: stage `df` into
+    `n_batches` parquet files (routed by pmod(xxhash64(split_col), n) —
+    pmod, not %, which keeps the dividend's sign and would silently drop
+    negative hashes), replay them as a maxFilesPerTrigger=1 file stream,
+    run `build_stream(stream)` into a memory sink (availableNow), and
+    return the sink contents as pandas.  The sink name is unique per
+    invocation so a catalog re-run in one session never reads stale rows.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix=f"bfs_{prefix}_")
+    name = f"bfs_{prefix}_{uuid.uuid4().hex[:12]}"
+    try:
+        for i in range(n_batches):
+            df.filter(
+                F.pmod(F.xxhash64(split_col), F.lit(n_batches)) == i
+            ).coalesce(1).write.mode("append").parquet(f"{work}/src")
+        schema = spark.read.parquet(f"{work}/src").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{work}/src")
+        )
+        q = (
+            build_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(out_mode)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # sink never registered (query failed before start)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_streaming_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type running HLL built through the STREAMING stateful path
     (applyInPandasWithState, 3 micro-batches over a staged file stream),
@@ -2126,54 +2179,22 @@ def q_streaming_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate must honor the HLL bound and the folded row counts must be
     exact.  Commutative max-merge ⇒ the streamed state is register-identical
     to a batch build (pytest-pinned in tests/test_streaming_stateful.py)."""
-    import shutil
-    import tempfile
-    import uuid
-
     from bloomfilter_spark.operators.build import hll_factory
     from bloomfilter_spark.streaming.stateful import grouped_sketch_stream
 
     ev = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="bfs_stream_q_")
-    src = f"{work}/src"
-    # unique per invocation: a fixed memory-sink name would read stale rows
-    # if the driver runs the catalog twice in one session
-    name = f"bfs_q_stream_grouped_{uuid.uuid4().hex[:12]}"
-    try:
-        for i in range(3):
-            # pmod, not %: Spark % keeps the dividend's sign, which would
-            # silently drop every negative hash from the staged stream
-            ev.filter(
-                F.pmod(F.xxhash64("event_id"), F.lit(3)) == i
-            ).coalesce(1).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        q = (
-            grouped_sketch_stream(
-                stream.select("event_type", "user_id"),
-                "event_type",
-                "user_id",
-                hll_factory(precision=14),
-            )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.sql(f"SELECT * FROM {name}").toPandas()
-    finally:
-        try:
-            spark.catalog.dropTempView(name)
-        except Exception:
-            pass  # sink never registered (query failed before start)
-        shutil.rmtree(work, ignore_errors=True)
+    out = _run_staged_stream(
+        spark,
+        ev,
+        "event_id",
+        lambda s: grouped_sketch_stream(
+            s.select("event_type", "user_id"),
+            "event_type",
+            "user_id",
+            hll_factory(precision=14),
+        ),
+        "stream_grouped",
+    )
     final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
     exact = (
         ev.groupBy("event_type")
@@ -2229,52 +2250,23 @@ def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the certified deduction bound (Agarwal et al., PODS 2012 §3).
     Tie-break (count desc, key asc) is the sketch's topk() order,
     replayed by the oracle."""
-    import shutil
-    import tempfile
-    import uuid
-
     from bloomfilter_spark.operators.build import freqitems_factory
     from bloomfilter_spark.sketches import serde
     from bloomfilter_spark.streaming.stateful import grouped_sketch_stream
 
     ev = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="bfs_stream_topk_")
-    src = f"{work}/src"
-    name = f"bfs_q_stream_topk_{uuid.uuid4().hex[:12]}"
-    try:
-        for i in range(3):
-            # pmod, not %: Spark % keeps the dividend's sign (see grouped hll)
-            ev.filter(
-                F.pmod(F.xxhash64("event_id"), F.lit(3)) == i
-            ).coalesce(1).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        q = (
-            grouped_sketch_stream(
-                stream.select(F.lit("all").alias("g"), "user_id"),
-                "g",
-                "user_id",
-                freqitems_factory(4096),
-            )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.sql(f"SELECT * FROM {name}").toPandas()
-    finally:
-        try:
-            spark.catalog.dropTempView(name)
-        except Exception:
-            pass  # sink never registered (query failed before start)
-        shutil.rmtree(work, ignore_errors=True)
+    out = _run_staged_stream(
+        spark,
+        ev,
+        "event_id",
+        lambda s: grouped_sketch_stream(
+            s.select(F.lit("all").alias("g"), "user_id"),
+            "g",
+            "user_id",
+            freqitems_factory(4096),
+        ),
+        "stream_topk",
+    )
     final = out.loc[out["rows_total"].idxmax()]
     sk = serde.deserialize(bytes(final["blob"]))
     bound = int(sk.error_bound())
@@ -2306,51 +2298,21 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed sketch's rank of the exact median must sit within the
     published rank error (+tie slack) of 0.5, and the folded row counts
     must be exact — both SQL-replayable, so the oracle is full-value."""
-    import shutil
-    import tempfile
-    import uuid
-
     from bloomfilter_spark.operators.build import kll_factory
     from bloomfilter_spark.sketches import serde
     from bloomfilter_spark.streaming.stateful import grouped_sketch_stream
 
     ev = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="bfs_stream_kll_")
-    src = f"{work}/src"
-    name = f"bfs_q_stream_kll_{uuid.uuid4().hex[:12]}"
-    try:
-        for i in range(3):
-            ev.filter(
-                F.pmod(F.xxhash64("event_id"), F.lit(3)) == i
-            ).coalesce(1).write.mode("append").parquet(src)
-        schema = spark.read.parquet(src).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        q = (
-            grouped_sketch_stream(
-                stream.select("event_type", "value"),
-                "event_type",
-                "value",
-                kll_factory(k=200),
-            )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.sql(f"SELECT * FROM {name}").toPandas()
-    finally:
-        try:
-            spark.catalog.dropTempView(name)
-        except Exception:
-            pass  # sink never registered (query failed before start)
-        shutil.rmtree(work, ignore_errors=True)
+    out = _run_staged_stream(
+        spark,
+        ev,
+        "event_id",
+        lambda s: grouped_sketch_stream(
+            s.select("event_type", "value"), "event_type", "value",
+            kll_factory(k=200),
+        ),
+        "stream_kll",
+    )
     final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
     exact = (
         ev.groupBy("event_type")
@@ -2388,10 +2350,6 @@ def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct text exactly once (zero false negatives ⇒ duplicate emission
     is impossible) and may suppress at most ~fpp of the distinct texts.
     The exact distinct count is the oracle-checked column."""
-    import shutil
-    import tempfile
-    import uuid
-
     from bloomfilter_spark.streaming.stateful import streaming_first_seen
 
     docs = _t(spark, sf_dir, "documents").withColumn("k", F.md5("text"))
@@ -2399,36 +2357,14 @@ def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size from the table (metadata count), never a constant: a hard-coded
     # capacity saturates at larger scale factors and blows the fpp budget
     n_expected = max(10_000, 2 * docs.count())
-    work = tempfile.mkdtemp(prefix="bfs_dedup_stream_")
-    name = f"bfs_q_first_seen_{uuid.uuid4().hex[:12]}"  # see grouped query
-    try:
-        for i in range(3):
-            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).coalesce(
-                1
-            ).write.mode("append").parquet(f"{work}/src")
-        schema = spark.read.parquet(f"{work}/src").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{work}/src")
-        )
-        q = (
-            streaming_first_seen(stream, "k", n_expected=n_expected, fpp=fpp)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.sql(f"SELECT k FROM {name}").toPandas()
-    finally:
-        try:
-            spark.catalog.dropTempView(name)
-        except Exception:
-            pass  # sink never registered (query failed before start)
-        shutil.rmtree(work, ignore_errors=True)
+    out = _run_staged_stream(
+        spark,
+        docs,
+        "doc_id",
+        lambda s: streaming_first_seen(s, "k", n_expected=n_expected, fpp=fpp),
+        "first_seen",
+        out_mode="append",
+    )[["k"]]
     exact = int(docs.select(F.countDistinct("k")).first()[0])
     emitted = len(out)
     rows = [

@@ -195,7 +195,10 @@ class BlockedBloomFilter(BloomFilter):
 
 def blocked_bloom_factory(n: int, p: float = 0.01, seed: int | None = None):
     """Factory for distributed builds (mirror of operators/build.bloom_factory,
-    blocked layout); cloudpickle-shippable like every other sketch factory."""
+    blocked layout); cloudpickle-shippable like every other sketch factory.
+    Captures only (m, k, seed) — a prototype in the closure would pickle
+    its full zero words array into every executor's task binary."""
     s = DEFAULT_SEED if seed is None else seed
     proto = BlockedBloomFilter.create(n, p, seed=s)
-    return lambda: proto.empty_like()
+    m, k = proto.m, proto.k
+    return lambda: BlockedBloomFilter(m, k, s)

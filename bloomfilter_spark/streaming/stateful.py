@@ -54,15 +54,24 @@ def _fold_state(sketch, pdfs: Iterator[pd.DataFrame], value_col: str) -> int:
 
 
 def _estimate_of(sketch) -> float:
+    import inspect
+
     for attr in ("estimate", "estimated_cardinality"):
         fn = getattr(sketch, attr, None)
-        if fn is not None:
-            try:
-                return float(fn())
-            except TypeError:
-                # point-query estimators (Misra-Gries estimate(key)) have no
-                # zero-arg scalar summary; the blob column carries the state
-                continue
+        if fn is None:
+            continue
+        # arity check, NOT try/except TypeError around the call: a bug
+        # inside a valid zero-arg estimator must surface, not become NaN
+        params = inspect.signature(fn).parameters.values()
+        if any(
+            p.default is p.empty
+            and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            for p in params
+        ):
+            # point-query estimator (Misra-Gries estimate(key)): no scalar
+            # summary exists; the blob column carries the state
+            continue
+        return float(fn())
     return float("nan")
 
 
@@ -96,7 +105,11 @@ def streaming_first_seen(
     """
     from bloomfilter_spark.sketches.bloom import BloomFilter
 
-    proto = BloomFilter.create(max(1024, n_expected // n_shards), fpp)
+    # size once, capture only scalars: a prototype in the update closure
+    # would pickle its full zero words array into the streaming task binary
+    _sized = BloomFilter.create(max(1024, n_expected // n_shards), fpp)
+    _m, _k, _s = _sized.m, _sized.k, _sized.seed
+    del _sized
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in stream_df.schema
     )
@@ -115,7 +128,7 @@ def streaming_first_seen(
         if state.exists:
             sk = serde.deserialize(bytes(state.get[0]))
         else:
-            sk = proto.empty_like()
+            sk = BloomFilter(_m, _k, _s)
         for pdf in pdfs:
             keys = pdf["__key_str"]
             pdf = pdf.drop(columns=["__shard", "__key_str"])

@@ -157,10 +157,13 @@ def main() -> None:
         gf = {}
         for cls in (BloomFilter, BlockedBloomFilter):
             b = cls.create(g_expect, 0.01)
-            # pre-load to ~50% design load so probe early-outs are realistic
+            # pre-load to 50% design load so probe early-outs are realistic;
+            # random BYTES, not randint(0, 1<<62) — the latter pins bits
+            # 62-63 of every word to zero (a 1/32 never-loadable bias)
             r2 = np.random.RandomState(3)
-            half = r2.randint(0, 1 << 62, size=b._words.size).astype(np.int64)
-            b._words[:] = half.view(np.uint64)  # ~50% bits set
+            b._words[:] = np.frombuffer(
+                r2.bytes(b._words.nbytes), dtype=np.uint64
+            )
             for i in range(0, g_ins, bs):
                 b.update(g_keys[i : i + bs])
             _ = b.words
@@ -211,10 +214,22 @@ def main() -> None:
         import re
 
         prior = open(md_path).read()
-        for name, val in re.findall(r"^\| ([^|]+?) \| ([\d.,]+) M(?:B/s|/s)? \|", prior, re.M):
-            prior_rows[name.strip()] = float(val.replace(",", ""))
-        if "## Giant" in prior:
-            prior_giant = prior[prior.index("## Giant") :].rstrip()
+        # merge only rows measured at THIS (n, batch) config — numbers from
+        # a different config (e.g. a cache-resident --n 50000 run) must
+        # never be max-merged into the canonical table
+        cfg = re.search(r"^n = ([\d,]+) keys, batch = (\d+)", prior, re.M)
+        same_cfg = bool(
+            cfg
+            and int(cfg.group(1).replace(",", "")) == n
+            and int(cfg.group(2)) == bs
+        )
+        if same_cfg:
+            for name, val in re.findall(
+                r"^\| ([^|]+?) \| ([\d.,]+) M(?:B/s|/s)? \|", prior, re.M
+            ):
+                prior_rows[name.strip()] = float(val.replace(",", ""))
+            if "## Giant" in prior:
+                prior_giant = prior[prior.index("## Giant") :].rstrip()
 
     results = {k: max(v, prior_rows.get(k, 0.0) * 1e6) for k, v in results.items()}
     mb_s = max(mb_s, prior_rows.get("bloom union (bitwise OR)", 0.0))

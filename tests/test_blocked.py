@@ -117,18 +117,22 @@ def test_merge_partitioning_and_order_independent(built):
         assert fwd.n_added == N
 
 
-def test_staging_and_direct_scatter_agree():
+def test_staging_and_direct_scatter_agree(monkeypatch):
     """The adaptive add path (byte-per-bit stage vs direct scatter-OR)
-    must produce identical bits; force the direct path via a filter too
-    large to stage."""
+    must produce identical bits.  The direct path is FORCED by zeroing
+    the staging cap — tiny batches alone would still cross the
+    break-even after ~15 of 313 updates and silently re-enter staging."""
+    from bloomfilter_spark.sketches import bloom as bloom_mod
+
     keys = _keys(5000)
     small = BlockedBloomFilter.create(5000, 0.01)
-    small.update(keys)
-    # same geometry, but walk the direct path by scattering tiny batches
-    # that never cross the staging break-even
+    small.update(keys)  # staging path (m well under the cap)
+    assert small._stage is not None  # precondition: really staged
+    monkeypatch.setattr(bloom_mod, "_STAGE_MAX_BITS", 0)
     direct = small.empty_like()
     for i in range(0, 5000, 16):
         direct.update(keys[i : i + 16])
+    assert direct._stage is None  # precondition: really direct
     assert np.array_equal(small.words, direct.words)
 
 

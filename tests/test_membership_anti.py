@@ -93,9 +93,13 @@ def test_blocked_layout_identical_results(spark):
 
 
 def test_unknown_layout_rejected(spark):
+    import re
+
     import pytest
 
     probe = spark.range(0, 10).select(F.col("id").alias("k"))
     build = spark.range(0, 5).select(F.col("id").alias("b"))
-    with pytest.raises(ValueError, match="layout must be flat|blocked"):
+    # re.escape: the raw string is a regex ALTERNATION that would match
+    # any message containing just "blocked"
+    with pytest.raises(ValueError, match=re.escape("layout must be flat|blocked")):
         bloom_anti_join(probe, "k", build, "b", layout="cuckoo")
