@@ -50,6 +50,7 @@ from bloomfilter_spark.operators.pipeline import (
 from bloomfilter_spark.operators.checkpoint import build_sketch_checkpointed
 from bloomfilter_spark.operators.membership import bloom_anti_join
 from bloomfilter_spark.functions.tokenbudget import budget_by_group, token_budget
+from bloomfilter_spark.functions.sqlapi import register_sql_functions
 
 __all__ = [
     "BloomFilter",
@@ -77,4 +78,5 @@ __all__ = [
     "might_contain_udf",
     "token_budget",
     "budget_by_group",
+    "register_sql_functions",
 ]

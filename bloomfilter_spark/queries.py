@@ -424,6 +424,65 @@ FROM w GROUP BY week ORDER BY week
 """
 
 
+def q_sql_sketch_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface (functions/sqlapi.py): the weekly rollup of
+    q_hll_rollup_weekly expressed ENTIRELY in spark.sql over a persisted
+    daily-blob table — `sketch_merge(blob)` as the GROUP BY aggregate and
+    `hll_estimate(...)` as the scalar — so a SQL-only user can re-aggregate
+    sketch tables without touching the Python operators.  Same contract:
+    every weekly estimate within the HLL bound of the exact distinct count.
+    The reference exposes this surface as library calls
+    (/root/reference/bloomfilter.go:124,257); SQL registration is the
+    Spark-native analog."""
+    import shutil
+    import tempfile
+
+    from bloomfilter_spark.functions.sqlapi import register_sql_functions
+
+    register_sql_functions(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.coalesce(F.date_format("ts", "yyyy-MM-dd"), F.lit("(none)"))
+    )
+    daily = build_grouped(ev, "day", "user_id", hll_factory(precision=14))
+    work = tempfile.mkdtemp(prefix="bfs_sqlapi_")
+    try:
+        daily.write.mode("overwrite").parquet(f"{work}/daily_hll")
+        spark.read.parquet(f"{work}/daily_hll").withColumn(
+            "week", _week_of(F.col("day"))
+        ).createOrReplaceTempView("bfs_sqlapi_daily_hll")
+        weekly = spark.sql(
+            "SELECT week, hll_estimate(sketch_merge(blob)) AS est "
+            "FROM bfs_sqlapi_daily_hll GROUP BY week"
+        )
+        exact = (
+            ev.withColumn("week", _week_of(F.col("day")))
+            .groupBy("week")
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+        )
+        bound = 4 * (1.04 / (2**14) ** 0.5)
+        out = (
+            exact.join(weekly, "week")
+            .select(
+                "week",
+                "exact_users",
+                F.when(
+                    F.col("exact_users") > 0,
+                    F.abs(F.col("est") - F.col("exact_users"))
+                    / F.col("exact_users")
+                    <= F.lit(bound),
+                )
+                .otherwise(F.col("est") == 0.0)
+                .alias("hll_ok"),
+            )
+            .orderBy("week")
+            .localCheckpoint()  # materialize before the table dir is removed
+        )
+    finally:
+        spark.catalog.dropTempView("bfs_sqlapi_daily_hll")
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_hll_users_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped HLL through the SALTED two-stage path (north rule's skew
     defense): stage 1 groups by (key, hash(value)%8) so a hot key fans out
@@ -1537,6 +1596,7 @@ _QUERIES1 = {
     "hll_users_by_day": q_hll_users_by_day,
     "hll_rollup_weekly": q_hll_rollup_weekly,
     "hll_users_by_type_salted": q_hll_users_by_type_salted,
+    "sql_sketch_api": q_sql_sketch_api,
     "hll_set_ops": q_hll_set_ops,
     "theta_set_ops": q_theta_set_ops,
     "cbf_delete_membership": q_cbf_delete_membership,
@@ -1575,6 +1635,7 @@ _ORACLES1 = {
     "hll_users_by_day": _HLL_DAY_SQL,
     "hll_rollup_weekly": _HLL_ROLLUP_WEEKLY_SQL,
     "hll_users_by_type_salted": _HLL_SALTED_SQL,
+    "sql_sketch_api": _HLL_ROLLUP_WEEKLY_SQL,
     "hll_set_ops": _HLL_SET_OPS_SQL,
     "theta_set_ops": _THETA_SET_OPS_SQL,
     "cbf_delete_membership": _CBF_DELETE_MEMBERSHIP_SQL,
