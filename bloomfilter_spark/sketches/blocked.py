@@ -105,33 +105,56 @@ class BlockedBloomFilter(BloomFilter):
         semantics are identical to testing the full `_positions` matrix.
         """
         n = len(h1)
-        if n == 0:
-            return np.zeros(0, dtype=bool)
-        words = self.words  # folds staged bits once, before the lanes
-        sixty3 = U64(63)
+        out = np.zeros(n, dtype=bool)
+        if n == 0 or self.k <= 0:
+            return out
+        from bloomfilter_spark.sketches.bloom import COMPACT_BELOW
+
+        words_u8 = self.words.view(np.uint8)  # folds staged bits once
         with np.errstate(over="ignore"):
-            word_base = (h1 % U64(self.n_blocks)) << U64(3)  # block * 8 words
+            byte_base = (h1 % U64(self.n_blocks)) << U64(6)  # block * 64 bytes
             step = h1 | U64(1)
 
-            def lane_bits(i: int, wb: np.ndarray, b: np.ndarray, s: np.ndarray):
+            def lane_bits(i: int, bb: np.ndarray, b: np.ndarray, s: np.ndarray):
+                # byte-granular bit test (same little-endian packing contract
+                # as the flat filter): in-block bit p lives at bit (p & 7) of
+                # block byte (p >> 3)
                 p = b + U64(i) * s
                 p &= _BLOCK_MASK
-                g = words[(wb + (p >> U64(6))).view(np.int64)]
-                g >>= p & sixty3
-                g &= U64(1)
+                g = words_u8[(bb + (p >> U64(3))).view(np.int64)]
+                g >>= (p & U64(7)).astype(np.uint8)
+                g &= np.uint8(1)
                 return g
 
-            alive = np.flatnonzero(lane_bits(0, word_base, h2, step))
-            wb, b, s = word_base[alive], h2[alive], step[alive]
-            for i in range(1, self.k):
-                if alive.size == 0:
+            # adaptive compaction, mirroring bloom.lane_probe: compact only
+            # when enough candidates died to repay the gather; present-heavy
+            # batches pay k full-width AND passes (same cache line per key),
+            # absent-heavy batches compact after lane 0
+            bb, b, s = byte_base, h2, step
+            alive = None
+            ok = None
+            for i in range(self.k):
+                gb = lane_bits(i, bb, b, s).astype(bool, copy=False)
+                if ok is None:
+                    ok = gb
+                else:
+                    ok &= gb
+                if i == self.k - 1:
                     break
-                keep = np.flatnonzero(lane_bits(i, wb, b, s))
-                if keep.size != wb.size:  # compact only when something died
-                    alive = alive[keep]
-                    wb, b, s = wb[keep], b[keep], s[keep]
-        out = np.zeros(n, dtype=bool)
-        out[alive] = True
+                cnt = int(np.count_nonzero(ok))
+                if cnt == 0:
+                    return out
+                if cnt < COMPACT_BELOW * len(b):
+                    local = np.flatnonzero(ok)
+                    alive = local if alive is None else alive[local]
+                    bb, b, s = bb[local], b[local], s[local]
+                    ok = None
+        if ok is None:
+            out[alive] = True
+        elif alive is None:
+            return ok
+        else:
+            out[alive] = ok
         return out
 
     # -- estimators -----------------------------------------------------------

