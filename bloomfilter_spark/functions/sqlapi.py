@@ -34,6 +34,8 @@ any NULL argument row yields NULL, never an error.
 
 from __future__ import annotations
 
+import hashlib
+from collections import OrderedDict
 from typing import Callable, Iterator
 
 import numpy as np
@@ -43,20 +45,33 @@ import pyspark.sql.types as T
 
 from bloomfilter_spark.sketches import serde
 
-# bounded per-executor deserialization cache; cleared wholesale when full
-# (sketch blobs are MBs at most and probe workloads reuse a handful)
-_CACHE_MAX = 256
-_cache: dict[bytes, object] = {}
+# Byte-bounded per-executor deserialization cache, LRU-evicted.  Keys are
+# 16-byte blake2b digests so the cache never pins the blob BYTES, only the
+# deserialized sketch (whose resident size ≈ the serialized payload — the
+# packed word/counter array dominates both).  Count-bounding instead would
+# let a handful of GB-scale blocked-Bloom blobs pin unbounded memory.
+_CACHE_MAX_BYTES = 256 << 20
+_cache: "OrderedDict[bytes, tuple[object, int]]" = OrderedDict()
+_cache_bytes = 0
 
 
 def _sketch_for(blob) -> object:
+    global _cache_bytes
     b = bytes(blob)
-    sk = _cache.get(b)
-    if sk is None:
-        if len(_cache) >= _CACHE_MAX:
-            _cache.clear()
-        sk = serde.deserialize(b)
-        _cache[b] = sk
+    key = hashlib.blake2b(b, digest_size=16).digest()
+    hit = _cache.get(key)
+    if hit is not None:
+        _cache.move_to_end(key)
+        return hit[0]
+    sk = serde.deserialize(b)
+    size = len(b)
+    if size > _CACHE_MAX_BYTES:  # a single over-budget giant: use uncached
+        return sk
+    while _cache and _cache_bytes + size > _CACHE_MAX_BYTES:
+        _, (_, old_size) = _cache.popitem(last=False)
+        _cache_bytes -= old_size
+    _cache[key] = (sk, size)
+    _cache_bytes += size
     return sk
 
 
@@ -79,8 +94,19 @@ def _per_blob_batches(
 
 
 def _per_blob_scalar(blobs: pd.Series, fn: Callable) -> pd.Series:
-    """fn(sketch) per row with memoized deserialization; NULL blob → NULL."""
-    return blobs.map(lambda b: None if b is None else fn(_sketch_for(b)))
+    """fn(sketch) once per DISTINCT blob in the batch (estimators like
+    estimated_fpp scan the whole filter — O(m); running them per ROW against
+    a repeated constant blob would rescan the filter N times); NULL blob →
+    NULL."""
+    out = pd.Series(np.full(len(blobs), None, dtype=object), index=blobs.index)
+    valid = blobs.notna()
+    if not valid.any():
+        return out
+    vb = blobs[valid]
+    codes, uniques = pd.factorize(vb.map(bytes))
+    per_blob = [fn(_sketch_for(b)) for b in uniques]
+    out.loc[vb.index] = [per_blob[c] for c in codes]
+    return out
 
 
 # -- scalar probe / estimate UDFs ---------------------------------------------

@@ -2243,11 +2243,14 @@ def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stream folds every micro-batch into ONE running MG summary (a
     constant group key; per-key state is the 8·capacity-ish-byte summary,
     NOT the stream), and the answer is read from the final trigger's blob.
-    Capacity 4096 ≥ distinct users at every test SF, so no prune fires,
-    stored counts are exact, and the same full-value SQL oracle as the
-    batch topk_users_freqitems query applies — stream ≡ batch ≡ exact.
-    At 10^12 events the SAME query returns ε-heavy hitters (ε = 1/4097)
-    with the certified deduction bound (Agarwal et al., PODS 2012 §3).
+    Capacity is sized from the table (metadata distinct count, never a
+    constant — a hard-coded capacity starts pruning at whatever scale
+    factor exceeds it, silently de-exacting the oracle), so no prune
+    fires, stored counts are exact, and the same full-value SQL oracle as
+    the batch topk_users_freqitems query applies — stream ≡ batch ≡
+    exact.  At 10^12 events a user picks a FIXED capacity instead and
+    the SAME query returns ε-heavy hitters (ε = 1/(capacity+1)) with the
+    certified deduction bound (Agarwal et al., PODS 2012 §3).
     Tie-break (count desc, key asc) is the sketch's topk() order,
     replayed by the oracle."""
     from bloomfilter_spark.operators.build import freqitems_factory
@@ -2255,6 +2258,9 @@ def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomfilter_spark.streaming.stateful import grouped_sketch_stream
 
     ev = _t(spark, sf_dir, "events")
+    capacity = max(
+        4096, int(ev.select(F.countDistinct("user_id")).first()[0]) + 1
+    )
     out = _run_staged_stream(
         spark,
         ev,
@@ -2263,7 +2269,7 @@ def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.select(F.lit("all").alias("g"), "user_id"),
             "g",
             "user_id",
-            freqitems_factory(4096),
+            freqitems_factory(capacity),
         ),
         "stream_topk",
     )

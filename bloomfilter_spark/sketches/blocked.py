@@ -104,58 +104,29 @@ class BlockedBloomFilter(BloomFilter):
         division per key), later lanes re-touch the same line.  Bit
         semantics are identical to testing the full `_positions` matrix.
         """
-        n = len(h1)
-        out = np.zeros(n, dtype=bool)
-        if n == 0 or self.k <= 0:
-            return out
-        from bloomfilter_spark.sketches.bloom import COMPACT_BELOW
+        if len(h1) == 0:
+            return np.zeros(0, dtype=bool)
+        from bloomfilter_spark.sketches.bloom import adaptive_probe
 
         words_u8 = self.words.view(np.uint8)  # folds staged bits once
+
+        def lane_bits(i: int, bb: np.ndarray, b: np.ndarray, s: np.ndarray):
+            # byte-granular bit test (same little-endian packing contract
+            # as the flat filter): in-block bit p lives at bit (p & 7) of
+            # block byte (p >> 3)
+            p = b + U64(i) * s
+            p &= _BLOCK_MASK
+            g = words_u8[(bb + (p >> U64(3))).view(np.int64)]
+            g >>= (p & U64(7)).astype(np.uint8)
+            g &= np.uint8(1)
+            return g
+
         with np.errstate(over="ignore"):
             byte_base = (h1 % U64(self.n_blocks)) << U64(6)  # block * 64 bytes
             step = h1 | U64(1)
-
-            def lane_bits(i: int, bb: np.ndarray, b: np.ndarray, s: np.ndarray):
-                # byte-granular bit test (same little-endian packing contract
-                # as the flat filter): in-block bit p lives at bit (p & 7) of
-                # block byte (p >> 3)
-                p = b + U64(i) * s
-                p &= _BLOCK_MASK
-                g = words_u8[(bb + (p >> U64(3))).view(np.int64)]
-                g >>= (p & U64(7)).astype(np.uint8)
-                g &= np.uint8(1)
-                return g
-
-            # adaptive compaction, mirroring bloom.lane_probe: compact only
-            # when enough candidates died to repay the gather; present-heavy
-            # batches pay k full-width AND passes (same cache line per key),
-            # absent-heavy batches compact after lane 0
-            bb, b, s = byte_base, h2, step
-            alive = None
-            ok = None
-            for i in range(self.k):
-                gb = lane_bits(i, bb, b, s).astype(bool, copy=False)
-                if ok is None:
-                    ok = gb
-                else:
-                    ok &= gb
-                if i == self.k - 1:
-                    break
-                cnt = int(np.count_nonzero(ok))
-                if cnt == 0:
-                    return out
-                if cnt < COMPACT_BELOW * len(b):
-                    local = np.flatnonzero(ok)
-                    alive = local if alive is None else alive[local]
-                    bb, b, s = bb[local], b[local], s[local]
-                    ok = None
-        if ok is None:
-            out[alive] = True
-        elif alive is None:
-            return ok
-        else:
-            out[alive] = ok
-        return out
+            # the engine compacts (byte_base, h2, step) together, so every
+            # surviving candidate keeps re-touching its one cache line
+            return adaptive_probe(self.k, (byte_base, h2, step), lane_bits)
 
     # -- estimators -----------------------------------------------------------
 

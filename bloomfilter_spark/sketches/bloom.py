@@ -53,58 +53,69 @@ def popcount_words(words: np.ndarray) -> int:
 COMPACT_BELOW = 0.6  # compact the candidate set when under this fraction survive
 
 
-def lane_probe(h1: np.ndarray, h2: np.ndarray, k: int, m: int, lane_fn) -> np.ndarray:
-    """Shared lane-at-a-time membership evaluation (Bloom bit test, CBF
-    counter test): evaluate lane i's positions (uint64-wrapped h1 + i*h2,
-    then mod m) in order, killing candidates on their first zero lane.
-    `lane_fn(pos)` returns truthy-per-position (bool or 0/1 ints); bit
-    semantics are identical to evaluating the full (n, k) position matrix.
+def adaptive_probe(k: int, state: tuple, lane_fn) -> np.ndarray:
+    """Shared lane-at-a-time membership engine (flat Bloom, blocked Bloom,
+    CBF): evaluate lanes in order, killing candidates on their first zero
+    lane.  `lane_fn(i, *state)` returns truthy-per-candidate for lane i;
+    `state` is a tuple of equal-length per-candidate arrays (hashes, block
+    bases, steps, ...) that compact together, so any position map plugs in.
+    Result is bit-identical to AND-ing all k full-width lanes.
 
     Compaction is ADAPTIVE: the candidate set shrinks (flatnonzero +
-    fancy-gather of h1/h2) only when under COMPACT_BELOW of the current
-    width survives — absent-heavy batches compact after lane 0 as before
+    fancy-gather of every state array) only when under COMPACT_BELOW of
+    the current width survives — absent-heavy batches compact after lane 0
     (~2 expected gathers per miss at design load), while present-heavy
-    batches skip compaction entirely and pay k cheap full-width AND
-    passes instead of k flatnonzero allocations that never shrink
-    anything."""
-    n = len(h1)
+    batches skip compaction entirely and pay k cheap full-width AND passes
+    instead of k flatnonzero allocations that never shrink anything."""
+    n = len(state[0])
     out = np.zeros(n, dtype=bool)
     if n == 0 or k <= 0:
         return out
-    mm = U64(m)
-    with np.errstate(over="ignore"):
-        h1a, h2a = h1, h2
-        alive = None  # int64 indices into the original batch; None = everyone
-        ok = None  # bool over the current candidate width; None = all alive
-        for i in range(k):
-            if i == 0:
-                pos = h1a % mm
-            else:
-                pos = h2a * U64(i)
-                pos += h1a
-                pos %= mm
-            gb = lane_fn(pos).astype(bool, copy=False)
-            if ok is None:
-                ok = gb
-            else:
-                ok &= gb
-            if i == k - 1:
-                break
-            cnt = int(np.count_nonzero(ok))
-            if cnt == 0:
-                return out
-            if cnt < COMPACT_BELOW * len(h1a):
-                local = np.flatnonzero(ok)
-                alive = local if alive is None else alive[local]
-                h1a, h2a = h1a[local], h2a[local]
-                ok = None
-    if ok is None:
-        out[alive] = True
-    elif alive is None:
+    alive = None  # int64 indices into the original batch; None = everyone
+    ok = None  # bool over the current candidate width; reset on compaction
+    for i in range(k):
+        gb = lane_fn(i, *state).astype(bool, copy=False)
+        if ok is None:
+            ok = gb
+        else:
+            ok &= gb
+        if i == k - 1:
+            break
+        cnt = int(np.count_nonzero(ok))
+        if cnt == 0:
+            return out
+        if cnt < COMPACT_BELOW * len(state[0]):
+            local = np.flatnonzero(ok)
+            alive = local if alive is None else alive[local]
+            state = tuple(a[local] for a in state)
+            ok = None
+    # ok is always set here: the final lane assigns it before the break
+    if alive is None:
         return ok
-    else:
-        out[alive] = ok
+    out[alive] = ok
     return out
+
+
+def lane_probe(h1: np.ndarray, h2: np.ndarray, k: int, m: int, lane_fn) -> np.ndarray:
+    """Double-hashing front end of `adaptive_probe` (Bloom bit test, CBF
+    counter test): lane i probes position (h1 + i*h2) mod m on the
+    uint64-WRAPPED sum, matching the reference exactly
+    (/root/reference/bloomfilter.go:124-126).  `lane_fn(pos)` returns
+    truthy-per-position (bool or 0/1 ints); bit semantics are identical
+    to evaluating the full (n, k) position matrix."""
+    mm = U64(m)
+
+    def lane(i: int, h1a: np.ndarray, h2a: np.ndarray) -> np.ndarray:
+        if i == 0:
+            pos = h1a % mm
+        else:
+            pos = h2a * U64(i)
+            pos += h1a
+            pos %= mm
+        return lane_fn(pos)
+
+    with np.errstate(over="ignore"):
+        return adaptive_probe(k, (h1, h2), lane)
 
 
 @serde.register(serde.KIND_BLOOM)
