@@ -365,3 +365,143 @@ def _score_probed_buckets(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", F.round("sim", 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP (signed-random-projection / hyperplane) LSH — the sub-quadratic
+# embedding near-dup path
+# ---------------------------------------------------------------------------
+
+
+def _srp_projection(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic (dim, n_bits) Gaussian hyperplane matrix.
+
+    No RNG object (same policy as train_centroids): entries come from
+    murmur3 over the flat entry index — two u64 lanes per entry → two
+    uniforms in (0,1) → one Box-Muller normal.  Any executor, any numpy
+    version, any call order reproduces the same hyperplanes bit-for-bit,
+    so signatures computed in different Arrow batches / partitions are
+    comparable by construction."""
+    from bloomfilter_spark.functions.hashing import murmur3_x64_128_u64
+
+    idx = np.arange(dim * n_bits, dtype=np.int64)
+    h1, h2 = murmur3_x64_128_u64(idx, seed=seed)
+    # (h + 0.5) / 2^64: strictly inside (0, 1) so log() is finite
+    u1 = (h1.astype(np.float64) + 0.5) * (2.0**-64)
+    u2 = (h2.astype(np.float64) + 0.5) * (2.0**-64)
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return z.reshape(dim, n_bits)
+
+
+def srp_signatures(
+    emb: DataFrame,
+    n_bits: int = 256,
+    bands: int = 64,
+    seed: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sig array<long>[bands]) — hyperplane sign-bit LSH signatures
+    (Charikar, STOC 2002: P[sign agree] = 1 − θ/π for angle θ).
+
+    sig[j] packs band j's r = n_bits/bands sign bits into one integer, so
+    the relation feeding the candidate self-join carries `bands` longs per
+    row regardless of n_bits — at 10^12 rows the shuffle width is the
+    band values, never the raw vectors.  One executor-side GEMM per Arrow
+    batch (X @ P, then a reshape-matmul bit-pack); the projection matrix is
+    rebuilt deterministically per task from the seed (dim·n_bits doubles,
+    ~128 KB at dim 64 — cheaper than a broadcast round-trip).
+
+    Null-id / null-or-empty-vector rows are dropped (library-wide null
+    policy: rows that can never match under equality semantics never enter
+    the operator)."""
+    from bloomfilter_spark.functions.hashing import DEFAULT_SEED
+    from bloomfilter_spark.plans.skew import ensure_parallelism
+
+    if n_bits % bands != 0:
+        raise ValueError(f"n_bits ({n_bits}) must divide into bands ({bands})")
+    r = n_bits // bands
+    if r > 62:
+        raise ValueError(f"rows per band {r} overflows a signed 64-bit pack")
+    s = DEFAULT_SEED if seed is None else seed
+    weights = (np.int64(1) << np.arange(r, dtype=np.int64)).astype(np.float64)
+
+    def sig_iter(batches):
+        proj = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _emb_matrix(pdf, vec_col).astype(np.float64)
+            if proj is None or proj.shape[0] != x.shape[1]:
+                proj = _srp_projection(x.shape[1], n_bits, s)
+            signs = (x @ proj) >= 0.0  # (n, n_bits)
+            vals = signs.reshape(len(x), bands, r).astype(np.float64) @ weights
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "sig": list(vals.astype(np.int64)),
+                }
+            )
+
+    clean = emb.select(id_col, vec_col).filter(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (F.size(vec_col) > 0)
+    )
+    return ensure_parallelism(clean).mapInPandas(
+        sig_iter, schema="id long, sig array<long>"
+    )
+
+
+def neardup_srp_verified(
+    emb: DataFrame,
+    threshold: float,
+    n_bits: int = 256,
+    bands: int = 64,
+    seed: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs over an embedding column with EXACT
+    cosine output — the dense-vector analog of minhash_dedup_pairs_verified.
+
+    SRP-LSH candidate generation (pairs sharing ≥1 of `bands` sign-bit
+    bands; the same banded self-equijoin as MinHash LSH) followed by exact
+    cosine verification JVM-side (zip_with/aggregate on the double-cast
+    vectors — no Python in the verify join).  A true pair at cosine s
+    escapes candidacy with probability (1 − p^r)^b, p = 1 − arccos(s)/π:
+    at the 0.4 default with 64×4-bit bands that is ~1.6e-5, which is what
+    lets this path carry a full SQL value oracle while staying
+    sub-quadratic — the block-pair `neardup_pairs` plan scores O(N²/B)
+    GEMM cells, this one scores only colliding pairs.
+
+    Zero-norm vectors define cosine 0 here (same contract as
+    `_normalize`), so they can never reach a positive threshold."""
+    sigs = srp_signatures(
+        emb, n_bits=n_bits, bands=bands, seed=seed, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
+    from bloomfilter_spark.operators.dedup import lsh_candidate_pairs
+
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=1)
+
+    dvec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    sides = emb.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"), dvec.alias("v")
+    )
+    ea = sides.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    eb = sides.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+
+    def _ssum(col):
+        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = _ssum(F.zip_with("v_a", "v_b", lambda x, y: x * y))
+    na = F.sqrt(_ssum(F.transform("v_a", lambda x: x * x)))
+    nb = F.sqrt(_ssum(F.transform("v_b", lambda x: x * x)))
+    sim = F.when(na * nb == 0.0, F.lit(0.0)).otherwise(dot / (na * nb))
+    return (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= threshold)  # unrounded, like the oracle
+        .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
+    )

@@ -19,7 +19,12 @@ from bloomfilter_spark.functions.textstats import (
     token_count,
     with_fingerprints,
 )
-from bloomfilter_spark.operators.ann import brute_topk, ivf_topk, neardup_pairs
+from bloomfilter_spark.operators.ann import (
+    brute_topk,
+    ivf_topk,
+    neardup_pairs,
+    neardup_srp_verified,
+)
 from bloomfilter_spark.operators.dedup import (
     minhash_dedup_pairs,
     minhash_dedup_pairs_verified,
@@ -1320,6 +1325,28 @@ ORDER BY id_a, id_b
 """
 
 
+def q_ann_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic SRP-LSH variant of ann_neardup_pairs: same exact
+    cosine output (verified candidates), but only colliding sign-bit
+    bands are ever scored — the embedding-side scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return neardup_srp_verified(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+# the oracle is the brute-force exact join; Spark must reach the same set
+# through the LSH candidates (escape probability ~1.6e-5 per true pair at
+# the 64x4-bit default).  Both sides compute the cosine in float64.
+_ANN_NEARDUP_SRP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (bucketed) variant — rows-only; recall vs brute force
     pytest-checked."""
@@ -2615,6 +2642,7 @@ QUERIES2 = {
     "doc_fingerprints": q_doc_fingerprints,
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_neardup_pairs": q_ann_neardup_pairs,
+    "ann_neardup_srp": q_ann_neardup_srp,
     "ann_ivf_topk": q_ann_ivf_topk,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "sample_stratified": q_sample_stratified,
@@ -2668,6 +2696,7 @@ ORACLES2 = {
     "doc_fingerprints": _fingerprints_oracle_sql(),
     "ann_topk_cosine": _ANN_TOPK_SQL,
     "ann_neardup_pairs": _ANN_NEARDUP_SQL,
+    "ann_neardup_srp": _ANN_NEARDUP_SRP_SQL,
     "pipeline_clean_corpus": _CLEAN_CORPUS_SQL,
     "sample_stratified": _sample_oracle_sql(),
     "pack_shards": _pack_shards_oracle_sql(),

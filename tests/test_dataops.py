@@ -330,6 +330,47 @@ def test_neardup_pairs_block_count_invariant(spark, emb):
     assert len(base) > 0
 
 
+def test_srp_signatures_deterministic_and_packed(spark, emb):
+    """Same seed → bit-identical signatures regardless of partitioning
+    (hyperplanes are derived from the seed, not an RNG state); band values
+    fit the r-bit pack; null-id / null-or-empty-vector rows are dropped."""
+    from bloomfilter_spark.operators.ann import srp_signatures
+
+    a = srp_signatures(emb, n_bits=64, bands=16).toPandas().set_index("id")
+    b = (
+        srp_signatures(emb.repartition(13), n_bits=64, bands=16)
+        .toPandas()
+        .set_index("id")
+    )
+    assert len(a) == emb.count()
+    for i in a.index:
+        assert list(a.sig[i]) == list(b.sig[i])
+        assert all(0 <= v < 16 for v in a.sig[i])  # r = 4 bits per band
+
+    withnulls = emb.unionByName(
+        spark.createDataFrame(
+            [(None, [1.0, 2.0], 0), (9001, None, 0), (9002, [], 0)],
+            emb.schema,
+        )
+    )
+    c = srp_signatures(withnulls, n_bits=64, bands=16).toPandas()
+    assert len(c) == len(a) and 9001 not in set(c.id) and 9002 not in set(c.id)
+
+
+def test_neardup_srp_matches_exact(spark, emb):
+    """The SRP-LSH path must reproduce the brute-force exact pair set
+    value-for-value at the catalog threshold (escape probability per true
+    pair ~1e-5 at the 64x4-bit default; deterministic given the seed, so
+    this is a hard equality, not a recall bound)."""
+    from bloomfilter_spark.operators.ann import neardup_pairs, neardup_srp_verified
+
+    key = lambda p: sorted(map(tuple, p[["id_a", "id_b", "sim"]].values))
+    exact = neardup_pairs(emb, threshold=0.35).toPandas()
+    srp = neardup_srp_verified(emb, threshold=0.35).toPandas()
+    assert key(srp) == key(exact)
+    assert len(exact) > 0
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
