@@ -1326,23 +1326,59 @@ ORDER BY id_a, id_b
 
 
 def q_ann_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-quadratic SRP-LSH variant of ann_neardup_pairs: same exact
-    cosine output (verified candidates), but only colliding sign-bit
-    bands are ever scored — the embedding-side scale path."""
+    """SRP-LSH near-dup mining at its operating point: every corpus vector
+    gets a planted near-duplicate (a deterministic element-wise
+    perturbation, cosine ≈ 0.99 to its original), and the SRP path must
+    recover exactly the planted pairs at threshold 0.9.
+
+    This is the SemDeDup-shaped workload hyperplane LSH exists for — a
+    HIGH-similarity threshold, where 16-bit bands put unrelated vectors
+    (sims ≤ ~0.5 here) in disjoint buckets and only real near-dups ever
+    reach the exact verify.  A 0.9-sim pair escapes all 32 bands with
+    probability ~1e-9, so the output equals the brute-force oracle while
+    scoring ~n candidate pairs, not n²/2.  (At LOW thresholds sign bits
+    can't separate 0.3 from 0.4 cosine and banded LSH degrades toward
+    all-pairs — that regime belongs to `neardup_pairs`, the exact
+    block-pair plan.)"""
     emb = _t(spark, sf_dir, "embeddings")
-    return neardup_srp_verified(emb, threshold=0.4).orderBy("id_a", "id_b")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    ).select("vec_id", dvec.alias("embedding"))
+    pert = base.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + 0.02 * F.sin(1000.0 * x)
+        ).alias("embedding"),
+    )
+    planted = base.unionByName(pert)
+    out = neardup_srp_verified(planted, threshold=0.9, n_bits=512, bands=32)
+    return (
+        out.filter(~F.isnan("sim"))  # numpy/NaN-excluding compare semantics
+        .orderBy("id_a", "id_b")
+    )
 
 
-# the oracle is the brute-force exact join; Spark must reach the same set
-# through the LSH candidates (escape probability ~1.6e-5 per true pair at
-# the 64x4-bit default).  Both sides compute the cosine in float64.
+# the oracle replays the planted perturbation and the brute-force exact
+# join; Spark must reach the same pair set through the LSH candidates.
+# Both sides compute in float64 (identical float->double casts; sin()
+# ULP differences are ~1e-15 per element, invisible at ROUND 4).
 _ANN_NEARDUP_SRP_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), u AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(e, x -> x + 0.02 * sin(1000 * x))
+  FROM base
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+       ROUND(list_cosine_similarity(a.e, b.e), 4) AS sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+  AND NOT isnan(list_cosine_similarity(a.e, b.e))
 ORDER BY id_a, id_b
 """
 

@@ -55,7 +55,10 @@ class HyperLogLog:
 
     __slots__ = ("p", "m", "seed", "n_added", "registers")
 
-    _PARAMS = struct.Struct("<I4x")  # p u32, pad
+    # p u32, enc u8 (0 = dense registers, 1 = sparse (u32 idx, u8 rank)
+    # pairs), pad.  Old blobs packed "<I4x" — their pad bytes read back as
+    # enc 0, so every pre-existing dense blob stays parseable.
+    _PARAMS = struct.Struct("<IB3x")
 
     def __init__(self, p: int = 14, seed: int = DEFAULT_SEED, registers=None, n_added: int = 0):
         if not isinstance(p, int) or p < 4 or p > 18:
@@ -173,12 +176,30 @@ class HyperLogLog:
     # -- serde ----------------------------------------------------------------
 
     def to_bytes(self) -> bytes:
+        """Self-sizing blob: sparse (u32 idx, u8 rank) pairs when that is
+        smaller than the dense register array, dense otherwise.
+
+        Encoding only — both forms reconstruct the identical register
+        state, so estimates, merges, and geometry checks are unaffected.
+        The win is shuffle/checkpoint width for GROUPED builds: a rollup
+        over millions of hosts/days carries one blob per group, and most
+        groups touch far fewer than m/5 registers — a singleton group's
+        blob drops from m bytes (16 KB at p=14) to ~25 bytes."""
+        nz = np.flatnonzero(self.registers)
+        if 5 * len(nz) < self.m:
+            payload = (
+                nz.astype("<u4").tobytes() + self.registers[nz].tobytes()
+            )
+            enc = 1
+        else:
+            payload = self.registers.tobytes()
+            enc = 0
         return serde.pack(
             serde.KIND_HLL,
             self.seed,
             self.n_added,
-            self._PARAMS.pack(self.p),
-            self.registers.tobytes(),
+            self._PARAMS.pack(self.p, enc),
+            payload,
         )
 
     @classmethod
@@ -186,8 +207,34 @@ class HyperLogLog:
         kind, seed, n_added, params, payload = serde.unpack(blob)
         if kind != serde.KIND_HLL:
             raise ValueError(f"not an hll blob (kind={kind})")
-        (p,) = cls._PARAMS.unpack(params)
-        registers = np.frombuffer(payload, dtype=np.uint8).copy()
+        p, enc = cls._PARAMS.unpack(params)
+        m = 1 << p
+        if enc == 0:
+            if len(payload) != m:
+                raise ValueError(
+                    f"hll blob: payload is {len(payload)} bytes, expected {m} "
+                    f"for p={p} (truncated or corrupt)"
+                )
+            registers = np.frombuffer(payload, dtype=np.uint8).copy()
+        elif enc == 1:
+            if len(payload) % 5 != 0:
+                raise ValueError(
+                    f"hll blob: sparse payload of {len(payload)} bytes is not "
+                    "a whole number of (u32 idx, u8 rank) entries (truncated "
+                    "or corrupt)"
+                )
+            nnz = len(payload) // 5
+            idx = np.frombuffer(payload[: 4 * nnz], dtype="<u4").astype(np.int64)
+            rank = np.frombuffer(payload[4 * nnz :], dtype=np.uint8)
+            if nnz and int(idx.max()) >= m:
+                raise ValueError(
+                    f"hll blob: sparse register index {int(idx.max())} out of "
+                    f"range for p={p} (corrupt)"
+                )
+            registers = np.zeros(m, dtype=np.uint8)
+            registers[idx] = rank
+        else:
+            raise ValueError(f"hll blob: unknown register encoding {enc}")
         return cls(p=p, seed=seed, registers=registers, n_added=n_added)
 
     def __eq__(self, other) -> bool:
