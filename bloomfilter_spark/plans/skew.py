@@ -46,3 +46,58 @@ def partition_stats(df: DataFrame) -> DataFrame:
     from pyspark.sql.functions import spark_partition_id
 
     return df.withColumn("_pid", spark_partition_id()).groupBy("_pid").count()
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    num_partitions: int | None = None,
+    top: int = 20,
+) -> DataFrame:
+    """The measuring half of the salting story: per-key load for the `top`
+    heaviest keys, plus the salt factor `salted_repartition` needs to defuse
+    each one.
+
+    For each hot key: rows, share of the table, and
+    suggested_salts = ⌈rows / (total/num_partitions)⌉ — the number of
+    sub-partitions that brings the key's heaviest slice back down to one
+    average task's worth of rows (computed with integer arithmetic, exact
+    at any table size).  A key with suggested_salts == 1 fits a task and
+    needs no salting.
+
+    Plan shape at 100 TB: one map-side-combined groupBy over the key, a
+    driver-sized scalar for the total, and a TakeOrderedAndProject for the
+    top slice — the per-key relation is never collected.  NULL keys are
+    excluded: they carry no join/grouping identity, and the library-wide
+    null policy routes them around key-equality operators."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .localCheckpoint(eager=False)  # one shuffle feeds both consumers
+    )
+    total = counts.agg(F.sum("rows")).first()[0] or 0
+    if total == 0:
+        return counts.select(
+            key_col,
+            "rows",
+            F.lit(0.0).alias("share"),
+            F.lit(1).alias("suggested_salts"),
+        ).limit(0)
+    suggested = F.greatest(
+        F.lit(1),
+        F.expr(f"(rows * {int(num_partitions)} + {int(total)} - 1) DIV {int(total)}"),
+    )
+    return (
+        counts.select(
+            key_col,
+            "rows",
+            F.round(F.col("rows") / F.lit(float(total)), 6).alias("share"),
+            suggested.cast("long").alias("suggested_salts"),
+        )
+        .orderBy(F.col("rows").desc(), F.col(key_col).asc())
+        .limit(top)
+    )

@@ -268,6 +268,32 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis over the event stream's user key: the 20 heaviest
+    keys with their load share and the salt factor `salted_repartition`
+    would need for each (fixed num_partitions=32 so the report is
+    cluster-size-independent and SQL-replayable)."""
+    from bloomfilter_spark.plans.skew import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", num_partitions=32, top=20)
+
+
+_SKEW_REPORT_SQL = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), t AS (SELECT SUM(n) AS total FROM c)
+SELECT user_id, n AS "rows",
+       ROUND(n * 1.0 / total, 6) AS share,
+       CAST(GREATEST(1, (n * 32 + total - 1) // total) AS BIGINT)
+         AS suggested_salts
+FROM c, t
+ORDER BY n DESC, user_id ASC
+LIMIT 20
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream (12 h inactivity gap)
     via Spark's native session_window aggregation; the oracle replays the
@@ -2358,6 +2384,62 @@ ORDER BY est_cnt DESC, user_id ASC LIMIT 10
 """
 
 
+def q_streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min through the STREAMING stateful path: micro-batches fold
+    into one running CMS (state = the depth x width counter grid, not the
+    stream), and the final blob answers per-type point queries against the
+    same exact-count oracle as the batch cms_event_type_counts query —
+    stream ≡ batch ≡ within epsilon-N of exact.  Completes the streaming
+    surface: every mergeable family now streams (Bloom, HLL, MG, KLL,
+    CMS)."""
+    from bloomfilter_spark.operators.build import cms_factory
+    from bloomfilter_spark.sketches import serde
+    from bloomfilter_spark.streaming.stateful import grouped_sketch_stream
+
+    ev = _t(spark, sf_dir, "events")
+    out = _run_staged_stream(
+        spark,
+        ev,
+        "event_id",
+        lambda s: grouped_sketch_stream(
+            s.select(F.lit("all").alias("g"), "event_type"),
+            "g",
+            "event_type",
+            cms_factory(epsilon=0.0005, delta=0.001),
+        ),
+        "stream_cms",
+    )
+    final = out.loc[out["rows_total"].idxmax()]
+    sk = serde.deserialize(bytes(final["blob"]))
+    bound = sk.error_bound()
+    exact = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("exact_cnt"))
+        .toPandas()
+        .sort_values("event_type")
+    )
+    ests = sk.query(list(exact.event_type))
+    rows = [
+        (
+            str(t),
+            int(c),
+            bool(c <= est <= c + bound + 1),
+        )
+        for t, c, est in zip(exact.event_type, exact.exact_cnt, ests)
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, exact_cnt long, cms_ok boolean"
+    ).orderBy("event_type")
+
+
+_STREAMING_CMS_SQL = """
+SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cms_ok
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type running KLL over event value through the STREAMING
     stateful path — with this, every mergeable sketch family streams
@@ -2653,6 +2735,7 @@ QUERIES2 = {
     "text_repetition": q_text_repetition,
     "dup_span_stats": q_dup_span_stats,
     "dedup_span_removal": q_dedup_span_removal,
+    "skew_report": q_skew_report,
     "sessionize_events": q_sessionize_events,
     "asof_click_error": q_asof_click_error,
     "streaming_sessions": q_streaming_sessions,
@@ -2696,6 +2779,7 @@ QUERIES2 = {
     "pages_suite_checkpointed": q_pages_suite_checkpointed,
     "streaming_grouped_hll": q_streaming_grouped_hll,
     "streaming_topk_users": q_streaming_topk_users,
+    "streaming_cms_counts": q_streaming_cms_counts,
     "streaming_quantiles": q_streaming_quantiles,
     "streaming_dedup_first_seen": q_streaming_dedup_first_seen,
 }
@@ -2709,6 +2793,7 @@ ORACLES2 = {
     "text_repetition": _TEXT_REPETITION_SQL,
     "dup_span_stats": _DUP_SPANS_SQL,
     "dedup_span_removal": _SPAN_REMOVAL_SQL,
+    "skew_report": _SKEW_REPORT_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "asof_click_error": _ASOF_SQL,
     "streaming_sessions": _SESSIONIZE_SQL,
@@ -2749,6 +2834,7 @@ ORACLES2 = {
     "pages_suite_checkpointed": _pages_resume_oracle_sql(),
     "streaming_grouped_hll": _STREAMING_GROUPED_SQL,
     "streaming_topk_users": _STREAMING_TOPK_SQL,
+    "streaming_cms_counts": _STREAMING_CMS_SQL,
     "streaming_quantiles": _STREAMING_QUANTILES_SQL,
     "streaming_dedup_first_seen": _STREAMING_DEDUP_SQL,
 }

@@ -1651,3 +1651,39 @@ class TestChunking:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# skew diagnosis
+# ---------------------------------------------------------------------------
+
+
+def test_skew_report_semantics(spark):
+    """rows/share/suggested_salts follow the documented formula exactly;
+    NULL keys are excluded; ordering is (rows desc, key asc)."""
+    from bloomfilter_spark.plans.skew import skew_report
+
+    rows = (
+        [("hot",)] * 90 + [("warm",)] * 8 + [("cold",)] * 2 + [(None,)] * 5
+    )
+    df = spark.createDataFrame(rows, "k string")
+    rep = skew_report(df, "k", num_partitions=10, top=10).toPandas()
+    assert list(rep.k) == ["hot", "warm", "cold"]  # nulls gone
+    assert list(rep.rows) == [90, 8, 2]
+    # total=100, 10 partitions -> target 10 rows/task: hot needs ceil(90/10)=9
+    assert list(rep.suggested_salts) == [9, 1, 1]
+    assert abs(rep.share.iloc[0] - 0.9) < 1e-9
+
+
+def test_skew_report_empty_and_top(spark):
+    from bloomfilter_spark.plans.skew import skew_report
+
+    empty = spark.createDataFrame([], "k string")
+    rep = skew_report(empty, "k", num_partitions=8).toPandas()
+    assert len(rep) == 0
+    assert list(rep.columns) == ["k", "rows", "share", "suggested_salts"]
+
+    many = spark.createDataFrame([(f"k{i % 7}",) for i in range(70)], "k string")
+    rep2 = skew_report(many, "k", num_partitions=4, top=3).toPandas()
+    assert len(rep2) == 3  # top cap honored
+    assert (rep2.rows == 10).all()
