@@ -2216,6 +2216,7 @@ def _run_staged_stream(
     prefix: str,
     out_mode: str = "update",
     n_batches: int = 3,
+    route=None,
 ):
     """Shared harness for every streaming catalog query: stage `df` into
     `n_batches` parquet files (routed by pmod(xxhash64(split_col), n) —
@@ -2224,6 +2225,11 @@ def _run_staged_stream(
     run `build_stream(stream)` into a memory sink (availableNow), and
     return the sink contents as pandas.  The sink name is unique per
     invocation so a catalog re-run in one session never reads stale rows.
+
+    `route` (optional) overrides the hash routing with a custom
+    batch-index column expression (df -> Column in [0, n_batches)) — the
+    windowed-dedup entry routes by TIME so generations arrive in order,
+    the shape its eviction contract (and any real event stream) assumes.
     """
     import shutil
     import tempfile
@@ -2232,9 +2238,15 @@ def _run_staged_stream(
     work = tempfile.mkdtemp(prefix=f"bfs_{prefix}_")
     name = f"bfs_{prefix}_{uuid.uuid4().hex[:12]}"
     try:
+        route_col = (
+            F.pmod(F.xxhash64(split_col), F.lit(n_batches))
+            if route is None
+            else route(df)
+        )
+        staged = df.withColumn("__route", route_col)
         for i in range(n_batches):
-            df.filter(
-                F.pmod(F.xxhash64(split_col), F.lit(n_batches)) == i
+            staged.filter(F.col("__route") == i).drop(
+                "__route"
             ).coalesce(1).write.mode("append").parquet(f"{work}/src")
         schema = spark.read.parquet(f"{work}/src").schema
         stream = (
@@ -2381,6 +2393,62 @@ SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS rank,
        CAST(0 AS BIGINT) AS deduction_bound
 FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ORDER BY est_cnt DESC, user_id ASC LIMIT 10
+"""
+
+
+def q_streaming_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-unique dedup through the generational Bloom ring: emit each
+    user's FIRST event per day, at state bounded by (shards × kept
+    generations × filter bytes) — the trailing-retention analog of the
+    infinite-window first-seen entry.  Batches are routed by TIME (ntile
+    over event time) so generations arrive in order, which is what the
+    ring's eviction contract — and any real event stream — assumes.
+    Full value oracle: ROW_NUMBER() = 1 per (user, day); fpp 1e-6 makes a
+    false suppression deterministically absent at catalog scale."""
+    from pyspark.sql import Window as W
+
+    from bloomfilter_spark.streaming.stateful import streaming_first_seen_windowed
+
+    ev = _t(spark, sf_dir, "events")
+    n_per_window = max(
+        2048, 2 * int(ev.select(F.countDistinct("user_id")).first()[0])
+    )
+    out = _run_staged_stream(
+        spark,
+        ev,
+        "event_id",
+        lambda s: streaming_first_seen_windowed(
+            s,
+            "user_id",
+            "ts",
+            window_sec=86400,
+            n_expected_per_window=n_per_window,
+            order_cols=["ts", "event_id"],
+        ),
+        "windowed_dedup",
+        out_mode="append",
+        route=lambda df: F.ntile(3).over(
+            W.orderBy(F.col("ts").asc_nulls_first(), F.col("event_id"))
+        )
+        - 1,
+    )
+    kept = out[["event_id", "user_id"]].sort_values("event_id")
+    return spark.createDataFrame(
+        kept, "event_id long, user_id long"
+    ).orderBy("event_id")
+
+
+_STREAMING_WINDOWED_SQL = """
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, epoch_us(ts) // 86400000000
+           ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) t
+WHERE rn = 1
+UNION ALL
+SELECT event_id, user_id FROM events WHERE user_id IS NULL OR ts IS NULL
+ORDER BY event_id
 """
 
 
@@ -2782,6 +2850,7 @@ QUERIES2 = {
     "streaming_cms_counts": q_streaming_cms_counts,
     "streaming_quantiles": q_streaming_quantiles,
     "streaming_dedup_first_seen": q_streaming_dedup_first_seen,
+    "streaming_dedup_windowed": q_streaming_dedup_windowed,
 }
 
 ORACLES2 = {
@@ -2837,4 +2906,5 @@ ORACLES2 = {
     "streaming_cms_counts": _STREAMING_CMS_SQL,
     "streaming_quantiles": _STREAMING_QUANTILES_SQL,
     "streaming_dedup_first_seen": _STREAMING_DEDUP_SQL,
+    "streaming_dedup_windowed": _STREAMING_WINDOWED_SQL,
 }

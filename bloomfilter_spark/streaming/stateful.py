@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -338,4 +339,125 @@ def windowed_sketch_stream(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf="EventTimeTimeout",
+    )
+
+
+def streaming_first_seen_windowed(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_sec: int,
+    n_expected_per_window: int,
+    fpp: float = 1e-6,
+    n_shards: int = 8,
+    keep_generations: int = 2,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Windowed dedup-on-ingest: emit each key's FIRST occurrence PER
+    TUMBLING WINDOW (the daily/hourly-unique shape), at constant memory.
+
+    State = a ring of per-generation Bloom filters per hash shard, where
+    generation = floor(epoch(ts)/window_sec): an event probes only its own
+    generation's filter, novel (key, generation) firsts are emitted and
+    inserted, and generations more than `keep_generations` below the
+    newest one seen are EVICTED — so state is O(shards × kept generations
+    × filter bytes) forever, instead of one filter that only ever fills
+    (streaming_first_seen's infinite-window contract).  Eviction is the
+    watermark analog: an event arriving later than `keep_generations`
+    windows out of order re-emits rather than consults dropped state —
+    the same late-data trade a watermarked aggregation makes.
+
+    Within a micro-batch rows are processed in `order_cols` order (default
+    event time), so "first" is deterministic and SQL-replayable:
+    ROW_NUMBER() OVER (PARTITION BY key, generation ORDER BY order_cols)
+    = 1, which is what lets the catalog entry carry a full value oracle.
+    The default fpp 1e-6 makes a false suppression (a first wrongly
+    dropped) vanishingly rare — at 10^12-event scale a user raises fpp to
+    spend less memory and accepts ~fpp of windowed firsts suppressed,
+    the standard Bloom-dedup budget.  NULL keys and NULL timestamps carry
+    no (key, window) identity: always emitted, never inserted.
+    """
+    from bloomfilter_spark.operators.sessions import _epoch_us
+    from bloomfilter_spark.sketches.bloom import BloomFilter
+
+    _sized = BloomFilter.create(
+        max(1024, n_expected_per_window // n_shards), fpp
+    )
+    _m, _k, _s = _sized.m, _sized.k, _sized.seed
+    del _sized
+    if order_cols is None:
+        order_cols = [ts_col]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in stream_df.schema
+    )
+    state_schema = "gens array<long>, blobs array<binary>"
+    key_str = F.col(key_col).cast("string")
+    # tz-independent: generation = epoch_us DIV window_us, exact integer
+    # arithmetic, so window boundaries are identical in any engine that
+    # replays the rule on epoch microseconds
+    with_us = stream_df.withColumn("__us", _epoch_us(stream_df, ts_col))
+    gen = F.expr(f"__us DIV {int(window_sec) * 1_000_000}")
+    no_identity = key_str.isNull() | gen.isNull()
+    sharded = (
+        with_us.withColumn("__key_str", key_str)
+        .withColumn("__gen", gen)
+        .withColumn(
+            "__shard",
+            F.when(no_identity, F.lit(-1)).otherwise(
+                F.pmod(F.xxhash64(key_str), F.lit(n_shards))
+            ),
+        )
+        .drop("__us")
+    )
+    helper = ["__key_str", "__gen", "__shard"]
+
+    def update(key, pdfs, state):
+        ring = {}
+        if state.exists:
+            gens, blobs = state.get
+            ring = {
+                int(g): serde.deserialize(bytes(b))
+                for g, b in zip(gens, blobs)
+            }
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if key[0] == -1:  # no (key, window) identity: always emit
+                yield pdf.drop(columns=helper)
+                continue
+            pdf = pdf.sort_values(order_cols, kind="stable")
+            first = ~pdf.duplicated(["__key_str", "__gen"]).to_numpy()
+            emit = np.zeros(len(pdf), dtype=bool)
+            for g, idx in pdf.groupby("__gen").indices.items():
+                g = int(g)
+                cand = idx[first[idx]]
+                if len(cand) == 0:
+                    continue
+                keys = pdf["__key_str"].iloc[cand]
+                sk = ring.get(g)
+                if sk is None:
+                    sk = ring[g] = BloomFilter(_m, _k, _s)
+                    novel = np.ones(len(cand), dtype=bool)
+                else:
+                    novel = ~sk.contains(keys)
+                if novel.any():
+                    sk.update(keys[novel])
+                    emit[cand[novel]] = True
+            if emit.any():
+                yield pdf[emit].drop(columns=helper)
+            if ring:
+                newest = max(ring)
+                for g in [g for g in ring if g < newest - keep_generations]:
+                    del ring[g]
+        items = sorted(ring.items())
+        state.update(
+            ([g for g, _ in items], [sk.to_bytes() for _, sk in items])
+        )
+
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )

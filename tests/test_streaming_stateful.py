@@ -282,3 +282,98 @@ def test_streaming_kll_bound_and_exact_counts(spark, staged_events, tmp_path):
         med = float(exact.loc[r["event_type"], "med"])
         assert abs(sk.rank(med) - 0.5) <= sk.rank_error() + 0.015, r["event_type"]
         assert int(r["rows_total"]) == int(exact.loc[r["event_type"], "n"])
+
+
+def _stage_time_ordered(spark, df, src, n=3):
+    from pyspark.sql import Window as W
+
+    routed = df.withColumn(
+        "__r",
+        F.ntile(n).over(W.orderBy(F.col("ts").asc_nulls_first(), "event_id"))
+        - 1,
+    )
+    for i in range(n):
+        routed.filter(F.col("__r") == i).drop("__r").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+
+def test_windowed_first_seen_equals_sql_replay(spark, tmp_path):
+    """Emitted set == ROW_NUMBER()=1 per (key, generation window), with
+    NULL-key/NULL-ts rows always passed through."""
+    from bloomfilter_spark.streaming.stateful import streaming_first_seen_windowed
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    _stage_time_ordered(spark, ev, src)
+    out = _run(
+        spark,
+        src,
+        lambda s: streaming_first_seen_windowed(
+            s, "user_id", "ts", 86400, 4096, order_cols=["ts", "event_id"]
+        ),
+        "win_dedup",
+        str(tmp_path / "ck"),
+        "append",
+    )
+    from pyspark.sql import Window as W
+
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    keyed = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    # batch replay: first row per (user, day) by (ts, event_id)
+    g = (us / F.lit(86_400_000_000)).cast("long")
+    w = W.partitionBy("user_id", g).orderBy("ts", "event_id")
+    firsts = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id")
+        .toPandas()
+    )
+    passthrough = ev.filter(
+        F.col("user_id").isNull() | F.col("ts").isNull()
+    ).select("event_id").toPandas()
+    want_ids = set(firsts.event_id) | set(passthrough.event_id)
+    assert set(out.event_id) == want_ids
+    assert len(out) == len(want_ids)  # no duplicate emissions
+
+
+def test_windowed_first_seen_evicts_and_reemits_stragglers(spark, tmp_path):
+    """State is a bounded generation ring: a straggler older than
+    keep_generations windows arrives after its filter was evicted and is
+    re-emitted — the watermark late-data contract, and the proof eviction
+    actually fires (an infinite-window filter would suppress it)."""
+    import datetime as dt
+
+    from bloomfilter_spark.streaming.stateful import streaming_first_seen_windowed
+
+    def t(day, sec=0):
+        return dt.datetime(2024, 1, day) + dt.timedelta(seconds=sec)
+
+    rows = [(1, t(1), 7)]  # batch 1: day 1, user 7 -> emit, gen recorded
+    rows2 = [(2, t(10), 7), (3, t(11), 7)]  # batch 2: far future gens
+    rows3 = [(4, t(1, 60), 7)]  # batch 3: straggler back on day 1
+    src = str(tmp_path / "src")
+    schema = "event_id long, ts timestamp_ntz, user_id long"
+    for chunk in (rows, rows2, rows3):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = _run(
+        spark,
+        src,
+        lambda s: streaming_first_seen_windowed(
+            s, "user_id", "ts", 86400, 4096,
+            keep_generations=2, order_cols=["ts", "event_id"],
+        ),
+        "win_evict",
+        str(tmp_path / "ck"),
+        "append",
+    )
+    # event 4 duplicates (user 7, day 1) which WAS emitted as event 1 —
+    # but day 1's filter is > keep_generations behind day 11, so it was
+    # evicted and the straggler re-emits.  Events 1, 2, 3 are firsts.
+    assert sorted(out.event_id) == [1, 2, 3, 4]
