@@ -359,14 +359,18 @@ def test_srp_signatures_deterministic_and_packed(spark, emb):
 
 def test_neardup_srp_matches_exact(spark, emb):
     """The SRP-LSH path must reproduce the brute-force exact pair set
-    value-for-value at the catalog threshold (escape probability per true
-    pair ~1e-5 at the 64x4-bit default; deterministic given the seed, so
-    this is a hard equality, not a recall bound)."""
+    value-for-value (deterministic given the seed, so this is a hard
+    equality, not a recall bound).  A LOW threshold needs the permissive
+    geometry — many short bands (64×4 bits: escape ~1e-5 per true pair at
+    0.35) — the selective 32×16 default is for the high-similarity
+    operating point and would miss low-sim pairs by design."""
     from bloomfilter_spark.operators.ann import neardup_pairs, neardup_srp_verified
 
     key = lambda p: sorted(map(tuple, p[["id_a", "id_b", "sim"]].values))
     exact = neardup_pairs(emb, threshold=0.35).toPandas()
-    srp = neardup_srp_verified(emb, threshold=0.35).toPandas()
+    srp = neardup_srp_verified(
+        emb, threshold=0.35, n_bits=256, bands=64
+    ).toPandas()
     assert key(srp) == key(exact)
     assert len(exact) > 0
 
