@@ -60,22 +60,23 @@ def main() -> None:
     spark = get_spark(app_name="r4_ops_scale_bench")
 
     # --- SRP-LSH near-dup: planted pairs at high threshold -----------------
-    from bloomfilter_spark.operators.ann import neardup_srp_verified
+    if n_vec > 0:  # pass 0 to skip (already measured)
+        from bloomfilter_spark.operators.ann import neardup_srp_verified
 
-    emb = synth_embeddings(spark, n_vec).localCheckpoint(eager=True)
-    total = emb.count()
-    planted = n_vec // 10
+        emb = synth_embeddings(spark, n_vec).localCheckpoint(eager=True)
+        total = emb.count()
+        planted = n_vec // 10
 
-    def run_srp():
-        pairs = neardup_srp_verified(emb, threshold=0.9).count()
-        return {
-            "rows": total,
-            "pairs": pairs,
-            "planted": planted,
-            "recall_vs_planted": round(pairs / planted, 4),
-        }
+        def run_srp():
+            pairs = neardup_srp_verified(emb, threshold=0.9).count()
+            return {
+                "rows": total,
+                "pairs": pairs,
+                "planted": planted,
+                "recall_vs_planted": round(pairs / planted, 4),
+            }
 
-    timed("srp_neardup_0.9", run_srp)
+        timed("srp_neardup_0.9", run_srp)
 
     # --- windowed streaming dedup over 2M synthetic events -----------------
     import shutil
@@ -87,13 +88,16 @@ def main() -> None:
     ev = spark.range(n_ev).select(
         F.col("id").alias("event_id"),
         # 60 days of event time, in id order so staged files are time-ordered
-        F.to_timestamp(
-            F.lit("2024-01-01").cast("timestamp")
-            + F.make_dt_interval(0, 0, 0, F.col("id") * (60 * 86400 / n_ev))
-        ).alias("ts"),
-        # Zipf-ish: user = floor(sqrt(uniform)) — heavy low ids
         F.expr(
-            f"cast(pow(pmod(xxhash64(id), {n_users * n_users}) / {n_users * n_users}, 0.5)"
+            "timestampadd(SECOND, "
+            f"cast(id * {60 * 86400 / n_ev} as long), "
+            "timestamp'2024-01-01 00:00:00')"
+        ).alias("ts"),
+        # heavy-head skew: user = floor(u^16 * n) puts ~half the stream on
+        # user 0 (P[u^16 < 1/n] = n^(-1/16) ≈ 0.51 at n = 50k) — the hot
+        # host shape skew_report exists to measure
+        F.expr(
+            f"cast(pow(pmod(xxhash64(id), 1000000) / 1000000.0, 16)"
             f" * {n_users} as long)"
         ).alias("user_id"),
     )
