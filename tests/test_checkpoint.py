@@ -16,6 +16,34 @@ from bloomfilter_spark.operators.checkpoint import (
 from bloomfilter_spark.sources.pages import pages_df
 
 
+def _settled_partials(ckpt: str) -> set[int]:
+    """Completed-partition ids once the directory stops changing.
+
+    After a killed job's exception reaches the driver, straggler tasks for
+    HEALTHY partitions can still be finishing their atomic partial writes
+    — a snapshot taken too early then under-counts what the resume will
+    legitimately find and report as resumed.  Poll until two consecutive
+    listings agree (the writes are tmp+rename, so a listed file is always
+    complete)."""
+    import time
+
+    def ls() -> set[int]:
+        return {
+            int(f[len("partial-"):-len(".bin")])
+            for f in os.listdir(ckpt)
+            if f.startswith("partial-") and f.endswith(".bin")
+        }
+
+    prev = ls()
+    for _ in range(20):  # ≤ 10 s; task abort is normally instant
+        time.sleep(0.5)
+        cur = ls()
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 @pytest.fixture()
 def pages(spark):
     return pages_df(spark, 1500, num_partitions=8)
@@ -36,7 +64,8 @@ def test_kill_and_resume_bit_identical(spark, pages, tmp_path):
             build_sketch_checkpointed(
                 pages, "url", factory, ckpt, fail_on=lambda pid: pid >= 4
             )
-        done1 = set(checkpoint_progress(ckpt)["completed_partitions"])
+        _settled_partials(ckpt)  # wait out straggler writers (same race
+        done1 = set(checkpoint_progress(ckpt)["completed_partitions"])  # as the multi test)
         if done1:
             break
     assert done1 and done1 <= {0, 1, 2, 3}
@@ -97,11 +126,7 @@ def test_build_multi_kill_and_resume_bit_identical(spark, pages, tmp_path):
             build_multi_checkpointed(
                 feats, specs, ckpt, fail_on=lambda pid: pid >= 4
             )
-        done1 = {
-            int(f[len("partial-"):-len(".bin")])
-            for f in os.listdir(ckpt)
-            if f.startswith("partial-") and f.endswith(".bin")
-        }
+        done1 = _settled_partials(ckpt)
         if done1:
             break
     assert done1 and done1 <= {0, 1, 2, 3}
