@@ -473,10 +473,13 @@ def neardup_srp_verified(
     higher-order-function lambdas evaluate interpreted per ELEMENT, and
     the verify set is pairs × dim elements).  A true pair at cosine s
     escapes candidacy with probability (1 − p^r)^b, p = 1 − arccos(s)/π:
-    ~1e-9 at the 0.9 operating point with the default 32×16-bit bands,
-    which is what lets this path carry a full SQL value oracle while
-    staying sub-quadratic — the block-pair `neardup_pairs` plan scores
-    O(N²/B) GEMM cells, this one scores only colliding pairs.
+    ~1e-9 at the ~0.99 cosine of real near-duplicates with the default
+    32×16-bit bands (a pair sitting exactly AT a 0.9 threshold escapes
+    with ~6% — when boundary pairs must be exact too, size with
+    `srp_geometry`), which is what lets this path carry a full SQL value
+    oracle while staying sub-quadratic — the block-pair `neardup_pairs`
+    plan scores O(N²/B) GEMM cells, this one scores only colliding
+    pairs.
 
     GEOMETRY MATTERS: random collisions run ~n²/2^r per band, so r (bits
     per band = n_bits/bands) sets the candidate rate and b = bands sets
@@ -521,4 +524,49 @@ def neardup_srp_verified(
         .withColumn("sim_raw", _cosine("v_a", "v_b"))
         .filter(F.col("sim_raw") >= threshold)  # unrounded, like the oracle
         .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
+    )
+
+
+def srp_geometry(
+    threshold: float,
+    target_recall: float = 1 - 1e-6,
+    max_bits: int = 4096,
+) -> tuple[int, int]:
+    """(n_bits, bands) sized so a true pair AT `threshold` cosine escapes
+    candidacy with probability ≤ 1 − target_recall.
+
+    P[sign bits agree] = p = 1 − arccos(threshold)/π (Charikar); a band of
+    r bits collides with p^r and b bands miss with (1 − p^r)^b.  Bigger r
+    = fewer random candidates (n²/2^r per band), so this picks the LARGEST
+    r whose required band count still fits `max_bits` — the selectivity-
+    maximal geometry at the recall budget.  Raise max_bits at corpus
+    scale: signature width is bands × 8 bytes per row, traded against the
+    verify join's candidate volume.
+
+    Note the distinction the defaults exploit: `neardup_srp_verified`'s
+    32×16 default gives escape ~1e-9 for ~0.99-cosine near-dups but ~6%
+    for a pair sitting exactly at a 0.9 threshold — when boundary pairs
+    must also be exact, size with this helper."""
+    import math
+
+    if not (-1.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (-1, 1), got {threshold}")
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall}"
+        )
+    p = 1.0 - math.acos(threshold) / math.pi
+    if p <= 0.0:
+        raise ValueError(f"threshold {threshold} gives zero agreement prob")
+    log_miss = math.log(1.0 - target_recall)
+    for r in range(62, 0, -1):
+        pr = p**r
+        if pr <= 0.0 or pr >= 1.0:
+            continue
+        b = math.ceil(log_miss / math.log(1.0 - pr))
+        if b * r <= max_bits:
+            return (b * r, b)
+    raise ValueError(
+        f"no geometry under {max_bits} bits reaches recall {target_recall} "
+        f"at threshold {threshold} — raise max_bits"
     )

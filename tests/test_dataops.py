@@ -1691,3 +1691,32 @@ def test_skew_report_empty_and_top(spark):
     rep2 = skew_report(many, "k", num_partitions=4, top=3).toPandas()
     assert len(rep2) == 3  # top cap honored
     assert (rep2.rows == 10).all()
+
+
+def test_srp_geometry_formula():
+    """Geometry solver: honors the recall budget at the threshold, prefers
+    the largest (most selective) r that fits the bit budget, and
+    validates its inputs."""
+    import math
+
+    import pytest
+
+    from bloomfilter_spark.operators.ann import srp_geometry
+
+    for thr, rec in ((0.9, 1 - 1e-9), (0.99, 1 - 1e-9), (0.7, 1 - 1e-4)):
+        n_bits, bands = srp_geometry(thr, rec, max_bits=4096)
+        r = n_bits // bands
+        assert n_bits == bands * r and n_bits <= 4096
+        p = 1 - math.acos(thr) / math.pi
+        assert (1 - p**r) ** bands <= 1 - rec  # recall budget met
+        # one more bit per band would blow the budget or the bit cap
+        pr1 = p ** (r + 1)
+        b1 = math.ceil(math.log(1 - rec) / math.log(1 - pr1))
+        assert b1 * (r + 1) > 4096
+
+    with pytest.raises(ValueError, match="threshold"):
+        srp_geometry(1.5)
+    with pytest.raises(ValueError, match="target_recall"):
+        srp_geometry(0.9, 2.0)
+    with pytest.raises(ValueError, match="raise max_bits"):
+        srp_geometry(0.5, 1 - 1e-12, max_bits=4)
