@@ -419,12 +419,14 @@ def srp_signatures(
     from bloomfilter_spark.plans.skew import ensure_parallelism
 
     if n_bits % bands != 0:
-        raise ValueError(f"n_bits ({n_bits}) must divide into bands ({bands})")
+        raise ValueError(
+            f"bands ({bands}) must divide n_bits ({n_bits}) evenly"
+        )
     r = n_bits // bands
     if r > 62:
         raise ValueError(f"rows per band {r} overflows a signed 64-bit pack")
     s = DEFAULT_SEED if seed is None else seed
-    weights = (np.int64(1) << np.arange(r, dtype=np.int64)).astype(np.float64)
+    weights = np.int64(1) << np.arange(r, dtype=np.int64)
 
     def sig_iter(batches):
         proj = None
@@ -435,11 +437,19 @@ def srp_signatures(
             if proj is None or proj.shape[0] != x.shape[1]:
                 proj = _srp_projection(x.shape[1], n_bits, s)
             signs = (x @ proj) >= 0.0  # (n, n_bits)
-            vals = signs.reshape(len(x), bands, r).astype(np.float64) @ weights
+            # integer bit-pack (einsum over int64): exact for any r ≤ 62.
+            # A float64 dot product would round partial sums past r = 53
+            # bits, making the packed value depend on accumulation order —
+            # signatures must be bit-identical across batch shapes.
+            vals = np.einsum(
+                "nbr,r->nb",
+                signs.reshape(len(x), bands, r).astype(np.int64),
+                weights,
+            )
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "sig": list(vals.astype(np.int64)),
+                    "sig": list(vals),
                 }
             )
 

@@ -85,7 +85,7 @@ def skew_report(
             key_col,
             "rows",
             F.lit(0.0).alias("share"),
-            F.lit(1).alias("suggested_salts"),
+            F.lit(1).cast("long").alias("suggested_salts"),  # schema-stable
         ).limit(0)
     suggested = F.greatest(
         F.lit(1),

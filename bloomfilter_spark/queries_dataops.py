@@ -1371,8 +1371,10 @@ def q_ann_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     ).select("vec_id", dvec.alias("embedding"))
+    # 2^40 offset: base ids would have to reach ~10^12 before a planted id
+    # could collide with a real one (1e6 collided at modest scale factors)
     pert = base.select(
-        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        (F.col("vec_id") + F.lit(1 << 40)).alias("vec_id"),
         F.transform(
             "embedding", lambda x: x + 0.02 * F.sin(1000.0 * x)
         ).alias("embedding"),
@@ -1397,7 +1399,8 @@ WITH base AS (
 ), u AS (
   SELECT vec_id, e FROM base
   UNION ALL
-  SELECT vec_id + 1000000, list_transform(e, x -> x + 0.02 * sin(1000 * x))
+  SELECT vec_id + 1099511627776,  -- 2^40, matching the Spark side
+         list_transform(e, x -> x + 0.02 * sin(1000 * x))
   FROM base
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2244,6 +2247,10 @@ def _run_staged_stream(
             else route(df)
         )
         staged = df.withColumn("__route", route_col)
+        if route is not None:
+            # a custom route may be a global-sort expression (ntile over
+            # event time); materialize once instead of re-sorting per write
+            staged = staged.localCheckpoint(eager=False)
         for i in range(n_batches):
             staged.filter(F.col("__route") == i).drop(
                 "__route"
@@ -2442,7 +2449,8 @@ _STREAMING_WINDOWED_SQL = """
 SELECT event_id, user_id FROM (
   SELECT event_id, user_id,
          ROW_NUMBER() OVER (
-           PARTITION BY user_id, epoch_us(ts) // 86400000000
+           PARTITION BY user_id,
+                        CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT)
            ORDER BY ts, event_id) AS rn
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) t
 WHERE rn = 1

@@ -392,11 +392,13 @@ def streaming_first_seen_windowed(
     )
     state_schema = "gens array<long>, blobs array<binary>"
     key_str = F.col(key_col).cast("string")
-    # tz-independent: generation = epoch_us DIV window_us, exact integer
-    # arithmetic, so window boundaries are identical in any engine that
-    # replays the rule on epoch microseconds
+    # tz-independent: generation = floor(epoch_us / window_us).  FLOOR,
+    # not truncating integer DIV — truncation would merge the two windows
+    # straddling the 1970 epoch.  Double division is exact at every
+    # window boundary for |epoch_us| < 2^53 (±285 years), the identical
+    # IEEE computation in any engine replaying the rule.
     with_us = stream_df.withColumn("__us", _epoch_us(stream_df, ts_col))
-    gen = F.expr(f"__us DIV {int(window_sec) * 1_000_000}")
+    gen = F.floor(F.col("__us") / F.lit(float(int(window_sec) * 1_000_000)))
     no_identity = key_str.isNull() | gen.isNull()
     sharded = (
         with_us.withColumn("__key_str", key_str)
@@ -419,12 +421,23 @@ def streaming_first_seen_windowed(
                 int(g): serde.deserialize(bytes(b))
                 for g, b in zip(gens, blobs)
             }
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            if key[0] == -1:  # no (key, window) identity: always emit
-                yield pdf.drop(columns=helper)
-                continue
+        if key[0] == -1:  # no (key, window) identity: always emit
+            for pdf in pdfs:
+                if len(pdf):
+                    yield pdf.drop(columns=helper)
+            state.update(([], []))
+            return
+        # Arrow hands a group's micro-batch as an ITERATOR of ~10k-row
+        # chunks in no particular time order; sorting/deduping/evicting
+        # per chunk would break the first-by-order_cols contract (and let
+        # eviction fire mid-batch on a generation a later chunk still
+        # carries).  Concatenate first: the unit of work is the GROUP's
+        # batch, whose size the trigger (not the chunking) bounds.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
             pdf = pdf.sort_values(order_cols, kind="stable")
             first = ~pdf.duplicated(["__key_str", "__gen"]).to_numpy()
             emit = np.zeros(len(pdf), dtype=bool)

@@ -291,7 +291,7 @@ def _stage_time_ordered(spark, df, src, n=3):
         "__r",
         F.ntile(n).over(W.orderBy(F.col("ts").asc_nulls_first(), "event_id"))
         - 1,
-    )
+    ).localCheckpoint(eager=False)  # one global sort, not one per write
     for i in range(n):
         routed.filter(F.col("__r") == i).drop("__r").coalesce(1).write.mode(
             "append"
@@ -377,3 +377,57 @@ def test_windowed_first_seen_evicts_and_reemits_stragglers(spark, tmp_path):
     # but day 1's filter is > keep_generations behind day 11, so it was
     # evicted and the straggler re-emits.  Events 1, 2, 3 are firsts.
     assert sorted(out.event_id) == [1, 2, 3, 4]
+
+
+def test_windowed_first_seen_multi_chunk_groups(spark, tmp_path):
+    """Arrow hands big groups to the state function as MULTIPLE chunks;
+    first-per-window must hold across chunk boundaries (sort/dedup/evict
+    run per group-batch, not per chunk).  Forced here with a tiny Arrow
+    batch size so every shard's micro-batch arrives as many chunks."""
+    from bloomfilter_spark.streaming.stateful import streaming_first_seen_windowed
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        src = str(tmp_path / "src")
+        _stage_time_ordered(spark, ev, src)
+        out = _run(
+            spark,
+            src,
+            lambda s: streaming_first_seen_windowed(
+                s, "user_id", "ts", 86400, 4096,
+                n_shards=2,  # few shards -> large per-group batches
+                order_cols=["ts", "event_id"],
+            ),
+            "win_chunks",
+            str(tmp_path / "ck"),
+            "append",
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    from pyspark.sql import Window as W
+
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    keyed = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    g = F.floor(us / F.lit(86_400_000_000.0))
+    w = W.partitionBy("user_id", g).orderBy("ts", "event_id")
+    firsts = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id")
+        .toPandas()
+    )
+    passthrough = ev.filter(
+        F.col("user_id").isNull() | F.col("ts").isNull()
+    ).select("event_id").toPandas()
+    want_ids = set(firsts.event_id) | set(passthrough.event_id)
+    assert set(out.event_id) == want_ids and len(out) == len(want_ids)
