@@ -1737,7 +1737,11 @@ _WINDOW = [
     "asof_click_error",
     "streaming_sessions",
     "streaming_grouped_hll",
-    "streaming_dedup_first_seen",
+    # windowed (generational-ring) dedup carries a 4006-row full-value
+    # oracle — a stronger graded signal than the first-seen entry's
+    # contract booleans; first_seen stays fully oracle-checked in the
+    # extended set
+    "streaming_dedup_windowed",
     # snapshot CDC + multimodal
     "snapshot_diff",
     "multimodal_features",
