@@ -546,6 +546,69 @@ def rollup_regroup(
     )
 
 
+def rollup_sliding(
+    grouped_blobs: DataFrame,
+    unit_col: str,
+    window: int,
+    factory: Callable[[], object],
+) -> DataFrame:
+    """TRAILING-window merge of per-unit sketch blobs: for each unit u,
+    merge the blobs of units (u−window+1 .. u) — the WAU/MAU shape
+    (trailing 7-day distinct users, 30-day heavy hitters) that tumbling
+    `rollup_regroup` can't express because its windows overlap.
+
+    This is the payoff of mergeable sketches: the trailing answer for
+    EVERY unit comes from re-merging the tiny per-unit blobs (window × a
+    few KB each — sparse HLL blobs are bytes), never from re-scanning
+    the raw events.  Plan: each blob fans out to the `window` trailing
+    units it participates in (an explode over a literal offset range —
+    shuffle volume is window × the blob relation, independent of the
+    event count), then the same canonical-order merge as rollup_regroup.
+    Units with no blob of their own still get no row (a silent day
+    reports through its neighbors' windows, not as its own unit), which
+    mirrors the GROUP BY of the SQL replay.
+
+    `unit_col` must be an integer period index (day/hour number).
+    Returns (unit_col, n_units, blob): n_units = how many source units
+    actually fed the window — window heads cover fewer (warm-up); filter
+    on it if only complete windows are wanted.
+    """
+    from pyspark.sql import functions as F
+
+    src = grouped_blobs.select(
+        F.col(unit_col).cast("long").alias("__u"), "blob"
+    )
+    fanned = src.select(
+        F.explode(
+            F.sequence(F.col("__u"), F.col("__u") + F.lit(int(window) - 1))
+        ).alias("__target"),
+        F.col("__u").alias("__fine"),
+        "blob",
+    )
+    # a trailing window is only reported for units that exist themselves
+    units = src.select(F.col("__u").alias("__target")).distinct()
+    fanned = fanned.join(units, "__target")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__fine", "blob"], kind="stable")
+        merged = _nary_merge(
+            factory, [serde.deserialize(b) for b in pdf["blob"]]
+        )
+        return pd.DataFrame(
+            {
+                "__target": [pdf["__target"].iloc[0]],
+                "n_units": [pdf["__fine"].nunique()],
+                "blob": [merged.to_bytes()],
+            }
+        )
+
+    return (
+        fanned.groupBy("__target")
+        .applyInPandas(merge, schema="__target long, n_units long, blob binary")
+        .withColumnRenamed("__target", unit_col)
+    )
+
+
 def grouped_estimates(grouped_blobs: DataFrame, finalize: str = "estimate") -> DataFrame:
     """Map per-key blobs to per-key scalar estimates:
     finalize ∈ {estimate (HLL), popcount/estimated_fpp (Bloom), ...}."""

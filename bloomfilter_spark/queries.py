@@ -353,6 +353,72 @@ def _week_of(day_col):
     )
 
 
+def q_hll_users_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day — the WAU shape, and the
+    payoff of mergeable sketches: every day's answer is a re-merge of the
+    tiny per-day HLL blobs (`rollup_sliding`), never a re-scan of the
+    events.  Exact trailing distinct (Catalyst replay of the same window
+    rule) carries the oracle value; hll_ok pins the estimate bound."""
+    from bloomfilter_spark.operators.build import rollup_sliding
+    from bloomfilter_spark.operators.sessions import _epoch_us
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ev = ev.withColumn(
+        "day", F.floor(_epoch_us(ev, "ts") / F.lit(86_400_000_000.0))
+    )
+    blobs = build_grouped(ev, "day", "user_id", hll_factory(precision=14))
+    trailing = rollup_sliding(blobs, "day", 7, hll_factory(precision=14))
+
+    @F.pandas_udf(T.DoubleType())
+    def _est(blobs_s):
+        return blobs_s.map(lambda b: float(serde.deserialize(b).estimate()))
+
+    ests = trailing.select("day", _est("blob").alias("est"))
+    pairs = ev.select("day", "user_id").distinct()
+    fan = pairs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("t"),
+        "user_id",
+    )
+    units = pairs.select(F.col("day").alias("t")).distinct()
+    exact = (
+        fan.join(units, "t")
+        .groupBy("t")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .withColumnRenamed("t", "day")
+    )
+    bound = 4 * (1.04 / (2**14) ** 0.5)
+    return (
+        exact.join(ests, "day")
+        .select(
+            "day",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(bound)
+            ).alias("hll_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+_HLL_TRAILING_SQL = """
+WITH d AS (
+  SELECT DISTINCT CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                  user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), days AS (SELECT DISTINCT day FROM d)
+SELECT days.day AS day, COUNT(DISTINCT d.user_id) AS exact_users,
+       TRUE AS hll_ok
+FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_hll_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-TABLE re-aggregation (the lakehouse datasketches contract):
     daily HLL blobs are PERSISTED to parquet, and the weekly rollup merges
@@ -1594,6 +1660,7 @@ _QUERIES1 = {
     "bloom_grouped_membership": q_bloom_grouped_membership,
     "hll_distinct_doc_id": q_hll_distinct_doc_id,
     "hll_users_by_day": q_hll_users_by_day,
+    "hll_users_trailing_7d": q_hll_users_trailing_7d,
     "hll_rollup_weekly": q_hll_rollup_weekly,
     "hll_users_by_type_salted": q_hll_users_by_type_salted,
     "sql_sketch_api": q_sql_sketch_api,
@@ -1633,6 +1700,7 @@ _ORACLES1 = {
     "bloom_grouped_membership": _GROUPED_MEMBERSHIP_SQL,
     "hll_distinct_doc_id": _HLL_DOC_SQL,
     "hll_users_by_day": _HLL_DAY_SQL,
+    "hll_users_trailing_7d": _HLL_TRAILING_SQL,
     "hll_rollup_weekly": _HLL_ROLLUP_WEEKLY_SQL,
     "hll_users_by_type_salted": _HLL_SALTED_SQL,
     "sql_sketch_api": _HLL_ROLLUP_WEEKLY_SQL,

@@ -532,3 +532,43 @@ def test_rollup_regroup_matches_direct_grouped_build(spark):
         ).collect()
     }
     assert again == rolled
+
+
+def test_rollup_sliding_trailing_windows(spark):
+    """Trailing-window blob merge: each unit's merged sketch must be
+    register-identical to a direct build over the trailing rows; warm-up
+    heads report their smaller n_units; units absent from the data get
+    no row even when neighbors' windows span them."""
+    import pandas as pd
+
+    from bloomfilter_spark.operators.build import (
+        build_grouped,
+        hll_factory,
+        rollup_sliding,
+    )
+    from bloomfilter_spark.sketches import serde
+
+    rows = [
+        (d, f"u{d}-{i}")
+        for d in (1, 2, 3, 5, 6)  # day 4 missing
+        for i in range(20 * d)
+    ]
+    df = spark.createDataFrame(rows, "day long, user string")
+    fac = hll_factory(precision=12)
+    blobs = build_grouped(df, "day", "user", fac)
+    out = rollup_sliding(blobs, "day", 3, fac).toPandas().set_index("day")
+
+    assert set(out.index) == {1, 2, 3, 5, 6}  # no synthetic day-4 row
+    assert int(out.loc[1, "n_units"]) == 1  # warm-up head
+    assert int(out.loc[2, "n_units"]) == 2
+    assert int(out.loc[3, "n_units"]) == 3
+    assert int(out.loc[5, "n_units"]) == 2  # 4 missing: {3, 5}
+    assert int(out.loc[6, "n_units"]) == 2  # {5, 6}
+
+    pdf = pd.DataFrame(rows, columns=["day", "user"])
+    for d in (1, 2, 3, 5, 6):
+        want = fac()
+        trail = pdf[(pdf.day >= d - 2) & (pdf.day <= d)]
+        want.update(trail.user)
+        got = serde.deserialize(bytes(out.loc[d, "blob"]))
+        assert (got.registers == want.registers).all(), d
