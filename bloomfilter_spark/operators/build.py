@@ -575,6 +575,10 @@ def rollup_sliding(
     """
     from pyspark.sql import functions as F
 
+    if window < 1:
+        # F.sequence(u, u-1) would silently generate a DESCENDING range,
+        # attributing blobs to earlier units instead of erroring
+        raise ValueError(f"rollup_sliding: window must be >= 1, got {window}")
     src = grouped_blobs.select(
         F.col(unit_col).cast("long").alias("__u"), "blob"
     )

@@ -27,21 +27,27 @@ def _settled_partials(ckpt: str) -> set[int]:
     complete)."""
     import time
 
-    def ls() -> set[int]:
-        return {
+    def ls() -> tuple[set[int], frozenset]:
+        # stability must cover the lineage sidecars too: build_iter writes
+        # partial-N.bin THEN lineage-N.json, and checkpoint_progress counts
+        # the lineage files — settling on partials alone could snapshot
+        # between the two writes
+        names = frozenset(os.listdir(ckpt))
+        pids = {
             int(f[len("partial-"):-len(".bin")])
-            for f in os.listdir(ckpt)
+            for f in names
             if f.startswith("partial-") and f.endswith(".bin")
         }
+        return pids, names
 
     prev = ls()
     for _ in range(20):  # ≤ 10 s; task abort is normally instant
         time.sleep(0.5)
         cur = ls()
         if cur == prev:
-            return cur
+            return cur[0]
         prev = cur
-    return prev
+    return prev[0]
 
 
 @pytest.fixture()

@@ -324,8 +324,9 @@ def test_windowed_first_seen_equals_sql_replay(spark, tmp_path):
         F.col("ts"),
     )
     keyed = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
-    # batch replay: first row per (user, day) by (ts, event_id)
-    g = (us / F.lit(86_400_000_000)).cast("long")
+    # batch replay: first row per (user, day) by (ts, event_id) — FLOOR
+    # division, matching the operator (truncation diverges pre-1970)
+    g = F.floor(us / F.lit(86_400_000_000.0))
     w = W.partitionBy("user_id", g).orderBy("ts", "event_id")
     firsts = (
         keyed.withColumn("rn", F.row_number().over(w))
