@@ -280,6 +280,13 @@ def main() -> None:
         "which is why the byte-gather (1B instead of 8B per probe) and the",
         "in-place hash rewrite were the wins that moved these rows.",
         "",
+        "Ruled out by measurement (round 4): gathering each key's whole",
+        "64-byte block once as a (batch, 8)-word row and testing lanes with",
+        "in-cache take_along_axis — 6.7 M/s vs 11.3 M/s for the shipped",
+        "byte-gather path on the same run.  The row gather writes 8x the",
+        "intermediate bytes and take_along_axis allocates per lane; fewer",
+        "fancy-index CALLS does not beat fewer intermediate BYTES.",
+        "",
         "Single-batch-size caveat: the reference's ns/op numbers are a",
         "hot-loop per-key measurement; ours amortize one numpy dispatch per",
         f"{bs}-key batch, which is exactly how keys arrive from Arrow in the",
