@@ -51,6 +51,7 @@ from bloomfilter_spark.operators.checkpoint import build_sketch_checkpointed
 from bloomfilter_spark.operators.membership import bloom_anti_join
 from bloomfilter_spark.functions.tokenbudget import budget_by_group, token_budget
 from bloomfilter_spark.functions.sqlapi import register_sql_functions
+from bloomfilter_spark.operators.profile import profile_sketches, profile_table
 
 __all__ = [
     "BloomFilter",
@@ -79,4 +80,6 @@ __all__ = [
     "token_budget",
     "budget_by_group",
     "register_sql_functions",
+    "profile_table",
+    "profile_sketches",
 ]

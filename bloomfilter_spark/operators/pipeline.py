@@ -114,7 +114,8 @@ def build_multi(
     df: DataFrame,
     specs: dict[str, tuple[str, Callable[[], object]]],
     fanin: int | None = None,
-) -> dict[str, object]:
+    return_rows: bool = False,
+) -> dict[str, object] | tuple[dict[str, object], int]:
     """Build many sketches in ONE scan.
 
     specs: name -> (column, factory).  Returns name -> merged sketch.
@@ -149,7 +150,10 @@ def build_multi(
     partials = pruned.mapInArrow(build_iter, schema=schema)
     n_parts = pruned.rdd.getNumPartitions()
     par = df.sparkSession.sparkContext.defaultParallelism
-    return _merge_tree(partials, schema, names, factories, n_parts, fanin, par)
+    return _merge_tree(
+        partials, schema, names, factories, n_parts, fanin, par,
+        return_rows=return_rows,
+    )
 
 
 def build_multi_checkpointed(
@@ -358,7 +362,8 @@ def _merge_tree(
     n_parts: int,
     fanin: int | None,
     parallelism: int = 32,
-) -> dict[str, object]:
+    return_rows: bool = False,
+) -> dict[str, object] | tuple[dict[str, object], int]:
     """Bounded-fan-in reduction of partial blobs.
 
     fanin=None (adaptive): each reduce round uses the smallest fan-in that
@@ -400,7 +405,10 @@ def _merge_tree(
         remaining = math.ceil(remaining / step)
 
     final_pdf = level.toPandas()
-    return _nary_merge_pdf(final_pdf, names, factories)
+    merged = _nary_merge_pdf(final_pdf, names, factories)
+    if return_rows:
+        return merged, int(final_pdf["rows"].sum())
+    return merged
 
 
 # ---------------------------------------------------------------------------

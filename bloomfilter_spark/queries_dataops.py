@@ -2802,6 +2802,134 @@ FROM cleaned ORDER BY doc_id NULLS FIRST
 """
 
 
+# ---------------------------------------------------------------------------
+# One-scan table profiler (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile the documents table in ONE sketch scan: exact fields
+    (counts, nulls, min/max, mean, string length stats, lexicographic
+    min/max) are value-checked against DuckDB; sketch fields (HLL
+    distinct, KLL median, Misra-Gries top-1) surface as bound-check
+    booleans plus the exact quantities the oracle recomputes.  MG capacity
+    exceeds the table's distinct counts at oracle scale, so top-1
+    value/count are exact (underestimate-only ⇒ exact below capacity)."""
+    from bloomfilter_spark.operators.profile import profile_sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    per_col, n_rows, kinds = profile_sketches(docs, freq_capacity=4096)
+    cols = list(kinds)
+    num_cols = [c for c, k in kinds.items() if k in ("int", "float")]
+
+    # ONE exact replay pass: distinct counts for every column + exact
+    # medians for the numeric ones (gates the sketches' bound booleans)
+    aggs = [F.countDistinct(c).alias(f"d_{c}") for c in cols]
+    aggs += [F.expr(f"percentile({c}, 0.5)").alias(f"m_{c}") for c in num_cols]
+    ex = docs.agg(*aggs).first()
+
+    rows = []
+    for c in cols:
+        sks = per_col[c]
+        exact_distinct = int(ex[f"d_{c}"])
+        hll_ok = None
+        if "hll" in sks:
+            hll = sks["hll"]
+            hll_ok = bool(
+                abs(hll.estimate() - exact_distinct) / max(1, exact_distinct)
+                <= 4 * hll.relative_error
+            )
+        q50_ok = None
+        mean = min_num = max_num = None
+        min_str = max_str = avg_len = None
+        len_min = len_max = None
+        if "moments" in sks:
+            mo = sks["moments"]
+            mean, min_num, max_num = mo.mean(), mo.min(), mo.max()
+        if "kll" in sks and sks["kll"].n_added:
+            kll = sks["kll"]
+            exact_med = float(ex[f"m_{c}"])
+            q50_ok = bool(abs(kll.rank(exact_med) - 0.5) <= kll.rank_error() + 0.015)
+        if "strstats" in sks:
+            ss = sks["strstats"]
+            min_str, max_str = ss.min_value(), ss.max_value()
+            len_min = int(ss.len_min) if ss.n else None
+            len_max = int(ss.len_max) if ss.n else None
+            avg_len = ss.avg_len()
+            n_values = ss.n
+        else:
+            n_values = sks["moments"].n_added
+        top1_value = top1_count = None
+        if "freq" in sks and sks["freq"].total:
+            top = sks["freq"].topk(1)
+            if top:
+                top1_value, top1_count = str(top[0][0]), int(top[0][1])
+        rows.append(
+            (
+                c, n_rows, n_rows - n_values, exact_distinct,
+                min_num, max_num, mean,
+                min_str, max_str, len_min, len_max, avg_len,
+                top1_value, top1_count, hll_ok, q50_ok,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_rows long, n_nulls long, n_distinct long, "
+        "min_num double, max_num double, mean_val double, "
+        "min_str string, max_str string, len_min long, len_max long, "
+        "avg_len double, top1_value string, top1_count long, "
+        "hll_ok boolean, q50_ok boolean",
+    )
+
+
+def _profile_num_block(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_num,
+       CAST(MAX({c}) AS DOUBLE) AS max_num,
+       AVG({c}) AS mean_val,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       CAST(NULL AS BIGINT) AS len_min, CAST(NULL AS BIGINT) AS len_max,
+       CAST(NULL AS DOUBLE) AS avg_len,
+       (SELECT CAST({c} AS VARCHAR) FROM documents WHERE {c} IS NOT NULL
+        GROUP BY {c} ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top1_value,
+       (SELECT COUNT(*) FROM documents WHERE {c} IS NOT NULL
+        GROUP BY {c} ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top1_count,
+       TRUE AS hll_ok, TRUE AS q50_ok
+FROM documents"""
+
+
+def _profile_str_block(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       CAST(NULL AS DOUBLE) AS mean_val,
+       MIN({c}) AS min_str, MAX({c}) AS max_str,
+       MIN(LENGTH({c})) AS len_min, MAX(LENGTH({c})) AS len_max,
+       AVG(LENGTH({c})) AS avg_len,
+       (SELECT {c} FROM documents WHERE {c} IS NOT NULL
+        GROUP BY {c} ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top1_value,
+       (SELECT COUNT(*) FROM documents WHERE {c} IS NOT NULL
+        GROUP BY {c} ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top1_count,
+       TRUE AS hll_ok, CAST(NULL AS BOOLEAN) AS q50_ok
+FROM documents"""
+
+
+_TABLE_PROFILE_SQL = " UNION ALL ".join(
+    [
+        _profile_num_block("doc_id"),
+        _profile_str_block("text"),
+        _profile_str_block("lang"),
+        _profile_str_block("source"),
+        _profile_num_block("n_chars"),
+    ]
+)
+
+
 QUERIES2 = {
     "token_budget": q_token_budget,
     "corpus_overlap": q_corpus_overlap,
@@ -2859,6 +2987,7 @@ QUERIES2 = {
     "streaming_quantiles": q_streaming_quantiles,
     "streaming_dedup_first_seen": q_streaming_dedup_first_seen,
     "streaming_dedup_windowed": q_streaming_dedup_windowed,
+    "table_profile": q_table_profile,
 }
 
 ORACLES2 = {
@@ -2915,4 +3044,5 @@ ORACLES2 = {
     "streaming_quantiles": _STREAMING_QUANTILES_SQL,
     "streaming_dedup_first_seen": _STREAMING_DEDUP_SQL,
     "streaming_dedup_windowed": _STREAMING_WINDOWED_SQL,
+    "table_profile": _TABLE_PROFILE_SQL,
 }

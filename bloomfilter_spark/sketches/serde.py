@@ -31,6 +31,8 @@ KIND_THETA = 7
 KIND_CBF = 8
 KIND_DDS = 9
 KIND_BBLOOM = 10
+KIND_MOMENTS = 11
+KIND_STRSTATS = 12
 
 _HEADER = struct.Struct("<4sBBHQQI")  # magic, version, kind, flags, seed, n_added, param_len
 
@@ -83,7 +85,7 @@ def _register_all() -> None:
 
     for mod in (
         "bloom", "hll", "cms", "kll", "tdigest", "freqitems", "theta", "cbf",
-        "ddsketch", "blocked",
+        "ddsketch", "blocked", "moments",
     ):
         importlib.import_module(f"bloomfilter_spark.sketches.{mod}")
 
