@@ -52,6 +52,7 @@ from bloomfilter_spark.operators.membership import bloom_anti_join
 from bloomfilter_spark.functions.tokenbudget import budget_by_group, token_budget
 from bloomfilter_spark.functions.sqlapi import register_sql_functions
 from bloomfilter_spark.operators.profile import profile_sketches, profile_table
+from bloomfilter_spark.operators.drift import snapshot_drift
 
 __all__ = [
     "BloomFilter",
@@ -82,4 +83,5 @@ __all__ = [
     "register_sql_functions",
     "profile_table",
     "profile_sketches",
+    "snapshot_drift",
 ]

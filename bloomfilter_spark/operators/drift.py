@@ -1,0 +1,165 @@
+"""Sketch-based distribution drift between two corpus snapshots.
+
+The daily diligence question on a growing web corpus — "did this crawl's
+distribution move?" — needs per-column answers at 100 TB without ever
+joining or co-shuffling the two snapshots.  Each snapshot is scanned ONCE
+through the one-scan profile pipeline (operators/profile.py); all
+comparison happens between merged sketches on the driver, so the cost is
+two scans + O(columns) driver work, and the snapshots can live in
+different tables, clusters, or points in time.
+
+Per-column metrics:
+  numeric      KS distance (Kolmogorov-Smirnov, sup-norm of the CDF gap)
+               estimated from the two KLL sketches; bounded by the sum of
+               their published rank errors.  Plus exact mean/std shift
+               from the MomentsSketch (exact streaming moments).
+  categorical  total-variation distance (0.5·L1 between the two frequency
+               vectors) from the two Misra-Gries summaries — EXACT while
+               each side's distinct count fits its capacity, and bounded
+               by the sketches' deduction bounds beyond it.
+  any hashed   distinct-count movement and novelty from the two HLLs:
+               |union| − |A| estimates the distinct values B introduced
+               (HLL union is lossless, sketches/hll.py:138).
+
+KS-at-retained-points note: for empirical step CDFs the supremum is
+attained at sample points; evaluating at the union of both sketches'
+retained items reproduces the true KS up to the sketches' rank error,
+which the reported `ks_bound` (εa + εb) accounts for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, types as T
+
+from bloomfilter_spark.operators.profile import profile_sketches
+from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
+from bloomfilter_spark.sketches.kll import KLLSketch
+
+
+def kll_ks_distance(a: KLLSketch, b: KLLSketch) -> tuple[float, float]:
+    """-> (ks_estimate, error_bound).  NaN estimate if either side is
+    empty (no distribution to compare)."""
+    bound = a.rank_error() + b.rank_error()
+    va, _ = a._weighted_items()
+    vb, _ = b._weighted_items()
+    if va.size == 0 or vb.size == 0:
+        return float("nan"), bound
+    support = np.unique(np.concatenate([va, vb]))
+    gaps = np.abs(a.rank(support) - b.rank(support))
+    return float(np.max(gaps)), bound
+
+
+def freq_tv_distance(
+    a: FrequentItemsSketch, b: FrequentItemsSketch
+) -> tuple[float, float]:
+    """-> (tv_estimate, error_bound) over the union of retained keys.
+    Exact (bound 0) when neither sketch has ever pruned; otherwise each
+    side's per-key deduction plus its untracked mass caps the error."""
+    if a.total == 0 or b.total == 0:
+        return float("nan"), 0.0
+    keys = set(a._counts) | set(b._counts)
+    tv = 0.5 * sum(
+        abs(a._counts.get(k, 0) / a.total - b._counts.get(k, 0) / b.total)
+        for k in keys
+    )
+    # deduction ≤ error_bound() per retained key; untracked keys carry at
+    # most the deducted mass (total − Σstored) on each side
+    slack_a = (a.total - sum(a._counts.values())) / a.total
+    slack_b = (b.total - sum(b._counts.values())) / b.total
+    return float(tv), float(slack_a + slack_b)
+
+
+_DRIFT_SCHEMA = T.StructType(
+    [
+        T.StructField("column", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_a", T.LongType(), False),
+        T.StructField("n_b", T.LongType(), False),
+        T.StructField("mean_a", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("mean_shift", T.DoubleType(), True),
+        T.StructField("std_a", T.DoubleType(), True),
+        T.StructField("std_b", T.DoubleType(), True),
+        T.StructField("ks_est", T.DoubleType(), True),
+        T.StructField("ks_bound", T.DoubleType(), True),
+        T.StructField("tv_est", T.DoubleType(), True),
+        T.StructField("tv_bound", T.DoubleType(), True),
+        T.StructField("distinct_a_est", T.DoubleType(), True),
+        T.StructField("distinct_b_est", T.DoubleType(), True),
+        T.StructField("novel_b_est", T.DoubleType(), True),
+    ]
+)
+
+
+def snapshot_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str] | None = None,
+    hll_precision: int = 14,
+    kll_k: int = 200,
+    freq_capacity: int = 4096,
+    fanin: int | None = None,
+) -> DataFrame:
+    """Per-column drift summary between two snapshots — one row per
+    column, driver-sized.  Columns default to the supported columns the
+    two schemas share (same name AND same classification)."""
+    per_a, _rows_a, kinds_a = profile_sketches(
+        df_a, columns, hll_precision=hll_precision, kll_k=kll_k,
+        freq_capacity=freq_capacity, fanin=fanin,
+    )
+    per_b, _rows_b, kinds_b = profile_sketches(
+        df_b, columns, hll_precision=hll_precision, kll_k=kll_k,
+        freq_capacity=freq_capacity, fanin=fanin,
+    )
+    shared = [c for c, k in kinds_a.items() if kinds_b.get(c) == k]
+    if not shared:
+        raise ValueError(
+            "drift: snapshots share no profiled column with matching type "
+            f"(a={kinds_a}, b={kinds_b})"
+        )
+
+    rows = []
+    for c in shared:
+        ka = kinds_a[c]
+        sa, sb = per_a[c], per_b[c]
+        rec: dict[str, object] = {
+            "column": c,
+            "kind": ka,
+            "mean_a": None, "mean_b": None, "mean_shift": None,
+            "std_a": None, "std_b": None,
+            "ks_est": None, "ks_bound": None,
+            "tv_est": None, "tv_bound": None,
+            "distinct_a_est": None, "distinct_b_est": None,
+            "novel_b_est": None,
+        }
+        if "moments" in sa:
+            ma, mb = sa["moments"], sb["moments"]
+            rec["n_a"], rec["n_b"] = ma.n_added, mb.n_added
+            rec["mean_a"], rec["mean_b"] = ma.mean(), mb.mean()
+            if ma.n and mb.n:
+                rec["mean_shift"] = mb.mean() - ma.mean()
+            rec["std_a"], rec["std_b"] = ma.std(), mb.std()
+        else:
+            rec["n_a"], rec["n_b"] = sa["strstats"].n, sb["strstats"].n
+        if "kll" in sa:
+            ks, bound = kll_ks_distance(sa["kll"], sb["kll"])
+            if not np.isnan(ks):
+                rec["ks_est"], rec["ks_bound"] = ks, bound
+        if "freq" in sa:
+            tv, bound = freq_tv_distance(sa["freq"], sb["freq"])
+            if not np.isnan(tv):
+                rec["tv_est"], rec["tv_bound"] = tv, bound
+        if "hll" in sa:
+            ha, hb = sa["hll"], sb["hll"]
+            rec["distinct_a_est"] = float(ha.estimate())
+            rec["distinct_b_est"] = float(hb.estimate())
+            rec["novel_b_est"] = max(
+                0.0, float(ha.union_estimate(hb) - ha.estimate())
+            )
+        rows.append(rec)
+
+    field_names = [f.name for f in _DRIFT_SCHEMA.fields]
+    data = [tuple(r[name] for name in field_names) for r in rows]
+    return df_a.sparkSession.createDataFrame(data, schema=_DRIFT_SCHEMA)

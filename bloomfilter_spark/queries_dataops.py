@@ -2930,6 +2930,171 @@ _TABLE_PROFILE_SQL = " UNION ALL ".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# Snapshot distribution drift (operators/drift.py)
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based drift between two deterministic snapshots carved from
+    documents (same membership mods as the CDC diff query, plus a planted
+    numeric shift and a lang remap so every metric has real signal).
+
+    The PRODUCT is `snapshot_drift` (two independent one-scan sketch
+    profiles, driver-side compare — snapshots never co-shuffle); the
+    exact KS / distinct-novelty replays below exist only to gate the
+    sketch estimates for the oracle, mirroring the KLL/HLL query pattern.
+    TV distances are emitted as values: Misra-Gries is exact below
+    capacity, so at oracle scale the sketch TV equals the SQL replay."""
+    from pyspark.sql import Window
+
+    from bloomfilter_spark.operators.drift import snapshot_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.pmod("doc_id", F.lit(5)) != 0)
+    b = (
+        docs.filter(F.pmod("doc_id", F.lit(3)) != 0)
+        .withColumn(
+            "n_chars",
+            F.when(
+                F.pmod("doc_id", F.lit(4)) == 0, F.col("n_chars") + 20
+            ).otherwise(F.col("n_chars")),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.pmod("doc_id", F.lit(6)) == 0, F.lit("de")).otherwise(
+                F.col("lang")
+            ),
+        )
+    )
+    drift = {
+        r["column"]: r
+        for r in snapshot_drift(
+            a, b, columns=["doc_id", "n_chars", "lang"]
+        ).collect()
+    }
+
+    def exact_ks(c: str) -> float:
+        # global-window ECDF replay — oracle gating only, test-scale data
+        u = a.select(F.col(c).alias("v"), F.lit(1).alias("ia"), F.lit(0).alias("ib")).unionAll(
+            b.select(F.col(c).alias("v"), F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+        ).filter(F.col("v").isNotNull())
+        na, nb = drift[c]["n_a"], drift[c]["n_b"]
+        w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+        cdf = u.select(
+            (F.sum("ia").over(w) / F.lit(float(na))).alias("ca"),
+            (F.sum("ib").over(w) / F.lit(float(nb))).alias("cb"),
+        )
+        return float(cdf.agg(F.max(F.abs(F.col("ca") - F.col("cb")))).first()[0])
+
+    def exact_novel(c: str) -> tuple[int, int, int]:
+        da = a.select(c).distinct()
+        db = b.select(c).distinct()
+        novel = db.subtract(da).count()
+        return novel, da.count(), da.unionAll(db).distinct().count()
+
+    rows = []
+    for c in ("doc_id", "n_chars", "lang"):
+        d = drift[c]
+        if d["kind"] == "int":
+            ks_ex = exact_ks(c)
+            ks_ok = bool(abs(d["ks_est"] - ks_ex) <= d["ks_bound"] + 0.005)
+            mean_a, mean_b = d["mean_a"], d["mean_b"]
+        else:
+            ks_ex, ks_ok, mean_a, mean_b = None, None, None, None
+        novel, dist_a, dist_union = exact_novel(c)
+        relerr = 4 * 1.04 / (2**14) ** 0.5
+        novel_ok = bool(
+            abs(d["novel_b_est"] - novel) <= relerr * (dist_a + dist_union) + 2
+        )
+        rows.append(
+            (
+                c, d["n_a"], d["n_b"], mean_a, mean_b,
+                ks_ex, ks_ok, d["tv_est"], novel, novel_ok,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_a long, n_b long, mean_a double, mean_b double, "
+        "ks_exact double, ks_ok boolean, tv_exact double, "
+        "novel_exact long, novel_ok boolean",
+    ).orderBy("col_name")
+
+
+_DRIFT_SNAPSHOTS_SQL = """
+a AS (
+  SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 5 <> 0
+), b AS (
+  SELECT doc_id,
+         n_chars + CASE WHEN doc_id % 4 = 0 THEN 20 ELSE 0 END AS n_chars,
+         CASE WHEN doc_id % 6 = 0 THEN 'de' ELSE lang END AS lang
+  FROM documents WHERE doc_id % 3 <> 0
+)"""
+
+
+def _drift_num_block(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name,
+       (SELECT COUNT({c}) FROM a) AS n_a,
+       (SELECT COUNT({c}) FROM b) AS n_b,
+       (SELECT AVG({c}) FROM a) AS mean_a,
+       (SELECT AVG({c}) FROM b) AS mean_b,
+       (SELECT MAX(ABS(
+           CAST(ca AS DOUBLE) / (SELECT COUNT({c}) FROM a)
+         - CAST(cb AS DOUBLE) / (SELECT COUNT({c}) FROM b)))
+        FROM (
+          SELECT SUM(ia) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ca,
+                 SUM(ib) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cb
+          FROM (SELECT {c} AS v, 1 AS ia, 0 AS ib FROM a WHERE {c} IS NOT NULL
+                UNION ALL
+                SELECT {c} AS v, 0 AS ia, 1 AS ib FROM b WHERE {c} IS NOT NULL)
+        )) AS ks_exact,
+       TRUE AS ks_ok,
+       (SELECT 0.5 * SUM(ABS(COALESCE(pa.p, 0) - COALESCE(pb.p, 0)))
+        FROM (SELECT {c} AS k, COUNT(*) / CAST((SELECT COUNT({c}) FROM a) AS DOUBLE) AS p
+              FROM a WHERE {c} IS NOT NULL GROUP BY {c}) pa
+        FULL OUTER JOIN
+             (SELECT {c} AS k, COUNT(*) / CAST((SELECT COUNT({c}) FROM b) AS DOUBLE) AS p
+              FROM b WHERE {c} IS NOT NULL GROUP BY {c}) pb
+        USING (k)) AS tv_exact,
+       (SELECT COUNT(*) FROM
+          (SELECT DISTINCT {c} FROM b EXCEPT SELECT DISTINCT {c} FROM a)) AS novel_exact,
+       TRUE AS novel_ok"""
+
+
+def _drift_str_block(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name,
+       (SELECT COUNT({c}) FROM a) AS n_a,
+       (SELECT COUNT({c}) FROM b) AS n_b,
+       CAST(NULL AS DOUBLE) AS mean_a, CAST(NULL AS DOUBLE) AS mean_b,
+       CAST(NULL AS DOUBLE) AS ks_exact, CAST(NULL AS BOOLEAN) AS ks_ok,
+       (SELECT 0.5 * SUM(ABS(COALESCE(pa.p, 0) - COALESCE(pb.p, 0)))
+        FROM (SELECT {c} AS k, COUNT(*) / CAST((SELECT COUNT({c}) FROM a) AS DOUBLE) AS p
+              FROM a WHERE {c} IS NOT NULL GROUP BY {c}) pa
+        FULL OUTER JOIN
+             (SELECT {c} AS k, COUNT(*) / CAST((SELECT COUNT({c}) FROM b) AS DOUBLE) AS p
+              FROM b WHERE {c} IS NOT NULL GROUP BY {c}) pb
+        USING (k)) AS tv_exact,
+       (SELECT COUNT(*) FROM
+          (SELECT DISTINCT {c} FROM b EXCEPT SELECT DISTINCT {c} FROM a)) AS novel_exact,
+       TRUE AS novel_ok"""
+
+
+_SNAPSHOT_DRIFT_SQL = (
+    "WITH "
+    + _DRIFT_SNAPSHOTS_SQL
+    + _drift_num_block("doc_id")
+    + " UNION ALL "
+    + _drift_num_block("n_chars")
+    + " UNION ALL "
+    + _drift_str_block("lang")
+    + " ORDER BY col_name"
+)
+
+
 QUERIES2 = {
     "token_budget": q_token_budget,
     "corpus_overlap": q_corpus_overlap,
@@ -2988,6 +3153,7 @@ QUERIES2 = {
     "streaming_dedup_first_seen": q_streaming_dedup_first_seen,
     "streaming_dedup_windowed": q_streaming_dedup_windowed,
     "table_profile": q_table_profile,
+    "snapshot_drift": q_snapshot_drift,
 }
 
 ORACLES2 = {
@@ -3045,4 +3211,5 @@ ORACLES2 = {
     "streaming_dedup_first_seen": _STREAMING_DEDUP_SQL,
     "streaming_dedup_windowed": _STREAMING_WINDOWED_SQL,
     "table_profile": _TABLE_PROFILE_SQL,
+    "snapshot_drift": _SNAPSHOT_DRIFT_SQL,
 }
