@@ -107,11 +107,11 @@ def snapshot_drift(
     two schemas share (same name AND same classification)."""
     per_a, _rows_a, kinds_a = profile_sketches(
         df_a, columns, hll_precision=hll_precision, kll_k=kll_k,
-        freq_capacity=freq_capacity, fanin=fanin,
+        freq_capacity=freq_capacity, sample_k=0, fanin=fanin,
     )
     per_b, _rows_b, kinds_b = profile_sketches(
         df_b, columns, hll_precision=hll_precision, kll_k=kll_k,
-        freq_capacity=freq_capacity, fanin=fanin,
+        freq_capacity=freq_capacity, sample_k=0, fanin=fanin,
     )
     shared = [c for c, k in kinds_a.items() if kinds_b.get(c) == k]
     if not shared:

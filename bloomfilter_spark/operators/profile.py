@@ -41,6 +41,7 @@ from bloomfilter_spark.operators.build import (
 )
 from bloomfilter_spark.operators.pipeline import build_multi
 from bloomfilter_spark.sketches.moments import MomentsSketch, StringStatsSketch
+from bloomfilter_spark.sketches.sample import SampleSketch
 
 _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _FLOAT_TYPES = (T.FloatType, T.DoubleType)
@@ -93,6 +94,7 @@ def profile_sketches(
     hll_precision: int = 14,
     kll_k: int = 200,
     freq_capacity: int = 256,
+    sample_k: int = 8,
     fanin: int | None = None,
 ) -> tuple[dict[str, dict[str, object]], int, dict[str, str]]:
     """Build the per-column profile sketches in one scan.
@@ -103,7 +105,10 @@ def profile_sketches(
                              continuous double as a distinct key is a bug
                              trap, see functions/hashing._integral_keys),
                       'kll': KLL (numeric-representable columns),
-                      'freq': Misra-Gries (int/string/bool columns)}
+                      'freq': Misra-Gries (int/string/bool columns),
+                      'sample': deterministic k-min-md5 example values
+                                (int/string/bool columns; sample_k=0
+                                disables)}
       n_rows  = exact total row count (from the same scan, not a second one)
       kinds   = column -> classification string
     """
@@ -137,6 +142,7 @@ def profile_sketches(
     # (xxhash64(NULL) is the seed hash, which would count as a value).
     proj_cols = [_projection(c, k) for c, k in kinds.items()]
     hash_col: dict[str, str] = {}
+    sample_col: dict[str, str] = {}
     for c, k in kinds.items():
         if k in ("string", "binary"):
             h = f"__pfh_{c}"
@@ -145,6 +151,22 @@ def profile_sketches(
             hash_col[c] = h
             proj_cols.append(
                 F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))).alias(h)
+            )
+        if sample_k and k in ("int", "string", "bool"):
+            # example-value sample: md5 content hash computed JVM-side
+            # (sketches/sample.py), value carried as its canonical string
+            s = f"__pfs_{c}"
+            if s in kinds:
+                raise ValueError(f"profile: column name {s!r} is reserved")
+            sample_col[c] = s
+            v = F.col(c).cast("string")
+            proj_cols.append(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.md5(v.cast("binary")).alias("h"), v.alias("v")
+                    ),
+                ).alias(s)
             )
     proj = df.select(*proj_cols)
 
@@ -162,6 +184,11 @@ def profile_sketches(
                 specs[f"{c}::hll"] = (c, hll_factory(precision=hll_precision))
         if k in ("int", "string", "bool"):
             specs[f"{c}::freq"] = (c, freqitems_factory(freq_capacity))
+            if sample_k:
+                sk = int(sample_k)
+                specs[f"{c}::sample"] = (
+                    sample_col[c], lambda sk=sk: SampleSketch(sk)
+                )
 
     merged, n_rows = build_multi(proj, specs, fanin=fanin, return_rows=True)
 
@@ -195,6 +222,7 @@ _PROFILE_SCHEMA = T.StructType(
         T.StructField("top_values", T.ArrayType(T.StringType()), True),
         T.StructField("top_counts", T.ArrayType(T.LongType()), True),
         T.StructField("top_error_bound", T.LongType(), True),
+        T.StructField("sample_values", T.ArrayType(T.StringType()), True),
     ]
 )
 
@@ -207,6 +235,7 @@ def profile_table(
     hll_precision: int = 14,
     kll_k: int = 200,
     freq_capacity: int = 256,
+    sample_k: int = 8,
     fanin: int | None = None,
 ) -> DataFrame:
     """One-scan per-column profile summary — one output row per column.
@@ -224,6 +253,7 @@ def profile_table(
         hll_precision=hll_precision,
         kll_k=kll_k,
         freq_capacity=freq_capacity,
+        sample_k=sample_k,
         fanin=fanin,
     )
     qs = [float(q) for q in quantiles]
@@ -251,6 +281,7 @@ def profile_table(
             "top_values": None,
             "top_counts": None,
             "top_error_bound": None,
+            "sample_values": None,
         }
         if "moments" in sks:
             mo: MomentsSketch = sks["moments"]
@@ -281,6 +312,8 @@ def profile_table(
             rec["top_values"] = [str(k) for k, _ in top]
             rec["top_counts"] = [int(cnt) for _, cnt in top]
             rec["top_error_bound"] = int(fi.error_bound())
+        if "sample" in sks:
+            rec["sample_values"] = sks["sample"].values()
         rows.append(rec)
 
     field_names = [f.name for f in _PROFILE_SCHEMA.fields]

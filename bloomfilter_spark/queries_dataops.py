@@ -2818,7 +2818,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomfilter_spark.operators.profile import profile_sketches
 
     docs = _t(spark, sf_dir, "documents")
-    per_col, n_rows, kinds = profile_sketches(docs, freq_capacity=4096)
+    per_col, n_rows, kinds = profile_sketches(docs, freq_capacity=4096, sample_k=4)
     cols = list(kinds)
     num_cols = [c for c, k in kinds.items() if k in ("int", "float")]
 
@@ -2864,12 +2864,18 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             top = sks["freq"].topk(1)
             if top:
                 top1_value, top1_count = str(top[0][0]), int(top[0][1])
+        # KMV example-value sample is a pure function of the value SET, so
+        # it is FULL-value checkable: the oracle replays it as
+        # ORDER BY md5(v) LIMIT k over the distinct values.
+        sample_vals = None
+        if "sample" in sks:
+            sample_vals = ",".join(sks["sample"].values())
         rows.append(
             (
                 c, n_rows, n_rows - n_values, exact_distinct,
                 min_num, max_num, mean,
                 min_str, max_str, len_min, len_max, avg_len,
-                top1_value, top1_count, hll_ok, q50_ok,
+                top1_value, top1_count, sample_vals, hll_ok, q50_ok,
             )
         )
     return spark.createDataFrame(
@@ -2878,7 +2884,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_num double, max_num double, mean_val double, "
         "min_str string, max_str string, len_min long, len_max long, "
         "avg_len double, top1_value string, top1_count long, "
-        "hll_ok boolean, q50_ok boolean",
+        "sample_vals string, hll_ok boolean, q50_ok boolean",
     )
 
 
@@ -2897,6 +2903,11 @@ SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
         GROUP BY {c} ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top1_value,
        (SELECT COUNT(*) FROM documents WHERE {c} IS NOT NULL
         GROUP BY {c} ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top1_count,
+       (SELECT STRING_AGG(v, ',' ORDER BY h) FROM
+         (SELECT v, md5(v) AS h FROM
+           (SELECT DISTINCT CAST({c} AS VARCHAR) AS v FROM documents
+            WHERE {c} IS NOT NULL)
+          ORDER BY h LIMIT 4) st) AS sample_vals,
        TRUE AS hll_ok, TRUE AS q50_ok
 FROM documents"""
 
@@ -2915,6 +2926,10 @@ SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
         GROUP BY {c} ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top1_value,
        (SELECT COUNT(*) FROM documents WHERE {c} IS NOT NULL
         GROUP BY {c} ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top1_count,
+       (SELECT STRING_AGG(v, ',' ORDER BY h) FROM
+         (SELECT v, md5(v) AS h FROM
+           (SELECT DISTINCT {c} AS v FROM documents WHERE {c} IS NOT NULL)
+          ORDER BY h LIMIT 4) st) AS sample_vals,
        TRUE AS hll_ok, CAST(NULL AS BOOLEAN) AS q50_ok
 FROM documents"""
 

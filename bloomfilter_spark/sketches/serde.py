@@ -33,6 +33,7 @@ KIND_DDS = 9
 KIND_BBLOOM = 10
 KIND_MOMENTS = 11
 KIND_STRSTATS = 12
+KIND_SAMPLE = 13
 
 _HEADER = struct.Struct("<4sBBHQQI")  # magic, version, kind, flags, seed, n_added, param_len
 
@@ -85,7 +86,7 @@ def _register_all() -> None:
 
     for mod in (
         "bloom", "hll", "cms", "kll", "tdigest", "freqitems", "theta", "cbf",
-        "ddsketch", "blocked", "moments",
+        "ddsketch", "blocked", "moments", "sample",
     ):
         importlib.import_module(f"bloomfilter_spark.sketches.{mod}")
 

@@ -230,3 +230,109 @@ class TestProfileTable:
         assert prof["ts"]["n_nulls"] == 1
         assert prof["ts"]["max_num"] > prof["ts"]["min_num"] > 1e15  # epoch µs
         assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_values"] == 2
+
+
+class TestSampleSketch:
+    """KMV example-value sample (sketches/sample.py): the kept set is a
+    pure function of the value SET (k smallest md5 hashes), so one-shot,
+    chunked-any-order, and the SQL replay ORDER BY md5(v) LIMIT k must all
+    agree bit-for-bit."""
+
+    @staticmethod
+    def _md5(v: str) -> str:
+        import hashlib
+
+        return hashlib.md5(v.encode("utf-8")).hexdigest()
+
+    def _pairs(self, values):
+        return [(self._md5(v), v) for v in values]
+
+    def test_matches_sql_replay_rule(self):
+        from bloomfilter_spark.sketches.sample import SampleSketch
+
+        values = [f"doc-{i}" for i in range(200)] + ["doc-7"] * 50
+        sk = SampleSketch(8)
+        sk.update_pairs(self._pairs(values))
+        expect = sorted({(self._md5(v), v) for v in values})[:8]
+        assert sk.values() == [v for _, v in expect]
+        assert sk.n_added == 250
+
+    def test_arrow_fold_equals_python_fold(self):
+        from bloomfilter_spark.sketches.sample import SampleSketch
+
+        values = [f"v{i % 37}" for i in range(500)]
+        py = SampleSketch(5)
+        py.update_pairs(self._pairs(values))
+        ar = SampleSketch(5)
+        ar.update_arrow(
+            pa.array(
+                [{"h": self._md5(v), "v": v} for v in values],
+                type=pa.struct([("h", pa.string()), ("v", pa.string())]),
+            )
+        )
+        assert ar.values() == py.values()
+        assert ar.to_bytes() == py.to_bytes()
+
+    def test_merge_order_invariance(self):
+        import random
+
+        from bloomfilter_spark.sketches.sample import SampleSketch
+
+        values = [f"item-{i}" for i in range(300)]
+        one = SampleSketch(16)
+        one.update_pairs(self._pairs(values))
+        rng = random.Random(11)
+        for trial in range(3):
+            shuffled = values[:]
+            rng.shuffle(shuffled)
+            chunks = [shuffled[i::7] for i in range(7)]
+            rng.shuffle(chunks)
+            merged = SampleSketch(16)
+            for ch in chunks:
+                part = SampleSketch(16)
+                part.update_pairs(self._pairs(ch))
+                merged.merge(part)
+            assert merged.values() == one.values()
+
+    def test_serde_roundtrip(self):
+        from bloomfilter_spark.sketches.sample import SampleSketch
+
+        sk = SampleSketch(4)
+        sk.update_pairs(self._pairs(["a", "b", "c", "d", "e", "f"]))
+        rt = serde.deserialize(sk.to_bytes())
+        assert rt == sk and rt.values() == sk.values()
+        assert rt.stats() == sk.stats()
+
+    def test_guards(self):
+        from bloomfilter_spark.sketches.sample import SampleSketch
+
+        with pytest.raises(ValueError, match="sample: k"):
+            SampleSketch(0)
+        with pytest.raises(ValueError, match="same k"):
+            SampleSketch(4).merge(SampleSketch(8))
+        with pytest.raises(ValueError, match="struct"):
+            SampleSketch(4).update_arrow(pa.array(["x"]))
+
+    def test_profile_sample_values_match_replay(self, spark, documents):
+        import pyspark.sql.functions as F
+
+        from bloomfilter_spark.operators.profile import profile_table
+
+        prof = {
+            r["column"]: r
+            for r in profile_table(
+                documents, columns=["lang", "doc_id"], sample_k=3
+            ).collect()
+        }
+        for c in ("lang", "doc_id"):
+            expect = [
+                r["v"]
+                for r in documents.filter(F.col(c).isNotNull())
+                .select(F.col(c).cast("string").alias("v"))
+                .distinct()
+                .select("v", F.md5(F.col("v").cast("binary")).alias("h"))
+                .orderBy("h")
+                .limit(3)
+                .collect()
+            ]
+            assert prof[c]["sample_values"] == expect, c
