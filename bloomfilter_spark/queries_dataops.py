@@ -3110,7 +3110,91 @@ _SNAPSHOT_DRIFT_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer-aware token budgeting (functions/tokenize.py)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE token accounting with a vocab trained
+    deterministically on a fixed corpus sample (docs with doc_id % 7 = 0,
+    first 64 by id — tokenizer training on a bounded sample is standard
+    practice; the APPLY side is the map-only scale path).
+
+    FULL-value-checked fields: per-lang doc/byte/pre-token counts (the
+    pre-tokenizer regex is engine-portable: Java == RE2 == Python re) and
+    the no-merge degenerate identity tokens == bytes exercised through
+    the SAME mapInPandas encoder.  The merge loop is non-SQL-expressible;
+    it carries the differential + roundtrip pytest contracts
+    (tests/test_tokenize.py) plus the recon/bounds booleans here
+    (pre-token count <= BPE token count <= byte count, per doc)."""
+    from bloomfilter_spark.functions.tokenize import (
+        bpe_token_stats,
+        train_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = [
+        r["text"]
+        for r in docs.filter("doc_id % 7 = 0 AND text IS NOT NULL")
+        .orderBy("doc_id")
+        .limit(64)
+        .collect()
+    ]
+    merges = train_bpe_merges(sample, 256)
+    st = bpe_token_stats(docs, merges, passthrough=("lang",))
+    st0 = bpe_token_stats(docs, [], passthrough=("lang",))
+    both = st.withColumn("__m", F.lit(1)).unionByName(
+        st0.withColumn("__m", F.lit(0))
+    )
+    return (
+        both.groupBy("lang")
+        .agg(
+            F.sum("__m").alias("n_docs"),
+            F.sum(F.when(F.col("__m") == 1, F.col("n_bytes"))).alias(
+                "sum_bytes"
+            ),
+            F.sum(F.when(F.col("__m") == 1, F.col("n_pretokens"))).alias(
+                "sum_pretokens"
+            ),
+            F.sum(F.when(F.col("__m") == 0, F.col("n_bpe_tokens"))).alias(
+                "sum_byte_tokens"
+            ),
+            F.min(F.col("recon_ok").cast("int")).cast("boolean").alias(
+                "recon_ok"
+            ),
+            F.min(
+                F.when(
+                    F.col("__m") == 1,
+                    F.col("n_bpe_tokens")
+                    .between(F.col("n_pretokens"), F.col("n_bytes"))
+                    .cast("int"),
+                )
+            )
+            .cast("boolean")
+            .alias("bounds_ok"),
+        )
+        .orderBy(F.col("lang").asc_nulls_first())
+    )
+
+
+def _bpe_token_stats_oracle_sql() -> str:
+    from bloomfilter_spark.functions.tokenize import pretoken_count_sql
+
+    return f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+       CAST(SUM({pretoken_count_sql('text')}) AS BIGINT) AS sum_pretokens,
+       CAST(SUM(strlen(text)) AS BIGINT) AS sum_byte_tokens,
+       TRUE AS recon_ok, TRUE AS bounds_ok
+FROM documents WHERE text IS NOT NULL
+GROUP BY lang ORDER BY lang NULLS FIRST
+"""
+
+
 QUERIES2 = {
+    "bpe_token_stats": q_bpe_token_stats,
     "token_budget": q_token_budget,
     "corpus_overlap": q_corpus_overlap,
     "extract_text": q_extract_text,
@@ -3172,6 +3256,7 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "bpe_token_stats": _bpe_token_stats_oracle_sql(),
     "token_budget": _TOKEN_BUDGET_SQL,
     "corpus_overlap": _corpus_overlap_oracle_sql(),
     "extract_text": _EXTRACT_TEXT_SQL,
