@@ -2832,14 +2832,17 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cols:
         sks = per_col[c]
         exact_distinct = int(ex[f"d_{c}"])
-        hll_ok = None
+        hll_ok = True  # vacuously-true when no HLL (NULL-boolean rule above)
         if "hll" in sks:
             hll = sks["hll"]
             hll_ok = bool(
                 abs(hll.estimate() - exact_distinct) / max(1, exact_distinct)
                 <= 4 * hll.relative_error
             )
-        q50_ok = None
+        # vacuously-true when not applicable: a NULL boolean converts
+        # nondeterministically (None vs NaN) through Arrow->pandas, which
+        # flips the value-hash between runs of the driver compare
+        q50_ok = True
         mean = min_num = max_num = None
         min_str = max_str = avg_len = None
         len_min = len_max = None
@@ -2930,7 +2933,7 @@ SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
          (SELECT v, md5(v) AS h FROM
            (SELECT DISTINCT {c} AS v FROM documents WHERE {c} IS NOT NULL)
           ORDER BY h LIMIT 4) st) AS sample_vals,
-       TRUE AS hll_ok, CAST(NULL AS BOOLEAN) AS q50_ok
+       TRUE AS hll_ok, TRUE AS q50_ok
 FROM documents"""
 
 
@@ -3016,7 +3019,8 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ks_ok = bool(abs(d["ks_est"] - ks_ex) <= d["ks_bound"] + 0.005)
             mean_a, mean_b = d["mean_a"], d["mean_b"]
         else:
-            ks_ex, ks_ok, mean_a, mean_b = None, None, None, None
+            # ks_ok vacuously true (same NULL-boolean hash-flakiness rule)
+            ks_ex, ks_ok, mean_a, mean_b = None, True, None, None
         novel, dist_a, dist_union = exact_novel(c)
         relerr = 4 * 1.04 / (2**14) ** 0.5
         novel_ok = bool(
@@ -3085,7 +3089,7 @@ SELECT '{c}' AS col_name,
        (SELECT COUNT({c}) FROM a) AS n_a,
        (SELECT COUNT({c}) FROM b) AS n_b,
        CAST(NULL AS DOUBLE) AS mean_a, CAST(NULL AS DOUBLE) AS mean_b,
-       CAST(NULL AS DOUBLE) AS ks_exact, CAST(NULL AS BOOLEAN) AS ks_ok,
+       CAST(NULL AS DOUBLE) AS ks_exact, TRUE AS ks_ok,
        (SELECT 0.5 * SUM(ABS(COALESCE(pa.p, 0) - COALESCE(pb.p, 0)))
         FROM (SELECT {c} AS k, COUNT(*) / CAST((SELECT COUNT({c}) FROM a) AS DOUBLE) AS p
               FROM a WHERE {c} IS NOT NULL GROUP BY {c}) pa
@@ -3193,8 +3197,75 @@ GROUP BY lang ORDER BY lang NULLS FIRST
 """
 
 
+_TOKEN_PACK_TARGET = 2048  # tokens per training shard at oracle scale
+
+
+def q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing for a training epoch: per-document token
+    counts from the tokenizer UDF (functions/tokenize.py) feed the SAME
+    global-prefix-sum packer as byte packing — count → salted epoch order
+    → greedy pack, one range shuffle total, no single-reducer window.
+
+    Walk order is md5('ep1:' || doc_id): re-shuffling between epochs is a
+    salt change and the whole layout stays content-deterministic, so the
+    oracle replays every offset with SUM() OVER (ORDER BY).  Pre-token
+    counts keep the oracle FULL-value (engine-portable regex — see
+    bpe_token_stats); packing by a trained-vocab BPE count is the same
+    call with `merges` passed (covered by the tokenizer differential)."""
+    from bloomfilter_spark.functions.hashing import md5_hash60
+    from bloomfilter_spark.functions.tokenize import bpe_token_stats
+    from bloomfilter_spark.operators.packing import pack_shards, shard_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe_token_stats(docs, []).select("doc_id", "n_pretokens")
+    keyed = counts.withColumn(
+        "ok",
+        md5_hash60(
+            F.concat(
+                F.lit("ep1:"),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+            )
+        ),
+    )
+    packed = pack_shards(keyed, ["ok", "doc_id"], "n_pretokens", _TOKEN_PACK_TARGET)
+    return (
+        shard_summary(packed, "n_pretokens")
+        .select(
+            "shard_id",
+            "n_docs",
+            F.col("shard_bytes").alias("shard_tokens"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _pack_token_shards_oracle_sql() -> str:
+    from bloomfilter_spark.functions.hashing import MD5_HASH60_SQL
+    from bloomfilter_spark.functions.tokenize import pretoken_count_sql
+
+    ok = MD5_HASH60_SQL.format(
+        expr="'ep1:' || COALESCE(CAST(doc_id AS VARCHAR), '')"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, CAST({pretoken_count_sql('text')} AS BIGINT) AS sz, {ok} AS ok
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT sz,
+         SUM(sz) OVER (ORDER BY ok, doc_id NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM h
+)
+SELECT CAST((run - sz) // {_TOKEN_PACK_TARGET} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(sz) AS BIGINT) AS shard_tokens
+FROM c GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 QUERIES2 = {
     "bpe_token_stats": q_bpe_token_stats,
+    "pack_token_shards": q_pack_token_shards,
     "token_budget": q_token_budget,
     "corpus_overlap": q_corpus_overlap,
     "extract_text": q_extract_text,
@@ -3257,6 +3328,7 @@ QUERIES2 = {
 
 ORACLES2 = {
     "bpe_token_stats": _bpe_token_stats_oracle_sql(),
+    "pack_token_shards": _pack_token_shards_oracle_sql(),
     "token_budget": _TOKEN_BUDGET_SQL,
     "corpus_overlap": _corpus_overlap_oracle_sql(),
     "extract_text": _EXTRACT_TEXT_SQL,
