@@ -51,11 +51,46 @@ def run_queries(spark, sf_dir: str, catalog: dict) -> dict[str, float]:
     return timings
 
 
+def _loadavg_1m() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:
+        return 0.0
+
+
+def wait_for_quiet() -> dict:
+    """Bounded wait for hypervisor/neighbor noise to pass before timing.
+
+    Measured on this box (BENCH.md): identical code swings 2-5x when the
+    1-minute loadavg rises mid-run.  Waiting is best-effort and BOUNDED
+    (default 300 s, override SPARK_GRAFT_QUIET_WAIT_MAX; 0 disables) so a
+    permanently-busy box can never hang the driver.  The observed loadavg
+    is recorded in the output either way, so a run that had to start noisy
+    is self-diagnosing instead of silently misleading."""
+    threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_MAX", "300"))
+    waited = 0.0
+    load = _loadavg_1m()
+    while load > threshold and waited < max_wait:
+        step = min(15.0, max_wait - waited)
+        print(
+            f"[bench] loadavg {load:.1f} > {threshold:g}; waiting "
+            f"{step:.0f}s ({waited:.0f}/{max_wait:.0f}s used)",
+            file=sys.stderr,
+        )
+        time.sleep(step)
+        waited += step
+        load = _loadavg_1m()
+    return {"load_1m_start": round(load, 2), "quiet_wait_sec": round(waited, 1)}
+
+
 def main() -> None:
     # --- stdout purity: real stdout gets exactly one JSON line, ever ---
     real_stdout = os.dup(1)
     os.dup2(2, 1)
     sys.stdout = sys.stderr
+
+    load_info = wait_for_quiet()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -112,6 +147,8 @@ def main() -> None:
         "sf": float(sf),
     }
     out.update(extras)
+    out.update(load_info)
+    out["load_1m_end"] = round(_loadavg_1m(), 2)
 
     line = json.dumps(out)
     # nothing may stand between here and the stdout write: a dead JVM
