@@ -268,6 +268,142 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: fit a bigram stupid-backoff model
+    on the English slice of the corpus, score EVERY document by mean
+    per-token log10 probability and perplexity.  Pure Catalyst — two
+    count aggregations for the model, hash joins on 8-byte word-hash
+    keys for scoring; the oracle replays the identical arithmetic on the
+    raw word strings."""
+    from bloomfilter_spark.operators.lm import fit_bigram_lm, perplexity_score
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = fit_bigram_lm(docs.filter(F.col("lang") == "en"), "text")
+    return (
+        perplexity_score(docs, "doc_id", "text", lm)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_LM_PERPLEXITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(COALESCE(text, ''))) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+  FROM documents
+), ref AS (
+  SELECT t FROM toks WHERE lang = 'en'
+), uni AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT UNNEST(t) AS tok FROM ref) GROUP BY tok
+), tot AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) AS n FROM uni
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c FROM (
+    SELECT t[i + 1] AS w1, t[i + 2] AS w2
+    FROM ref, UNNEST(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2
+  ) GROUP BY w1, w2
+), pairs AS (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks, UNNEST(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2
+), scored AS (
+  SELECT p.doc_id,
+         LOG10(CASE WHEN bi.c IS NOT NULL THEN bi.c * 1.0 / u1.c
+                    ELSE 0.4 * COALESCE(u2.c, 0.4) / tot.n END) AS logp
+  FROM pairs p
+  LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+  LEFT JOIN uni u1 ON u1.tok = p.w1
+  LEFT JOIN uni u2 ON u2.tok = p.w2
+  CROSS JOIN tot
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_scored, ROUND(AVG(logp), 6) AS avg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_scored, 0) AS BIGINT) AS n_scored,
+       avg_logp,
+       ROUND(POWER(10, -avg_logp), 6) AS ppl
+FROM toks LEFT JOIN agg USING (doc_id)
+ORDER BY toks.doc_id
+"""
+
+
+def q_line_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/MassiveText boilerplate-LINE removal: drop every line
+    whose normalized form appears in >= 2 distinct documents, keep the
+    rest of each document intact (order and bytes preserved).  The
+    synthetic documents are single-line, so the query first reflows each
+    document into 8-token lines with the library-wide tokenization rule —
+    a deterministic transform the oracle replays exactly; repeated
+    8-token runs across documents then play the boilerplate role.  The
+    oracle rebuilds every cleaned document string character-exact."""
+    from bloomfilter_spark.operators.linededup import remove_duplicate_lines
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+        .withColumn(
+            "toks",
+            F.when(
+                F.length(F.trim("text")) == 0, F.array().cast("array<string>")
+            ).otherwise(F.split(F.lower(F.trim("text")), r"[ \t\n\f\r]+")),
+        )
+        .withColumn("nl", F.ceil(F.size("toks") / F.lit(8.0)).cast("int"))
+    )
+    reflowed = docs.select(
+        "doc_id",
+        F.when(F.col("nl") == 0, F.lit(""))
+        .otherwise(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    # greatest() guard: sequence(0, -1) DESCENDS
+                    F.sequence(F.lit(0), F.greatest(F.col("nl"), F.lit(1)) - 1),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i * 8 + 1, 8)),
+                ),
+            )
+        )
+        .alias("text"),
+    )
+    out = remove_duplicate_lines(reflowed, "doc_id", "text", min_docs=2)
+    return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+_LINE_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(COALESCE(text, ''))) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+  FROM documents
+), nl AS (
+  SELECT doc_id, CAST(CEIL(len(t) / 8.0) AS BIGINT) AS n_lines FROM toks
+), lines AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i*8 + 1 : i*8 + 8], ' ') AS line
+  FROM toks, UNNEST(range(CAST(CEIL(len(t) / 8.0) AS BIGINT))) AS u(i)
+), boiler AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+), covered AS (
+  SELECT l.doc_id, l.pos FROM lines l JOIN boiler USING (line)
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id
+), rebuilt AS (
+  SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text_clean
+  FROM lines l LEFT JOIN covered c ON c.doc_id = l.doc_id AND c.pos = l.pos
+  WHERE c.pos IS NULL GROUP BY l.doc_id
+)
+SELECT nl.doc_id,
+       n_lines,
+       CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+       COALESCE(text_clean, '') AS text_clean
+FROM nl LEFT JOIN per_doc USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
+ORDER BY nl.doc_id
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnosis over the event stream's user key: the 20 heaviest
     keys with their load share and the salt factor `salted_repartition`
@@ -3274,6 +3410,7 @@ QUERIES2 = {
     "text_repetition": q_text_repetition,
     "dup_span_stats": q_dup_span_stats,
     "dedup_span_removal": q_dedup_span_removal,
+    "line_dedup_removal": q_line_dedup_removal,
     "skew_report": q_skew_report,
     "sessionize_events": q_sessionize_events,
     "asof_click_error": q_asof_click_error,
@@ -3337,6 +3474,7 @@ ORACLES2 = {
     "text_repetition": _TEXT_REPETITION_SQL,
     "dup_span_stats": _DUP_SPANS_SQL,
     "dedup_span_removal": _SPAN_REMOVAL_SQL,
+    "line_dedup_removal": _LINE_DEDUP_SQL,
     "skew_report": _SKEW_REPORT_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "asof_click_error": _ASOF_SQL,
