@@ -3411,6 +3411,7 @@ QUERIES2 = {
     "dup_span_stats": q_dup_span_stats,
     "dedup_span_removal": q_dedup_span_removal,
     "line_dedup_removal": q_line_dedup_removal,
+    "lm_perplexity": q_lm_perplexity,
     "skew_report": q_skew_report,
     "sessionize_events": q_sessionize_events,
     "asof_click_error": q_asof_click_error,
@@ -3475,6 +3476,7 @@ ORACLES2 = {
     "dup_span_stats": _DUP_SPANS_SQL,
     "dedup_span_removal": _SPAN_REMOVAL_SQL,
     "line_dedup_removal": _LINE_DEDUP_SQL,
+    "lm_perplexity": _LM_PERPLEXITY_SQL,
     "skew_report": _SKEW_REPORT_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "asof_click_error": _ASOF_SQL,
