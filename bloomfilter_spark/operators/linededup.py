@@ -69,8 +69,14 @@ def _lines_view(df, id_col: str, text_col: str, min_docs: int):
         .otherwise(F.split(F.col(text_col), "\n"))
         .alias("lines"),
     ).withColumn("n_lines", F.size("lines"))
+    # NULL-id contract: a row without identity can neither vote in the
+    # document-frequency count (countDistinct skips NULL anyway) nor have
+    # lines removed — it passes through UNCHANGED (the rebuild join below
+    # never matches a NULL key, so filtering here keeps both passes and
+    # the SQL oracle on one rule)
     exploded = (
-        lines_df.select("id", F.posexplode("lines").alias("pos", "line"))
+        lines_df.filter(F.col("id").isNotNull())
+        .select("id", F.posexplode("lines").alias("pos", "line"))
         .select(
             "id",
             "pos",

@@ -117,22 +117,26 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rid: per-row key so NULL doc_ids neither merge nor lose their ratios
+# at the join-back (the Spark operator is map-only per row)
 _TEXT_REPETITION_SQL = """
 WITH toks AS (
   SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id NULLS FIRST, text NULLS FIRST)
+           AS rid,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
   FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
 ), tri AS (
-  SELECT doc_id, COUNT(*) AS total_tri, COUNT(DISTINCT s) AS distinct_tri
+  SELECT rid, COUNT(*) AS total_tri, COUNT(DISTINCT s) AS distinct_tri
   FROM (
-    SELECT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+    SELECT rid, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
     FROM toks, UNNEST(range(len(t) - 2)) AS u(i) WHERE len(t) >= 3
   ) GROUP BY 1
 ), top AS (
-  SELECT doc_id, MAX(c) AS topc FROM (
-    SELECT doc_id, tok, COUNT(*) AS c
-    FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks) GROUP BY 1, 2
+  SELECT rid, MAX(c) AS topc FROM (
+    SELECT rid, tok, COUNT(*) AS c
+    FROM (SELECT rid, UNNEST(t) AS tok FROM toks) GROUP BY 1, 2
   ) GROUP BY 1
 ), r AS (
   SELECT b.doc_id,
@@ -149,7 +153,7 @@ WITH toks AS (
               ELSE ROUND(COALESCE(top.topc, 0)
                          / CAST(GREATEST(len(b.t), 1) AS DOUBLE), 6) END
            AS top_token_ratio
-  FROM toks b LEFT JOIN tri USING (doc_id) LEFT JOIN top USING (doc_id)
+  FROM toks b LEFT JOIN tri USING (rid) LEFT JOIN top USING (rid)
 )
 SELECT *, (dup_trigram_ratio <= 0.3 AND top_token_ratio <= 0.3)
            AS repetition_ok
@@ -203,23 +207,31 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared CTE chain (k=4, min_count=2): tokenize → positional 4-grams →
 # corpus-frequent set → distinct covered positions — used by the span
-# STATS and span REMOVAL oracles
+# STATS and span REMOVAL oracles.  rid (synthetic unique row key) carries
+# per-document state so NULL doc_ids neither merge with each other nor
+# drop their rebuilt text; the frequency vote stays corpus-wide (COUNT(*)
+# over ALL rows, NULL-id included — mirroring the Spark plan), while
+# covered excludes NULL-id rows, mirroring the operator's rebuild join
+# on the id key (NULL never matches → identity-less rows pass through)
 _SPANS_CTES = """
 WITH toks AS (
   SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id NULLS FIRST, text NULLS FIRST)
+           AS rid,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
   FROM documents
 ), kg AS (
-  SELECT doc_id, i AS pos, array_to_string(t[i + 1 : i + 4], ' ') AS g
+  SELECT rid, doc_id, i AS pos, array_to_string(t[i + 1 : i + 4], ' ') AS g
   FROM toks, UNNEST(range(len(t) - 3)) AS u(i) WHERE len(t) >= 4
 ), freq AS (
   SELECT g FROM kg GROUP BY g HAVING COUNT(*) >= 2
 ), covered AS (
-  SELECT DISTINCT kg.doc_id, kg.pos + j AS p
+  SELECT DISTINCT kg.rid, kg.pos + j AS p
   FROM kg JOIN freq USING (g), UNNEST(range(4)) AS v(j)
+  WHERE kg.doc_id IS NOT NULL
 ), per_doc AS (
-  SELECT doc_id, COUNT(*) AS n_dup_tokens FROM covered GROUP BY doc_id
+  SELECT rid, COUNT(*) AS n_dup_tokens FROM covered GROUP BY rid
 )"""
 
 _DUP_SPANS_SQL = _SPANS_CTES + """
@@ -229,29 +241,29 @@ SELECT toks.doc_id,
        CASE WHEN len(t) = 0 THEN 0.0
             ELSE ROUND(COALESCE(n_dup_tokens, 0) / len(t), 6)
        END AS dup_ratio
-FROM toks LEFT JOIN per_doc USING (doc_id)
+FROM toks LEFT JOIN per_doc USING (rid)
 ORDER BY toks.doc_id
 """
 
 _SPAN_REMOVAL_SQL = _SPANS_CTES + """
 , pos AS (
-  SELECT doc_id, i, t[i + 1] AS tok
+  SELECT rid, i, t[i + 1] AS tok
   FROM toks, UNNEST(range(len(t))) AS u(i)
 ), kept AS (
-  SELECT p.doc_id, p.i, p.tok
-  FROM pos p LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.p = p.i
+  SELECT p.rid, p.i, p.tok
+  FROM pos p LEFT JOIN covered c ON c.rid = p.rid AND c.p = p.i
   WHERE c.p IS NULL
 ), rebuilt AS (
-  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean
-  FROM kept GROUP BY doc_id
+  SELECT rid, string_agg(tok, ' ' ORDER BY i) AS text_clean
+  FROM kept GROUP BY rid
 )
 SELECT toks.doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
        CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_removed,
        COALESCE(rebuilt.text_clean, '') AS text_clean
 FROM toks
-LEFT JOIN per_doc USING (doc_id)
-LEFT JOIN rebuilt USING (doc_id)
+LEFT JOIN per_doc USING (rid)
+LEFT JOIN rebuilt USING (rid)
 ORDER BY toks.doc_id
 """
 
@@ -372,35 +384,41 @@ def q_line_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
 
 
+# rid (a synthetic unique row key) carries per-document state so NULL
+# doc_ids neither merge with each other nor silently drop their rows; the
+# boilerplate vote stays on doc_id (COUNT(DISTINCT ..) skips NULL — the
+# operator's pass-through contract for identity-less rows)
 _LINE_DEDUP_SQL = """
 WITH toks AS (
   SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id NULLS FIRST, text NULLS FIRST)
+           AS rid,
          CASE WHEN length(trim(COALESCE(text, ''))) = 0
               THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
   FROM documents
-), nl AS (
-  SELECT doc_id, CAST(CEIL(len(t) / 8.0) AS BIGINT) AS n_lines FROM toks
 ), lines AS (
-  SELECT doc_id, i AS pos, array_to_string(t[i*8 + 1 : i*8 + 8], ' ') AS line
+  SELECT rid, doc_id, i AS pos,
+         array_to_string(t[i*8 + 1 : i*8 + 8], ' ') AS line
   FROM toks, UNNEST(range(CAST(CEIL(len(t) / 8.0) AS BIGINT))) AS u(i)
 ), boiler AS (
   SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
 ), covered AS (
-  SELECT l.doc_id, l.pos FROM lines l JOIN boiler USING (line)
+  SELECT l.rid, l.pos FROM lines l JOIN boiler USING (line)
+  WHERE l.doc_id IS NOT NULL
 ), per_doc AS (
-  SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id
+  SELECT rid, COUNT(*) AS n_removed FROM covered GROUP BY rid
 ), rebuilt AS (
-  SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text_clean
-  FROM lines l LEFT JOIN covered c ON c.doc_id = l.doc_id AND c.pos = l.pos
-  WHERE c.pos IS NULL GROUP BY l.doc_id
+  SELECT l.rid, string_agg(l.line, chr(10) ORDER BY l.pos) AS text_clean
+  FROM lines l LEFT JOIN covered c ON c.rid = l.rid AND c.pos = l.pos
+  WHERE c.pos IS NULL GROUP BY l.rid
 )
-SELECT nl.doc_id,
-       n_lines,
+SELECT toks.doc_id,
+       CAST(CEIL(len(t) / 8.0) AS BIGINT) AS n_lines,
        CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
        COALESCE(text_clean, '') AS text_clean
-FROM nl LEFT JOIN per_doc USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
-ORDER BY nl.doc_id
+FROM toks LEFT JOIN per_doc USING (rid) LEFT JOIN rebuilt USING (rid)
+ORDER BY toks.doc_id
 """
 
 
@@ -2026,18 +2044,25 @@ def _classifier_oracle_sql() -> str:
     bucket = f"({MD5_HASH60_SQL.format(expr='tok')} % 1024)"
     wkey = f"'w:0:' || CAST({bucket} AS VARCHAR)"
     weight = f"({MD5_HASH60_SQL.format(expr=wkey)} % 2097152) - 1048576"
+    # rid: per-row key so NULL doc_ids neither merge nor lose their score
+    # at the join-back (the Spark scorer is map-only per row)
     return f"""
-WITH toks AS (
-  SELECT doc_id, tok
+WITH docs AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (ORDER BY doc_id NULLS FIRST, text NULLS FIRST)
+           AS rid
+  FROM documents
+), toks AS (
+  SELECT rid, tok
   FROM (
-    SELECT doc_id,
+    SELECT rid,
            UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-    FROM documents
+    FROM docs
   ) WHERE tok <> ''
 ), s AS (
-  SELECT doc_id, COUNT(*) AS n_tokens,
+  SELECT rid, COUNT(*) AS n_tokens,
          SUM({weight}) AS raw
-  FROM toks GROUP BY doc_id
+  FROM toks GROUP BY rid
 )
 SELECT d.doc_id,
        COALESCE(s.n_tokens, 0) AS n_tokens,
@@ -2045,7 +2070,7 @@ SELECT d.doc_id,
                   THEN CAST(s.raw AS DOUBLE) / (s.n_tokens * 1048576.0)
                   ELSE 0.0 END, 6) AS logit,
        COALESCE(s.raw > 0, FALSE) AS keep
-FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+FROM docs d LEFT JOIN s USING (rid) ORDER BY d.doc_id
 """
 
 

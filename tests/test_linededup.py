@@ -137,6 +137,26 @@ def test_fully_boilerplate_doc_becomes_empty(spark):
     assert out[3]["text_clean"] == ""
 
 
+def test_null_id_rows_pass_through_unchanged(spark):
+    # no identity -> no dedup accounting: the row keeps its boilerplate
+    # lines AND its lines don't vote in the document-frequency count
+    rows = [
+        (None, "banner here\nnull doc content"),
+        (1, "banner here\nreal one"),
+        (2, "banner here\nreal two"),
+        (None, "only in null docs\nmore"),
+        (3, "only in null docs\nreal three"),  # df(non-null)=1 -> kept
+    ]
+    out = remove_duplicate_lines(
+        _docs(spark, rows), "doc_id", "text", min_docs=2
+    ).collect()
+    by_key = {(r["id"], r["text_clean"]) for r in out}
+    assert (None, "banner here\nnull doc content") in by_key
+    assert (None, "only in null docs\nmore") in by_key
+    assert (1, "real one") in by_key and (2, "real two") in by_key
+    assert (3, "only in null docs\nreal three") in by_key
+
+
 def test_min_docs_validation(spark):
     with pytest.raises(ValueError, match="min_docs"):
         line_dedup_stats(None, "id", "t", min_docs=1)

@@ -30,6 +30,12 @@ def edge_dir(spark, tmp_path_factory):
         (7, "pneumonoultramicroscopicsilicovolcanoconiosis "
             + " ".join(f"gibberish{j}word" for j in range(220)),
          "en", "src4", 58),
+        # NULL id with REAL text sharing 4-grams/8-token lines with docs
+        # 0/6: identity-less rows must pass through span/line dedup
+        # UNCHANGED (no per-doc accounting without a key) while still
+        # being visible to corpus-frequency votes — the r4 latent-bug
+        # class this row was added to pin
+        (None, "hello world common tokens here", "en", "src7", 31),
         # vertical tab: Java \s splits on \x0B, RE2 \s does not — the
         # library's WS_SPLIT_PATTERN pins the RE2 class, so both engines
         # must read "alpha\x0Bbeta" as ONE token
@@ -135,7 +141,7 @@ def test_event_queries_match_oracle_on_adversarial_table(
      "dup_span_stats", "dedup_span_removal", "decontaminate_ngrams",
      "dedup_minhash_verified",
      "dedup_clusters", "token_budget", "corpus_overlap", "extract_text",
-     "sample_weighted"],
+     "sample_weighted", "line_dedup_removal", "lm_perplexity"],
 )
 def test_queries_match_oracle_on_adversarial_table(spark, edge_dir, qname):
     _compare(spark, edge_dir, qname)
