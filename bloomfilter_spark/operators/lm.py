@@ -137,9 +137,12 @@ def perplexity_score(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), _toks(df, text_col)
     )
+    # both the bigram-pairs branch and the n_tokens join-back read this
+    # view; localCheckpoint (same rationale as linededup/spans) so the
+    # split/tokenize projection over the candidate corpus runs ONCE
     docs = base.select(
         "id", "toks", F.size("toks").cast("long").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     pairs = docs.filter(F.col("n_tokens") >= 2).select(
         "id",
         F.explode(

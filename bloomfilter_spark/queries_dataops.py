@@ -398,13 +398,24 @@ WITH toks AS (
               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
   FROM documents
 ), lines AS (
+  -- nline replays the operator's MATCHING normalization exactly
+  -- (linededup._norm_line): collapse space/tab/FF/CR runs, trim,
+  -- lowercase; normalized-BLANK lines neither vote nor get removed.
+  -- Grouping on the raw line diverges when the reflow emits
+  -- leading-empty tokens (tab-leading text: trim strips only spaces)
+  -- per ADVICE r4.  NB the regex literal below embeds the control
+  -- characters directly (this string is a non-raw Python literal).
   SELECT rid, doc_id, i AS pos,
-         array_to_string(t[i*8 + 1 : i*8 + 8], ' ') AS line
+         array_to_string(t[i*8 + 1 : i*8 + 8], ' ') AS line,
+         trim(regexp_replace(
+           lower(array_to_string(t[i*8 + 1 : i*8 + 8], ' ')),
+           '[ \t\f\r]+', ' ', 'g')) AS nline
   FROM toks, UNNEST(range(CAST(CEIL(len(t) / 8.0) AS BIGINT))) AS u(i)
 ), boiler AS (
-  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+  SELECT nline FROM lines WHERE length(nline) > 0
+  GROUP BY nline HAVING COUNT(DISTINCT doc_id) >= 2
 ), covered AS (
-  SELECT l.rid, l.pos FROM lines l JOIN boiler USING (line)
+  SELECT l.rid, l.pos FROM lines l JOIN boiler USING (nline)
   WHERE l.doc_id IS NOT NULL
 ), per_doc AS (
   SELECT rid, COUNT(*) AS n_removed FROM covered GROUP BY rid

@@ -32,10 +32,25 @@ def edge_dir(spark, tmp_path_factory):
          "en", "src4", 58),
         # NULL id with REAL text sharing 4-grams/8-token lines with docs
         # 0/6: identity-less rows must pass through span/line dedup
-        # UNCHANGED (no per-doc accounting without a key) while still
-        # being visible to corpus-frequency votes — the r4 latent-bug
-        # class this row was added to pin
+        # UNCHANGED (no per-doc accounting without a key).  For SPAN dedup
+        # they still vote in the corpus-frequency count (COUNT(*) over
+        # occurrences); for LINE dedup both engines exclude them from the
+        # vote too (COUNT(DISTINCT doc_id) skips NULL) — r4 latent-bug
+        # class this row was added to pin, scope corrected per ADVICE r4
         (None, "hello world common tokens here", "en", "src7", 31),
+        # leading-TAB near-dup pair (ADVICE r4): trim strips only spaces,
+        # so "\tcommon …" reflows with a leading empty token and its raw
+        # 8-token line carries a leading space.  The operator matches on
+        # the collapsed-whitespace NORMALIZED line and removes it from
+        # BOTH docs; an oracle grouping raw lines removes it from neither.
+        (9, "\tcommon banner line here repeated verbatim", "en", "src8", 42),
+        (52, "common banner line here repeated verbatim", "en", "src9", 41),
+        # whitespace-only pair: reflows to the line " " whose normalized
+        # form is BLANK — blank lines are structure, not boilerplate, so
+        # the operator never removes them even at document frequency 2;
+        # the oracle must exclude normalized-blank lines from the vote
+        (53, "\t", "en", "src8", 1),
+        (54, "\t", "en", "src9", 1),
         # vertical tab: Java \s splits on \x0B, RE2 \s does not — the
         # library's WS_SPLIT_PATTERN pins the RE2 class, so both engines
         # must read "alpha\x0Bbeta" as ONE token
