@@ -31,11 +31,52 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from bloomfilter_spark.operators.profile import profile_sketches
 from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
 from bloomfilter_spark.sketches.kll import KLLSketch
+
+
+def exact_ks_distance(df_a: DataFrame, df_b: DataFrame, column: str) -> float:
+    """EXACT two-sample KS distance over `column` — the ground-truth
+    companion to the sketch estimate in snapshot_drift, computed without
+    a global single-reducer window.
+
+    For empirical step CDFs the supremum is attained at sample points, so
+    KS = max over DISTINCT values v of |F_a(v) - F_b(v)|.  Plan: one
+    groupBy(v) shuffle collapses both samples to per-distinct-value
+    counts (the only pass over data rows), then the cumulative counts are
+    a global prefix sum over the v-ordered count rows — the same
+    range-shuffle + driver-side-offsets pattern as the shard packer
+    (operators/packing.py:global_running_sum), which never moves more
+    than |distinct| rows and never forms a single partition.  NaN if
+    either side has no non-NULL rows.
+    """
+    from bloomfilter_spark.operators.packing import global_running_sum
+
+    u = (
+        df_a.select(F.col(column).alias("v"), F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionAll(
+            df_b.select(F.col(column).alias("v"), F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    counts = u.groupBy("v").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    cum = global_running_sum(counts, ["v"], "ca", out_col="cum_a")
+    cum = global_running_sum(cum, ["v"], "cb", out_col="cum_b").localCheckpoint(
+        eager=False
+    )
+    tot = cum.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")).first()
+    na, nb = tot["na"], tot["nb"]
+    if not na or not nb:
+        return float("nan")
+    gap = cum.agg(
+        F.max(
+            F.abs(F.col("cum_a") / F.lit(float(na)) - F.col("cum_b") / F.lit(float(nb)))
+        ).alias("ks")
+    ).first()["ks"]
+    return float(gap)
 
 
 def kll_ks_distance(a: KLLSketch, b: KLLSketch) -> tuple[float, float]:

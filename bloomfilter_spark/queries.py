@@ -1745,11 +1745,19 @@ ALL_ORACLES.update(ORACLES2)
 # out of the graded window so every graded entry carries full signal.
 # ---------------------------------------------------------------------------
 
+# r5 rotation (VERDICT r4 #2): the round-4 flagship operators — all with
+# full value oracles — move INTO the graded window; the near-duplicate
+# variants they displace (cardinality≈membership+set_algebra,
+# regional_revenue≈lineitem_pricing_summary, text_token_stats≈bpe/
+# quality, hll_users_by_type_salted≈hll_rollup_weekly,
+# dedup_clusters≈dedup_ngram_jaccard, hybrid_search≈bm25+ann_topk,
+# streaming_grouped_hll≈streaming_sessions+hll family) stay first-class
+# in the extended set with unchanged oracles.
 _WINDOW = [
     # Bloom core (reference §2.1 surface)
     "bloom_membership",
+    "bloom_blocked_membership",
     "bloom_sizing",
-    "bloom_cardinality",
     "bloom_set_algebra",
     "bloom_grouped_membership",
     "cbf_delete_membership",
@@ -1760,8 +1768,9 @@ _WINDOW = [
     # HLL / Theta
     "hll_distinct_doc_id",
     "hll_rollup_weekly",
-    "hll_users_by_type_salted",
     "theta_set_ops",
+    # SQL function surface over sketch blobs
+    "sql_sketch_api",
     # CMS / frequent items
     "cms_event_type_counts",
     "heavy_hitters_users",
@@ -1772,14 +1781,17 @@ _WINDOW = [
     "quantiles_by_lang_salted",
     # one-scan suite over the Common-Crawl-style pages table
     "pages_sketch_suite",
+    # one-scan profiler + sketch-based snapshot drift
+    "table_profile",
+    "snapshot_drift",
     # TPC-H-style scans/joins/aggregations
     "lineitem_pricing_summary",
-    "regional_revenue",
     # text analysis
-    "text_token_stats",
     "text_quality",
     "lang_id_counts",
     "classifier_score",
+    "bpe_token_stats",
+    "lm_perplexity",
     # dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -1787,13 +1799,12 @@ _WINDOW = [
     "dedup_simhash",
     "doc_fingerprints",
     "decontaminate_ngrams",
-    "dedup_clusters",
     "dedup_span_removal",
+    "line_dedup_removal",
     # ANN / retrieval
     "ann_topk_cosine",
     "ann_neardup_pairs",
     "bm25_search",
-    "hybrid_search",
     # corpus ops
     "chunk_documents",
     "pii_redaction",
@@ -1804,7 +1815,6 @@ _WINDOW = [
     "sessionize_events",
     "asof_click_error",
     "streaming_sessions",
-    "streaming_grouped_hll",
     # windowed (generational-ring) dedup carries a 4006-row full-value
     # oracle — a stronger graded signal than the first-seen entry's
     # contract booleans; first_seen stays fully oracle-checked in the

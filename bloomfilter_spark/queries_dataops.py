@@ -3134,11 +3134,12 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles, driver-side compare — snapshots never co-shuffle); the
     exact KS / distinct-novelty replays below exist only to gate the
     sketch estimates for the oracle, mirroring the KLL/HLL query pattern.
-    TV distances are emitted as values: Misra-Gries is exact below
-    capacity, so at oracle scale the sketch TV equals the SQL replay."""
-    from pyspark.sql import Window
-
-    from bloomfilter_spark.operators.drift import snapshot_drift
+    Exact KS goes through exact_ks_distance (groupBy-distinct counts +
+    range-shuffle prefix sum, VERDICT r4 #4) — no single-partition
+    WindowExec anywhere in this query.  TV distances are emitted as
+    values: Misra-Gries is exact below capacity, so at oracle scale the
+    sketch TV equals the SQL replay."""
+    from bloomfilter_spark.operators.drift import exact_ks_distance, snapshot_drift
 
     docs = _t(spark, sf_dir, "documents")
     a = docs.filter(F.pmod("doc_id", F.lit(5)) != 0)
@@ -3165,17 +3166,7 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def exact_ks(c: str) -> float:
-        # global-window ECDF replay — oracle gating only, test-scale data
-        u = a.select(F.col(c).alias("v"), F.lit(1).alias("ia"), F.lit(0).alias("ib")).unionAll(
-            b.select(F.col(c).alias("v"), F.lit(0).alias("ia"), F.lit(1).alias("ib"))
-        ).filter(F.col("v").isNotNull())
-        na, nb = drift[c]["n_a"], drift[c]["n_b"]
-        w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
-        cdf = u.select(
-            (F.sum("ia").over(w) / F.lit(float(na))).alias("ca"),
-            (F.sum("ib").over(w) / F.lit(float(nb))).alias("cb"),
-        )
-        return float(cdf.agg(F.max(F.abs(F.col("ca") - F.col("cb")))).first()[0])
+        return exact_ks_distance(a, b, c)
 
     def exact_novel(c: str) -> tuple[int, int, int]:
         da = a.select(c).distinct()
