@@ -10,6 +10,8 @@ recall/precision contracts pytest-checked against planted duplicates
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from bloomfilter_spark.functions.textstats import (
@@ -563,28 +565,39 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomfilter_spark.streaming.sessions import sessionized_stream
 
     ev = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="bfs_stream_sess_")
-    src = f"{work}/src"
+    cache_key = f"{sf_dir}|events|sessions3"
+    work = tempfile.mkdtemp(prefix="bfs_stream_sess_run_")
     name = f"bfs_q_stream_sess_{uuid.uuid4().hex[:12]}"
     try:
-        # stage by TIME (not hash): the watermark then advances batch over
-        # batch, exercising cross-batch session merge + incremental emit
-        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-        span = (hi - lo) / 3
-        for i in range(3):
-            upper = (
-                (F.col("ts") < F.lit(lo + (i + 1) * span))
-                if i < 2
-                else (F.col("ts") <= F.lit(hi))
+        if cache_key in _STAGE_CACHE:
+            src = _STAGE_CACHE[cache_key]
+        else:
+            import atexit
+
+            stage_dir = tempfile.mkdtemp(prefix="bfs_stream_sess_src_")
+            src = f"{stage_dir}/src"
+            # stage by TIME (not hash): the watermark then advances batch
+            # over batch, exercising cross-batch session merge +
+            # incremental emit
+            lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+            span = (hi - lo) / 3
+            for i in range(3):
+                upper = (
+                    (F.col("ts") < F.lit(lo + (i + 1) * span))
+                    if i < 2
+                    else (F.col("ts") <= F.lit(hi))
+                )
+                ev.filter(
+                    (F.col("ts") >= F.lit(lo + i * span)) & upper
+                ).coalesce(1).write.mode("append").parquet(src)
+            sentinel = spark.createDataFrame(
+                [(-1, datetime.datetime(2100, 1, 1), -1, "sentinel", 0.0, "{}")],
+                ev.schema,
             )
-            ev.filter((F.col("ts") >= F.lit(lo + i * span)) & upper).coalesce(
-                1
-            ).write.mode("append").parquet(src)
-        sentinel = spark.createDataFrame(
-            [(-1, datetime.datetime(2100, 1, 1), -1, "sentinel", 0.0, "{}")],
-            ev.schema,
-        )
-        sentinel.coalesce(1).write.mode("append").parquet(src)
+            sentinel.coalesce(1).write.mode("append").parquet(src)
+            if not _STAGE_CACHE:
+                atexit.register(_cleanup_stage_cache)
+            _STAGE_CACHE[cache_key] = src
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
@@ -2383,6 +2396,64 @@ FROM ids ORDER BY media_id
 # ---------------------------------------------------------------------------
 
 
+# process-level staged-source cache: the 7 streaming catalog queries
+# re-stage the SAME time/hash-sliced parquet micro-batches every run
+# (4 of them stage the identical hash-routed events table), and staging
+# dominated the family's bench cost (VERDICT r4 next #6).  Keyed by
+# (sf_dir, slicing rule); entries live until process exit.  Checkpoints
+# and memory sinks are NEVER shared — only the immutable source files.
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _cleanup_stage_cache() -> None:
+    import shutil
+
+    for path in _STAGE_CACHE.values():
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    _STAGE_CACHE.clear()
+
+
+def _staged_source(
+    spark: SparkSession,
+    df: DataFrame,
+    split_col: str,
+    prefix: str,
+    n_batches: int,
+    route,
+    cache_key: str | None,
+) -> tuple[str, bool]:
+    """Stage `df` into n_batches single-file parquet micro-batches; return
+    (src_path, caller_owns).  With a cache_key the staging is memoized for
+    the process (caller_owns=False); without, the caller must delete it."""
+    import atexit
+    import tempfile
+
+    if cache_key is not None and cache_key in _STAGE_CACHE:
+        return _STAGE_CACHE[cache_key], False
+    work = tempfile.mkdtemp(prefix=f"bfs_{prefix}_")
+    src = f"{work}/src"
+    route_col = (
+        F.pmod(F.xxhash64(split_col), F.lit(n_batches))
+        if route is None
+        else route(df)
+    )
+    staged = df.withColumn("__route", route_col)
+    if route is not None:
+        # a custom route may be a global-sort expression (ntile over
+        # event time); materialize once instead of re-sorting per write
+        staged = staged.localCheckpoint(eager=False)
+    for i in range(n_batches):
+        staged.filter(F.col("__route") == i).drop("__route").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    if cache_key is not None:
+        if not _STAGE_CACHE:
+            atexit.register(_cleanup_stage_cache)
+        _STAGE_CACHE[cache_key] = src
+        return src, False
+    return src, True
+
+
 def _run_staged_stream(
     spark: SparkSession,
     df: DataFrame,
@@ -2392,6 +2463,7 @@ def _run_staged_stream(
     out_mode: str = "update",
     n_batches: int = 3,
     route=None,
+    cache_key: str | None = None,
 ):
     """Shared harness for every streaming catalog query: stage `df` into
     `n_batches` parquet files (routed by pmod(xxhash64(split_col), n) —
@@ -2405,33 +2477,26 @@ def _run_staged_stream(
     batch-index column expression (df -> Column in [0, n_batches)) — the
     windowed-dedup entry routes by TIME so generations arrive in order,
     the shape its eviction contract (and any real event stream) assumes.
+
+    `cache_key` (optional) memoizes the staged SOURCE per process — pass
+    a key that captures (sf_dir, table, slicing rule).  Checkpoint dir
+    and sink stay per-invocation.
     """
     import shutil
     import tempfile
     import uuid
 
-    work = tempfile.mkdtemp(prefix=f"bfs_{prefix}_")
+    src, owns_src = _staged_source(
+        spark, df, split_col, prefix, n_batches, route, cache_key
+    )
+    work = tempfile.mkdtemp(prefix=f"bfs_run_{prefix}_")
     name = f"bfs_{prefix}_{uuid.uuid4().hex[:12]}"
     try:
-        route_col = (
-            F.pmod(F.xxhash64(split_col), F.lit(n_batches))
-            if route is None
-            else route(df)
-        )
-        staged = df.withColumn("__route", route_col)
-        if route is not None:
-            # a custom route may be a global-sort expression (ntile over
-            # event time); materialize once instead of re-sorting per write
-            staged = staged.localCheckpoint(eager=False)
-        for i in range(n_batches):
-            staged.filter(F.col("__route") == i).drop(
-                "__route"
-            ).coalesce(1).write.mode("append").parquet(f"{work}/src")
-        schema = spark.read.parquet(f"{work}/src").schema
+        schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
-            .parquet(f"{work}/src")
+            .parquet(src)
         )
         q = (
             build_stream(stream)
@@ -2450,6 +2515,8 @@ def _run_staged_stream(
         except Exception:
             pass  # sink never registered (query failed before start)
         shutil.rmtree(work, ignore_errors=True)
+        if owns_src:
+            shutil.rmtree(os.path.dirname(src), ignore_errors=True)
 
 
 def q_streaming_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2474,6 +2541,7 @@ def q_streaming_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             hll_factory(precision=14),
         ),
         "stream_grouped",
+        cache_key=f"{sf_dir}|events|h3",
     )
     final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
     exact = (
@@ -2552,6 +2620,7 @@ def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             freqitems_factory(capacity),
         ),
         "stream_topk",
+        cache_key=f"{sf_dir}|events|h3",
     )
     final = out.loc[out["rows_total"].idxmax()]
     sk = serde.deserialize(bytes(final["blob"]))
@@ -2610,6 +2679,7 @@ def q_streaming_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.orderBy(F.col("ts").asc_nulls_first(), F.col("event_id"))
         )
         - 1,
+        cache_key=f"{sf_dir}|events|ntile3",
     )
     kept = out[["event_id", "user_id"]].sort_values("event_id")
     return spark.createDataFrame(
@@ -2656,6 +2726,7 @@ def q_streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             cms_factory(epsilon=0.0005, delta=0.001),
         ),
         "stream_cms",
+        cache_key=f"{sf_dir}|events|h3",
     )
     final = out.loc[out["rows_total"].idxmax()]
     sk = serde.deserialize(bytes(final["blob"]))
@@ -2711,6 +2782,7 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             kll_factory(k=200),
         ),
         "stream_kll",
+        cache_key=f"{sf_dir}|events|h3",
     )
     final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
     exact = (
@@ -2763,6 +2835,7 @@ def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: streaming_first_seen(s, "k", n_expected=n_expected, fpp=fpp),
         "first_seen",
         out_mode="append",
+        cache_key=f"{sf_dir}|documents-md5|h3",
     )[["k"]]
     exact = int(docs.select(F.countDistinct("k")).first()[0])
     emitted = len(out)
