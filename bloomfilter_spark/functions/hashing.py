@@ -37,6 +37,20 @@ DEFAULT_SEED = 0x5EED_1EAF  # fixed default; part of every sketch's header
 
 _MIX_TILE_ROWS = 32_768  # rows per cache tile in the variable-length mixer
 
+# Tail-byte masks for the final 16-byte window, indexed by r = len mod 16
+# (the number of REAL tail bytes): keeping the low min(r,8) bytes of the
+# lo u64 lane and the low max(r-8,0) bytes of the hi lane equals zeroing
+# the pad bytes of a little-endian load — two table-gathers + two ANDs
+# instead of a (g,16) boolean byte mask (measured ~30% of assembly cost).
+_TAIL_MASK_LO = np.array(
+    [U64(0xFFFFFFFFFFFFFFFF) if r >= 8 else U64((1 << (8 * r)) - 1) for r in range(16)],
+    dtype=U64,
+)
+_TAIL_MASK_HI = np.array(
+    [U64((1 << (8 * (r - 8))) - 1) if r > 8 else U64(0) for r in range(16)],
+    dtype=U64,
+)
+
 
 def murmur3_x64_128(
     flat: np.ndarray, offsets: np.ndarray, seed: int = DEFAULT_SEED
@@ -54,10 +68,15 @@ def murmur3_x64_128(
     """
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
-    h1 = np.full(n, U64(seed), dtype=U64)
-    h2 = np.full(n, U64(seed), dtype=U64)
-    if n == 0:
-        return h1, h2
+    if n <= 0:
+        return (
+            np.full(max(n, 0), U64(seed), dtype=U64),
+            np.full(max(n, 0), U64(seed), dtype=U64),
+        )
+    # every row is written exactly once by its (b, tile) group below, so
+    # the outputs need no seed pre-fill
+    h1 = np.empty(n, dtype=U64)
+    h2 = np.empty(n, dtype=U64)
     lengths = offsets[1:] - offsets[:-1]
     starts = offsets[:-1]
     nblocks = lengths // 16
@@ -81,7 +100,7 @@ def murmur3_x64_128(
             for s in range(0, len(idx), _MIX_TILE_ROWS):
                 sl = idx[s : s + _MIX_TILE_ROWS]
                 _murmur_group(
-                    flat_pad, starts[sl], lengths[sl], int(b), h1, h2, sl
+                    flat_pad, starts[sl], lengths[sl], int(b), h1, h2, sl, seed
                 )
     return h1, h2
 
@@ -94,6 +113,7 @@ def _murmur_group(
     h1_out: np.ndarray,
     h2_out: np.ndarray,
     idx: np.ndarray,
+    seed: int,
 ) -> None:
     """Hash one bucket of rows that all contain exactly ``b`` full 16B blocks.
 
@@ -101,15 +121,18 @@ def _murmur_group(
     row's (b+1)*16-byte window is loadable through a strided view: the whole
     bucket assembles with ONE g-index row-gather — no per-byte index arrays
     (≈5× cheaper than repeat/scatter assembly on url-length strings).
-    Every row here has b full blocks, so only the final 16 tail columns can
-    exceed a row's length — zero just those (a zero-padded LE tail is
-    exactly the scalar algorithm's tail switch)."""
+    Every row here has b full blocks, so only the final two u64 tail LANES
+    can contain pad bytes — AND them with length-indexed masks
+    (_TAIL_MASK_LO/_HI): two table gathers + two in-place ANDs replace the
+    former (g,16) boolean byte mask (~30% of assembly cost), and a masked
+    little-endian tail load is exactly the scalar algorithm's tail switch."""
     width = (b + 1) * 16
     win = np.lib.stride_tricks.sliding_window_view(flat, width)
     padded = win[starts]  # (g, width), C-contiguous copy
-    tail_cols = np.arange(16 * b, width, dtype=np.int64)
-    padded[:, 16 * b :][tail_cols[None, :] >= lens[:, None]] = 0
     words = padded.view("<u8")  # (g, 2*(b+1)) little-endian lanes
+    r = (lens - 16 * b).astype(np.int64)  # real tail bytes, 0..15
+    words[:, 2 * b] &= _TAIL_MASK_LO[r]
+    words[:, 2 * b + 1] &= _TAIL_MASK_HI[r]
 
     # All mixing below runs IN PLACE over four live buffers (gh1, gh2, k1,
     # k2) plus one scratch (tmp): the out-of-place version spent most of
@@ -118,8 +141,8 @@ def _murmur_group(
     # Every rewrite is value-preserving — outputs stay bit-identical to
     # the scalar algorithm (pinned in tests/test_hashing.py).
     g = len(starts)
-    gh1 = h1_out[idx].copy()
-    gh2 = h2_out[idx].copy()
+    gh1 = np.full(g, U64(seed), dtype=U64)
+    gh2 = np.full(g, U64(seed), dtype=U64)
     k1 = np.empty(g, dtype=U64)
     k2 = np.empty(g, dtype=U64)
     tmp = np.empty(g, dtype=U64)
