@@ -104,3 +104,45 @@ class TestSnapshotDrift:
         df_b = spark.createDataFrame([("s",)], "x string")
         with pytest.raises(ValueError, match="no profiled column"):
             snapshot_drift(df_a, df_b)
+
+
+class TestExactKS:
+    """exact_ks_distance: scalable exact two-sample KS (VERDICT r4 #4 —
+    replaces the single-partition global-window ECDF in the drift
+    catalog query)."""
+
+    def test_matches_scipy_style_reference(self, spark):
+        from bloomfilter_spark.operators.drift import exact_ks_distance
+
+        rng = np.random.default_rng(11)
+        xa = rng.normal(0.0, 1.0, 400).round(3)
+        xb = rng.normal(0.4, 1.0, 300).round(3)
+        df_a = spark.createDataFrame([(float(v),) for v in xa], "v double")
+        df_b = spark.createDataFrame([(float(v),) for v in xb], "v double")
+        got = exact_ks_distance(df_a, df_b, "v")
+
+        # reference: brute-force ECDF sup-gap at the union of sample points
+        support = np.unique(np.concatenate([xa, xb]))
+        fa = np.searchsorted(np.sort(xa), support, side="right") / len(xa)
+        fb = np.searchsorted(np.sort(xb), support, side="right") / len(xb)
+        want = float(np.max(np.abs(fa - fb)))
+        assert got == pytest.approx(want, abs=1e-12)
+
+    def test_null_and_empty_sides(self, spark):
+        from bloomfilter_spark.operators.drift import exact_ks_distance
+
+        df_a = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+        empty = spark.createDataFrame([(None,)], "v double")
+        assert math.isnan(exact_ks_distance(df_a, empty, "v"))
+        # identical samples -> KS exactly 0
+        assert exact_ks_distance(df_a, df_a, "v") == 0.0
+
+    def test_no_single_partition_window_in_plan(self, spark):
+        """The plan must contain no unpartitioned WindowExec — the whole
+        point of the range-shuffle prefix-sum rewrite."""
+        from bloomfilter_spark.operators.packing import global_running_sum
+
+        df = spark.range(0, 1000).selectExpr("id as v", "1 as ca")
+        out = global_running_sum(df, ["v"], "ca", out_col="cum")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
