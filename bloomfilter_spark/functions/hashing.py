@@ -78,14 +78,23 @@ def murmur3_x64_128(
     h1 = np.empty(n, dtype=U64)
     h2 = np.empty(n, dtype=U64)
     lengths = offsets[1:] - offsets[:-1]
-    starts = offsets[:-1]
     nblocks = lengths // 16
 
     # zero-pad the flat buffer once so every row can be loaded as a full
     # (b+1)*16-byte window via sliding_window_view — the per-group load is
-    # then ONE row-gather with g indices instead of per-byte index math
+    # then ONE row-gather with g indices instead of per-byte index math.
+    # Offsets are nondecreasing (row i is flat[o[i]:o[i+1]]), so the batch
+    # only touches flat[o[0]:o[-1]): trim to that VIEW before padding.
+    # Without the trim, a batch sliced from a big Arrow array (arr.offset
+    # deep into a shared data buffer — every mapInArrow build) would
+    # memcpy the WHOLE parent buffer per batch; measured 0.96 → 4.9 M/s
+    # on 8192-row slices of a 1M-url array.
+    base = int(offsets[0])
     max_pad = (int(nblocks.max()) + 1) * 16 if len(lengths) else 16
-    flat_pad = np.concatenate([flat, np.zeros(max_pad, dtype=np.uint8)])
+    flat_pad = np.concatenate(
+        [flat[base:int(offsets[-1])], np.zeros(max_pad, dtype=np.uint8)]
+    )
+    starts = offsets[:-1] - base
 
     with np.errstate(over="ignore"):
         for b in np.unique(nblocks):

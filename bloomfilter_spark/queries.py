@@ -1771,9 +1771,14 @@ _WINDOW = [
     "theta_set_ops",
     # SQL function surface over sketch blobs
     "sql_sketch_api",
+    # Iceberg snapshot-pinned + incremental reads through the pure-Python
+    # metadata layer (r5: the north rule's Iceberg line item executed
+    # live; heavy_hitters_users rotates to extended — CMS and MG top-k
+    # stay covered by cms_event_type_counts/heavy_hitters_event_types and
+    # topk_users_freqitems)
+    "iceberg_snapshot_read",
     # CMS / frequent items
     "cms_event_type_counts",
-    "heavy_hitters_users",
     "topk_users_freqitems",
     # quantile sketches
     "kll_quantiles_n_chars",

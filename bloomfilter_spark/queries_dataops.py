@@ -810,6 +810,82 @@ ORDER BY doc_id
 """
 
 
+def _iceberg_staged_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents fixture as a two-snapshot Iceberg v1 table
+    (pure-Python metadata layer, sources/iceberg_meta.py): snapshot 1 =
+    doc_id % 3 = 0, snapshot 2 appends the rest (NULL ids included).
+    Memoized per (process, sf_dir) like the streaming sources — the table
+    is immutable once built, which is exactly the property Iceberg
+    snapshot pins assume."""
+    import atexit
+    import glob
+    import tempfile
+
+    from bloomfilter_spark.sources.iceberg_meta import IcebergMetaTable
+
+    cache_key = f"iceberg:{sf_dir}"
+    if cache_key in _STAGE_CACHE:
+        return _STAGE_CACHE[cache_key]
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="bfs_iceberg_")
+    loc = f"{work}/tbl"
+    tbl = IcebergMetaTable.create(loc, docs.schema)
+    b1, b2 = f"{loc}/data/b1", f"{loc}/data/b2"
+    docs.filter("doc_id % 3 = 0").coalesce(1).write.parquet(b1)
+    tbl.append(sorted(glob.glob(f"{b1}/*.parquet")))
+    docs.filter("doc_id % 3 != 0 OR doc_id IS NULL").coalesce(2).write.parquet(b2)
+    tbl.append(sorted(glob.glob(f"{b2}/*.parquet")))
+    if not _STAGE_CACHE:
+        atexit.register(_cleanup_stage_cache)
+    _STAGE_CACHE[cache_key] = loc
+    return loc
+
+
+def q_iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-pinned + incremental Iceberg reads, executed LIVE through
+    the pure-Python metadata layer (no runtime jar): resolve snapshot 1's
+    data files through version-hint → metadata.json → manifest-list →
+    manifest Avro (the spec's planning walk), scan them pinned; then scan
+    ONLY the files snapshot 2 appended (the changelog a resumed
+    incremental build consumes).  The oracle replays both file sets as
+    the mod-3 predicates the staging used — a full value check that the
+    metadata walk selected exactly the right bytes."""
+    from bloomfilter_spark.sources.iceberg_meta import IcebergMetaTable
+    from bloomfilter_spark.sources.tables import read_pages
+
+    loc = _iceberg_staged_table(spark, sf_dir)
+    tbl = IcebergMetaTable(loc)
+    s1, s2 = tbl.snapshot_ids()
+    pinned = read_pages(spark, loc, snapshot_id=s1)
+    appended = spark.read.parquet(*tbl.incremental_files(s1, s2))
+
+    def _agg(df: DataFrame, part: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias(
+                "total_chars"),
+        ).withColumn("part", F.lit(part))
+
+    return (
+        _agg(pinned, "snap1")
+        .unionByName(_agg(appended, "appended"))
+        .select("part", "lang", "n_docs", "total_chars")
+        .orderBy(F.col("part"), F.col("lang").asc_nulls_first())
+    )
+
+
+_ICEBERG_SNAPSHOT_SQL = """
+SELECT 'snap1' AS part, lang, COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 3 = 0 GROUP BY lang
+UNION ALL
+SELECT 'appended' AS part, lang, COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 3 <> 0 OR doc_id IS NULL GROUP BY lang
+ORDER BY part, lang NULLS FIRST
+"""
+
+
 def q_compression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality filter (zlib level 6, deterministic on
     every CPython).  rows-only by necessity — DuckDB has no zlib — with
@@ -3526,6 +3602,7 @@ QUERIES2 = {
     "tfidf_vectors": q_tfidf_vectors,
     "json_props_stats": q_json_props_stats,
     "snapshot_diff": q_snapshot_diff,
+    "iceberg_snapshot_read": q_iceberg_snapshot_read,
     "compression_filter": q_compression_filter,
     "lang_id_counts": q_lang_id_counts,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3591,6 +3668,7 @@ ORACLES2 = {
     "tfidf_vectors": _TFIDF_SQL,
     "json_props_stats": _JSON_PROPS_SQL,
     "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "iceberg_snapshot_read": _ICEBERG_SNAPSHOT_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

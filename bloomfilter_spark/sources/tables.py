@@ -40,10 +40,23 @@ def read_pages(
     source: str,
     snapshot_id: int | None = None,
 ) -> DataFrame:
-    """Read a pages table from an Iceberg catalog table name or a parquet
-    path.  Paths (contain '/' or end in .parquet) read as parquet; catalog
-    names require the Iceberg runtime."""
+    """Read a pages table from an Iceberg catalog table name, an Iceberg
+    table directory (resolved through the pure-Python metadata layer in
+    iceberg_meta.py — no jar needed), or a parquet path.  Catalog names
+    (no '/') require the Iceberg runtime."""
     if "/" in source or source.endswith(".parquet"):
+        from bloomfilter_spark.sources.iceberg_meta import (
+            is_iceberg_meta_table,
+            read_iceberg_meta,
+        )
+
+        if is_iceberg_meta_table(source):
+            return read_iceberg_meta(spark, source, snapshot_id=snapshot_id)
+        if snapshot_id is not None:
+            raise ValueError(
+                "snapshot_id was passed but the path is plain parquet, not "
+                "an Iceberg table — the pin would be silently ignored"
+            )
         return spark.read.parquet(source)
     if not iceberg_available(spark):
         raise RuntimeError(
@@ -62,7 +75,12 @@ def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
     build_multi_checkpointed(input_pin=f"iceberg:{table}@{sid}") so a
     killed build resumes against the EXACT table version it started from —
     an append between kill and resume changes the pin and the resume is
-    rejected instead of silently mixing snapshots."""
+    rejected instead of silently mixing snapshots.  Iceberg table
+    DIRECTORIES resolve through the pure-Python metadata layer (no jar)."""
+    if "/" in table:
+        from bloomfilter_spark.sources.iceberg_meta import IcebergMetaTable
+
+        return IcebergMetaTable(table).current_snapshot_id()
     if not iceberg_available(spark):
         raise RuntimeError(
             "Iceberg runtime not on the classpath (see module docstring)"

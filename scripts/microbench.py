@@ -108,6 +108,20 @@ def main() -> None:
     results["bloom contains (url str, present)"] = bench(
         lambda: [bf2.contains(b) for b in str_batches], n
     )
+    # Arrow-native string batches — what the mapInArrow suite build
+    # actually feeds the kernels (zero-copy buffer views, no per-batch
+    # object→utf8 conversion); slices of one big array, as in a scan
+    import pyarrow as pa
+
+    pa_all = pa.Array.from_pandas(str_keys, type=pa.string())
+    pa_batches = [pa_all.slice(i, bs) for i in range(0, n, bs)]
+    bf3 = BloomFilter.create(n, 0.01)
+    results["bloom add (url str, arrow)"] = bench(
+        lambda: ([bf3.update(b) for b in pa_batches], bf3.words), n
+    )
+    results["bloom contains (url str, arrow, present)"] = bench(
+        lambda: [bf3.contains(b) for b in pa_batches], n
+    )
     neg = pd.Series([f"neg-{i}" for i in range(100_000)])
     fp = float(bf2.contains(neg).mean())
     fp_blocked = float(bb.contains(np.arange(n, n + 100_000, dtype=np.int64)).mean())

@@ -156,7 +156,10 @@ def test_event_queries_match_oracle_on_adversarial_table(
      "dup_span_stats", "dedup_span_removal", "decontaminate_ngrams",
      "dedup_minhash_verified",
      "dedup_clusters", "token_budget", "corpus_overlap", "extract_text",
-     "sample_weighted", "line_dedup_removal", "lm_perplexity"],
+     "sample_weighted", "line_dedup_removal", "lm_perplexity",
+     # r5: NULL doc_id rows must land in the APPENDED snapshot (the mod-3
+     # predicate excludes them from snap1) and NULL n_chars sums as 0
+     "iceberg_snapshot_read"],
 )
 def test_queries_match_oracle_on_adversarial_table(spark, edge_dir, qname):
     _compare(spark, edge_dir, qname)
