@@ -5,9 +5,10 @@ two parallelism levels on the same input).
 
 Measures local[2] → local[8] → local[32] (two independent N→4N ratios on
 one 32-core box), best of `--trials` spark-submit runs per level, and
-writes BENCH.md + BENCH.json.  The 2→8 ratio is the cleaner proxy for
-multi-executor scaling: at 32 workers a single box saturates DRAM
-bandwidth that a real 4N-executor cluster would multiply instead.
+writes BENCH_THREADS.md + BENCH_THREADS.json.  The 2→8 ratio is the
+cleaner proxy for multi-executor scaling: at 32 workers a single box
+saturates DRAM bandwidth that a real 4N-executor cluster would multiply
+instead.
 """
 
 from __future__ import annotations
@@ -82,7 +83,9 @@ def main() -> None:
         "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH.json"), "w") as f:
+    # BENCH.json is bench.py's curated catalog record — this result gets
+    # its own file so a scaling re-run can't clobber it
+    with open(os.path.join(REPO, "BENCH_THREADS.json"), "w") as f:
         json.dump(result, f, indent=2)
 
     rows_tbl = "\n".join(
@@ -125,7 +128,7 @@ Measured {result['measured_at']} on a 32-core container, Spark local mode,
 the ~GB-scale fixture fans out across all cores (at petabyte scale the
 128 MB default gives the same fan-out naturally).
 """)
-    print("wrote BENCH_THREADS.md / BENCH.json", file=sys.stderr)
+    print("wrote BENCH_THREADS.md / BENCH_THREADS.json", file=sys.stderr)
 
 
 if __name__ == "__main__":
