@@ -264,6 +264,28 @@ def test_checkpointed_build_resumes_against_snapshot_pin(spark, documents,
                                  input_pin=snapshot_pin(loc, s2))
 
 
+def test_incremental_build_bit_identical_to_full(spark, ice):
+    """Incremental maintenance contract (catalog `iceberg_incremental_build`
+    at fixture scale): a sketch built at snapshot 1 and EXTENDED with only
+    the `incremental_files(s1, s2)` changelog is byte-identical to a
+    from-scratch build at snapshot 2 — snapshot-1 bytes are never re-read."""
+    from bloomfilter_spark.operators.build import (
+        bloom_factory,
+        build_sketch,
+        hll_factory,
+    )
+
+    loc, tbl, s1, s2 = ice
+    key = "doc_id IS NOT NULL"
+    snap1 = read_iceberg_meta(spark, loc, s1).filter(key)
+    incr = spark.read.parquet(*tbl.incremental_files(s1, s2)).filter(key)
+    full = read_iceberg_meta(spark, loc, s2).filter(key)
+    for fac in (hll_factory(precision=12), bloom_factory(4000, 0.01)):
+        merged = build_sketch(snap1, "doc_id", fac).merge(
+            build_sketch(incr, "doc_id", fac))
+        assert merged.to_bytes() == build_sketch(full, "doc_id", fac).to_bytes()
+
+
 def F_concat_docid():
     from pyspark.sql import functions as F
 
