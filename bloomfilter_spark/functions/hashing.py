@@ -90,10 +90,25 @@ def murmur3_x64_128(
     # memcpy the WHOLE parent buffer per batch; measured 0.96 → 4.9 M/s
     # on 8192-row slices of a 1M-url array.
     base = int(offsets[0])
+    end = int(offsets[-1])
     max_pad = (int(nblocks.max()) + 1) * 16 if len(lengths) else 16
-    flat_pad = np.concatenate(
-        [flat[base:int(offsets[-1])], np.zeros(max_pad, dtype=np.uint8)]
-    )
+    if len(flat) >= end + 16 and len(flat) - base >= max_pad:
+        # The parent buffer extends past this batch (every mapInArrow
+        # batch except the buffer's last slice): a row's window reaches at
+        # most 16 bytes past its own data (its partial tail block), so 16
+        # bytes of slack suffice — window loads may then read NEIGHBORING
+        # rows' bytes instead of zeros, but only into the two tail lanes,
+        # which the length-indexed _TAIL_MASK AND zeroes before mixing —
+        # bit-identical to the zero-pad path (pinned in
+        # tests/test_hashing.py) with ZERO copies instead of a
+        # whole-batch memcpy per call.  (The second conjunct keeps the
+        # view at least one max-width window long for
+        # sliding_window_view.)
+        flat_pad = flat[base:]
+    else:
+        flat_pad = np.concatenate(
+            [flat[base:end], np.zeros(max_pad, dtype=np.uint8)]
+        )
     starts = offsets[:-1] - base
 
     with np.errstate(over="ignore"):

@@ -173,3 +173,24 @@ def test_u64_fast_path_bit_identical_to_general():
             f1, f2 = murmur3_x64_128_u64(vals, seed)
             g1, g2 = murmur3_x64_128(*bytes_view_of_int64(vals), seed)
             assert np.array_equal(f1, g1) and np.array_equal(f2, g2)
+
+
+def test_mid_buffer_view_path_bit_identical():
+    """The no-copy pad path (parent buffer has ≥16B slack past the batch):
+    tail-lane masks must annihilate the NEIGHBOR bytes the window loads in
+    place of zero padding — hashes equal the scalar port and the
+    batch-in-isolation (zero-pad) path for every row."""
+    rng = np.random.RandomState(3)
+    corpus = [
+        bytes(rng.randint(0, 256, size=rng.randint(0, 80), dtype=np.uint8))
+        for _ in range(400)
+    ]
+    flat_all, off_all = bytes_view_of_binary(corpus)
+    # mid-buffer slice: plenty of real (non-zero) bytes on both sides
+    lo, hi = 37, 361
+    offsets = off_all[lo : hi + 1]
+    h1, h2 = murmur3_x64_128(flat_all, offsets, 7)   # view path
+    iso1, iso2 = _vector_hash(corpus[lo:hi], 7)      # zero-pad path
+    assert np.array_equal(h1, iso1) and np.array_equal(h2, iso2)
+    for i, b in enumerate(corpus[lo:hi]):
+        assert (int(h1[i]), int(h2[i])) == murmur3_x64_128_scalar(b, 7)
