@@ -3383,11 +3383,34 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     def exact_ks(c: str) -> float:
         return exact_ks_distance(a, b, c)
 
+    # exact novelty/distinct replay for ALL columns in ONE aggregation
+    # (stack to (col_name, v), presence flags per side, two-level agg) —
+    # the per-column subtract/count/count version launched 9 serial jobs
+    # for identical integers; NULL groups like EXCEPT's null-safe equality
+    stack_expr = (
+        "stack(3, 'doc_id', cast(doc_id as string), "
+        "'n_chars', cast(n_chars as string), 'lang', lang) AS (col_name, v)"
+    )
+    stacked = (
+        a.selectExpr(stack_expr).withColumn("s", F.lit(0))
+        .unionAll(b.selectExpr(stack_expr).withColumn("s", F.lit(1)))
+        .groupBy("col_name", "v")
+        .agg(
+            F.max(F.col("s") == 0).alias("in_a"),
+            F.max(F.col("s") == 1).alias("in_b"),
+        )
+        .groupBy("col_name")
+        .agg(
+            F.sum((F.col("in_b") & ~F.col("in_a")).cast("long")).alias("novel"),
+            F.sum(F.col("in_a").cast("long")).alias("dist_a"),
+            F.count("*").alias("dist_union"),
+        )
+    )
+    novelty = {r["col_name"]: r for r in stacked.collect()}
+
     def exact_novel(c: str) -> tuple[int, int, int]:
-        da = a.select(c).distinct()
-        db = b.select(c).distinct()
-        novel = db.subtract(da).count()
-        return novel, da.count(), da.unionAll(db).distinct().count()
+        r = novelty[c]
+        return int(r["novel"]), int(r["dist_a"]), int(r["dist_union"])
 
     rows = []
     for c in ("doc_id", "n_chars", "lang"):
