@@ -92,7 +92,7 @@ def murmur3_x64_128(
     base = int(offsets[0])
     end = int(offsets[-1])
     max_pad = (int(nblocks.max()) + 1) * 16 if len(lengths) else 16
-    if len(flat) >= end + 16 and len(flat) - base >= max_pad:
+    if len(flat) >= end + 16:
         # The parent buffer extends past this batch (every mapInArrow
         # batch except the buffer's last slice): a row's window reaches at
         # most 16 bytes past its own data (its partial tail block), so 16
@@ -101,9 +101,9 @@ def murmur3_x64_128(
         # which the length-indexed _TAIL_MASK AND zeroes before mixing —
         # bit-identical to the zero-pad path (pinned in
         # tests/test_hashing.py) with ZERO copies instead of a
-        # whole-batch memcpy per call.  (The second conjunct keeps the
-        # view at least one max-width window long for
-        # sliding_window_view.)
+        # whole-batch memcpy per call.  (Nondecreasing offsets make this
+        # condition also cover sliding_window_view's length-≥-window
+        # requirement: end-base ≥ longest row ≥ max_pad-16.)
         flat_pad = flat[base:]
     else:
         flat_pad = np.concatenate(

@@ -33,6 +33,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from bloomfilter_spark.operators.packing import global_running_sums
 from bloomfilter_spark.operators.profile import profile_sketches
 from bloomfilter_spark.sketches.freqitems import FrequentItemsSketch
 from bloomfilter_spark.sketches.kll import KLLSketch
@@ -62,12 +63,12 @@ def exact_ks_distance(df_a: DataFrame, df_b: DataFrame, column: str) -> float:
     )
     counts = u.groupBy("v").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
     # both cumulative columns in ONE range shuffle + ONE per-partition-
-    # totals collect (global_running_sum's pattern, two size columns at
-    # once — composing two single-column calls would pay the range
-    # shuffle, checkpoint, and offsets job twice for identical layouts)
-    cum = _running_sums2(counts, "v", ("ca", "cum_a"), ("cb", "cum_b")).localCheckpoint(
-        eager=False
-    )
+    # totals collect — composing two single-column global_running_sum
+    # calls would pay the range shuffle, checkpoint, and offsets job
+    # twice for identical layouts
+    cum = global_running_sums(
+        counts, ["v"], [("ca", "cum_a"), ("cb", "cum_b")]
+    ).localCheckpoint(eager=False)
     tot = cum.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")).first()
     na, nb = tot["na"], tot["nb"]
     if not na or not nb:
@@ -78,64 +79,6 @@ def exact_ks_distance(df_a: DataFrame, df_b: DataFrame, column: str) -> float:
         ).alias("ks")
     ).first()["ks"]
     return float(gap)
-
-
-def _running_sums2(
-    df: DataFrame, order_col: str, *sums: tuple[str, str]
-) -> DataFrame:
-    """Inclusive prefix sums of several columns over the total order of
-    `order_col`, sharing one range shuffle and one per-partition-totals
-    job — the same no-single-reducer pattern as
-    operators/packing.py:global_running_sum, which this mirrors (kept
-    there single-column because the packer's contract is pinned).
-    `sums` are (size_col, out_col) pairs; sizes NULL-coalesce to 0."""
-    spark = df.sparkSession
-    n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    pid = "__rs2_pid"
-    ranged = (
-        df.repartitionByRange(n_ranges, F.col(order_col))
-        .sortWithinPartitions(F.col(order_col))
-        .withColumn(pid, F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    totals = (
-        ranged.groupBy(pid)
-        .agg(*[
-            F.sum(F.coalesce(F.col(c).cast("long"), F.lit(0))).alias(c)
-            for c, _ in sums
-        ])
-        .orderBy(pid)
-        .collect()
-    )
-    offsets: dict[int, list[int]] = {}
-    acc = [0] * len(sums)
-    for row in totals:
-        offsets[row[pid]] = list(acc)
-        for j, (c, _) in enumerate(sums):
-            acc[j] += row[c]
-
-    names = ranged.schema.fieldNames() + [o for _, o in sums]
-    schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema
-    ) + "".join(f", `{o}` bigint" for _, o in sums)
-
-    def cumsum(batches):
-        run = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if run is None:
-                run = list(offsets[int(pdf[pid].iloc[0])])
-            pdf = pdf.copy()
-            for j, (c, o) in enumerate(sums):
-                cs = (
-                    pdf[c].fillna(0).to_numpy("int64").cumsum() + run[j]
-                )
-                run[j] = int(cs[-1])
-                pdf[o] = cs
-            yield pdf[names]
-
-    return ranged.mapInPandas(cumsum, schema=schema).drop(pid)
 
 
 def kll_ks_distance(a: KLLSketch, b: KLLSketch) -> tuple[float, float]:

@@ -70,54 +70,87 @@ def global_running_sum(
     is meaningless for byte packing and would also make downstream offsets
     negative, where integer `div` truncation is no longer floor.
     """
+    return global_running_sums(df, order_cols, [(size_col, out_col)], n_ranges)
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sums: list[tuple[str, str]],
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Multi-column core of `global_running_sum`: inclusive prefix sums of
+    several `(size_col, out_col)` pairs over one total order, sharing ONE
+    range shuffle and ONE per-partition-totals job (callers needing two
+    cumulative columns — the drift query's ECDF pair — would otherwise
+    pay the shuffle, checkpoint, and offsets job once per column).  Same
+    NULL/negative-clamp rule per column as the single-column wrapper; the
+    clamp runs JVM-side, so the pandas cumsum only ever sees non-null
+    int64 (no float64 round-trip above 2^53).
+    """
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
+    if not sums:
+        raise ValueError("sums must name at least one (size_col, out_col)")
     spark = df.sparkSession
     if n_ranges is None:
         n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    size = F.greatest(F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(0))
+    size_names = [f"{_SIZE}_{j}" for j in range(len(sums))]
 
     # Materialize the range layout ONCE so the totals job and the cumsum
     # job see identical partition ids and row order (at cluster scale:
     # persist/checkpoint instead of localCheckpoint).
-    ranged = (
-        df.repartitionByRange(n_ranges, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*[F.col(c) for c in order_cols])
-        .withColumn(_PID, F.spark_partition_id())
-        .withColumn(_SIZE, size)
-        .localCheckpoint(eager=False)
+    ranged = df.repartitionByRange(
+        n_ranges, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*[F.col(c) for c in order_cols]).withColumn(
+        _PID, F.spark_partition_id()
     )
+    for sn, (size_col, _) in zip(size_names, sums):
+        ranged = ranged.withColumn(
+            sn,
+            F.greatest(
+                F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(0)
+            ),
+        )
+    ranged = ranged.localCheckpoint(eager=False)
 
     # Tiny: one partial-aggregated row per partition, prefix-summed
     # driver-side into exclusive offsets.
-    totals = ranged.groupBy(_PID).agg(F.sum(_SIZE).alias("t")).orderBy(_PID).collect()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in totals:
-        offsets[row[_PID]] = acc
-        acc += row["t"]
-
-    out_schema = ranged.schema.fieldNames() + [out_col]
-    schema = (
-        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema)
-        + f", `{out_col}` bigint"
+    totals = (
+        ranged.groupBy(_PID)
+        .agg(*[F.sum(sn).alias(sn) for sn in size_names])
+        .orderBy(_PID)
+        .collect()
     )
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(sums)
+    for row in totals:
+        offsets[row[_PID]] = list(acc)
+        for j, sn in enumerate(size_names):
+            acc[j] += row[sn]
+
+    out_cols = [o for _, o in sums]
+    out_schema = ranged.schema.fieldNames() + out_cols
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema
+    ) + "".join(f", `{o}` bigint" for o in out_cols)
 
     def cumsum(batches):
-        run = None  # partition offset, loaded from the first batch's pid
+        run = None  # partition offsets, loaded from the first batch's pid
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if run is None:
-                run = offsets[int(pdf[_PID].iloc[0])]
-            cs = pdf[_SIZE].to_numpy().cumsum() + run
-            run = int(cs[-1])
+                run = list(offsets[int(pdf[_PID].iloc[0])])
             pdf = pdf.copy()
-            pdf[out_col] = cs
+            for j, sn in enumerate(size_names):
+                cs = pdf[sn].to_numpy().cumsum() + run[j]
+                run[j] = int(cs[-1])
+                pdf[out_cols[j]] = cs
             yield pdf[out_schema]
 
-    return ranged.mapInPandas(cumsum, schema=schema).drop(_PID, _SIZE)
+    return ranged.mapInPandas(cumsum, schema=schema).drop(_PID, *size_names)
 
 
 def pack_shards(
