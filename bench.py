@@ -68,9 +68,15 @@ def run_queries(
     and keep the min — neighbor noise on this shared VM produces broad
     2-5x inflations (BENCH.md noise record, VERDICT r4 #3) and a single
     retry separates a code regression (reproduces) from a noise spike
-    (vanishes).  Per-query 1-minute loadavg is recorded so any residual
-    excess is attributable mechanically."""
+    (vanishes).  Queries STILL >2x record after the inline retry get one
+    more attempt at the END of the run (bounded total budget): the noise
+    windows observed here last minutes, so an immediate retry fails with
+    its trigger while an end-of-run retry usually lands after the window
+    has passed (measured: a 12.3 s in-noise decontaminate_ngrams replays
+    at 2.2-2.6 s once quiet).  Per-query 1-minute loadavg is recorded so
+    any residual excess is attributable mechanically."""
     timings: dict[str, float] = {}
+    suspect: list[str] = []
     for name, fn in catalog.items():
         dt = _time_one(spark, sf_dir, name, fn)
         rec = records.get(name)
@@ -82,10 +88,38 @@ def run_queries(
             )
             dt = min(dt, _time_one(spark, sf_dir, name, fn))
             stats["reruns"] = stats.get("reruns", 0) + 1
+            if dt > max(2.0 * rec, rec + 1.0):
+                suspect.append(name)
         timings[name] = round(dt, 3)
         load = _loadavg_1m()
         stats.setdefault("load_by_query", {})[name] = round(load, 2)
         stats["load_max"] = max(stats.get("load_max", 0.0), round(load, 2))
+    # end-of-run recovery pass for persistent offenders, budget-bounded so
+    # a genuinely-regressed (or genuinely-busy) box cannot double the run
+    budget = float(os.environ.get("SPARK_GRAFT_RERUN_BUDGET", "75"))
+    spent = 0.0
+    for name in suspect:
+        if spent >= budget:
+            print(
+                f"[bench] end-of-run rerun budget exhausted "
+                f"({spent:.0f}s >= {budget:.0f}s); keeping remaining "
+                f"in-noise times as-is",
+                file=sys.stderr,
+            )
+            break
+        print(
+            f"[bench] end-of-run retry {name} (kept {timings[name]:.2f}s, "
+            f"loadavg {_loadavg_1m():.1f})",
+            file=sys.stderr,
+        )
+        dt = _time_one(spark, sf_dir, name, catalog[name])
+        spent += dt
+        stats["reruns_final"] = stats.get("reruns_final", 0) + 1
+        if dt < timings[name]:
+            timings[name] = round(dt, 3)
+            stats.setdefault("load_by_query", {})[name] = round(
+                _loadavg_1m(), 2
+            )
     return timings
 
 
@@ -189,6 +223,7 @@ def main() -> None:
     out.update(extras)
     out.update(load_info)
     out["reruns"] = stats.get("reruns", 0)
+    out["reruns_final"] = stats.get("reruns_final", 0)
     out["load_max"] = stats.get("load_max", 0.0)
     out["load_by_query"] = stats.get("load_by_query", {})
     out["load_1m_end"] = round(_loadavg_1m(), 2)
@@ -223,6 +258,7 @@ def main() -> None:
         "queries_omitted": max(0, len(timings) - len(slowest)),
         "full_record": "BENCH_LAST.json",
         "reruns": out["reruns"],
+        "reruns_final": out["reruns_final"],
         "load_1m_start": out.get("load_1m_start"),
         "load_max": out["load_max"],
         "load_1m_end": out["load_1m_end"],
