@@ -121,6 +121,51 @@ def _shingle_sets(texts: pd.Series, n: int = 3) -> tuple[np.ndarray, np.ndarray]
     return np.array(out_shingles, dtype=object), offsets
 
 
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sz, shingle) — one row per DISTINCT word n-gram per document,
+    where sz = the doc's distinct-shingle count.
+
+    Arrow-batched pandas shingler (`_shingle_sets`, the same pinned
+    tokenize→shingle rule the minhash paths replay) instead of the
+    Catalyst `transform(sequence, i -> concat_ws(slice(...)))` +
+    `array_distinct` expression: higher-order functions evaluate
+    interpreted per element with per-shingle object allocation, measured
+    ~16x slower than this batch path at identical, oracle-pinned output
+    (3.2 s vs 0.2 s for 5000 sf0.1 docs).  Emits nothing for docs with
+    fewer than n tokens — identical to the old `size(sh) > 0` filter."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("sz", LongType()),
+            StructField("shingle", StringType()),
+        ]
+    )
+    src = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            flat, offsets = _shingle_sets(pdf["text"], n)
+            cnt = np.diff(offsets)
+            idx = np.repeat(np.arange(len(pdf)), cnt)
+            yield pd.DataFrame(
+                {
+                    # .iloc keeps the id column's (possibly nullable)
+                    # dtype intact instead of collapsing NULLs to NaN
+                    "id": pdf["id"].iloc[idx].reset_index(drop=True),
+                    "sz": cnt[idx],
+                    "shingle": flat,
+                }
+            )
+
+    return src.mapInPandas(gen, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (Catalyst; the DuckDB-oracle-checked dedup path)
 # ---------------------------------------------------------------------------
@@ -150,24 +195,14 @@ def ngram_jaccard_pairs(
     so scores change only for pairs that share a hot shingle; the default
     (None) keeps the exact all-shingle answer and the unchanged plan.
     """
-    df = ensure_parallelism(df)
-    toks_df = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN).alias("toks"),
-    )
-    sh = (
-        toks_df.select("id", shingles_of_toks("toks", n).alias("sh"))
-        .withColumn("sz", F.size("sh"))
-        .filter(F.col("sz") > 0)
-    )
     # join on the shingle's 64-bit hash, not the string: identical pair
     # counts w.h.p. (64-bit collisions ~1e-9 at millions of shingles) and
     # the shuffle carries 8 bytes per shingle instead of ~25.
     # localCheckpoint materializes the relation once — both self-join
     # branches read it, instead of recomputing scan+shingling per branch.
     ex = (
-        sh.select("id", "sz", F.explode("sh").alias("_s"))
-        .select("id", "sz", F.xxhash64("_s").alias("s"))
+        exploded_shingles(df, id_col, text_col, n)
+        .select("id", "sz", F.xxhash64("shingle").alias("s"))
         .localCheckpoint(eager=False)
     )
     if max_doc_freq is not None:

@@ -63,9 +63,7 @@ import hashlib
 from pyspark.sql import DataFrame, functions as F
 
 from bloomfilter_spark.functions.hashing import md5_hash60
-from bloomfilter_spark.operators.dedup import _shingles_of
-from bloomfilter_spark.functions.textstats import WS_SPLIT_PATTERN
-from bloomfilter_spark.plans.skew import ensure_parallelism
+from bloomfilter_spark.operators.dedup import exploded_shingles
 
 NONE_BUCKET = "(none)"
 
@@ -90,17 +88,22 @@ def perm_constants(num_perm: int) -> list[tuple[int, int]]:
 def _grouped_shingles(
     df: DataFrame, text_col: str, group_col: str, n: int
 ) -> DataFrame:
-    """(grp, s) rows: one row per shingle occurrence per document.
+    """(grp, s) rows: one row per DISTINCT shingle per document.
 
-    Duplicates within a group are NOT removed — ``min()`` (and the exact
-    baseline's DISTINCT) are idempotent, and an early per-group distinct
-    would itself be a shuffle."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)
-    return ensure_parallelism(df).select(
+    Per-doc duplicates were always removed (`_shingles_of` applies
+    array_distinct); duplicates ACROSS docs of a group are kept — fine,
+    since ``min()`` (and the exact baseline's DISTINCT) are idempotent
+    and an early per-group distinct would itself be a shuffle.  Uses the
+    Arrow-batched shingler (see `exploded_shingles`) — same pinned
+    output, ~16x cheaper than the higher-order-function expression."""
+    grp = df.select(
         F.coalesce(F.col(group_col).cast("string"), F.lit(NONE_BUCKET)).alias(
             "grp"
         ),
-        F.explode(_shingles_of(toks, n)).alias("s"),
+        F.col(text_col).alias("__text"),
+    )
+    return exploded_shingles(grp, "grp", "__text", n).select(
+        F.col("id").alias("grp"), F.col("shingle").alias("s")
     )
 
 
