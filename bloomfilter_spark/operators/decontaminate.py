@@ -62,9 +62,17 @@ def contaminated_docs(
     """
     from bloomfilter_spark.operators.build import bloom_factory, build_sketch
 
-    bench_sh = _distinct_shingles(bench_df, id_col, text_col, n).select(
-        F.col("shingle").alias("bench_shingle")
-    ).distinct()
+    # localCheckpoint: this small-by-construction relation is read by the
+    # sizing count, the sketch build (whose ensure_parallelism /
+    # merge_partials .rdd accesses materialize upstream exchanges under
+    # AQE), and the verify join — without it the shingle+distinct
+    # pipeline re-executes for each of those readers
+    bench_sh = (
+        _distinct_shingles(bench_df, id_col, text_col, n)
+        .select(F.col("shingle").alias("bench_shingle"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if n_expected is None:
         n_expected = max(1, bench_sh.count())
     sketch = build_sketch(bench_sh, "bench_shingle", bloom_factory(n_expected, fpp))
