@@ -81,6 +81,82 @@ def exact_ks_distance(df_a: DataFrame, df_b: DataFrame, column: str) -> float:
     return float(gap)
 
 
+def exact_ks_distances(
+    df_a: DataFrame, df_b: DataFrame, columns: list[str]
+) -> dict[str, float]:
+    """EXACT two-sample KS over SEVERAL numeric columns in one shared
+    pass — same math as `exact_ks_distance`, but the columns are stacked
+    into (c, v) rows so the groupBy, the range shuffle, and the
+    prefix-sum jobs run once for all of them instead of once per column.
+
+    The shared prefix sum orders by (c, v): cumulative counts therefore
+    run ACROSS column groups, and each column's true ECDF numerator is
+    its cum minus the total of every preceding column group — a
+    per-column constant computed from the (tiny) per-column totals and
+    folded back into the one max-gap aggregation as literals.  Values are
+    cast to long (callers pass integer-kind columns; the single-column
+    function remains for arbitrary numeric types).
+    """
+    if not columns:
+        return {}
+    n = len(columns)
+    stack = "stack({}, {}) AS (c, v)".format(
+        n, ", ".join(f"'{c}', cast(`{c}` as long)" for c in columns)
+    )
+    u = (
+        df_a.selectExpr(stack)
+        .select("c", "v", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionAll(
+            df_b.selectExpr(stack)
+            .select("c", "v", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    counts = u.groupBy("c", "v").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    cum = global_running_sums(
+        counts, ["c", "v"], [("ca", "cum_a"), ("cb", "cum_b")]
+    ).localCheckpoint(eager=False)
+    tots = {
+        r["c"]: (int(r["na"] or 0), int(r["nb"] or 0))
+        for r in cum.groupBy("c")
+        .agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+        .collect()
+    }
+    # per-column exclusive base = totals of all lexicographically-earlier
+    # columns (the prefix-sum order); columns absent from the data (all
+    # NULL) report NaN like the single-column function
+    base: dict[str, tuple[int, int]] = {}
+    acc_a = acc_b = 0
+    for c in sorted(tots):
+        base[c] = (acc_a, acc_b)
+        acc_a += tots[c][0]
+        acc_b += tots[c][1]
+    present = [c for c in columns if c in tots and tots[c][0] and tots[c][1]]
+    out = {c: float("nan") for c in columns}
+    if present:
+        norm_a = F.lit(None).cast("double")
+        norm_b = F.lit(None).cast("double")
+        for c in present:
+            (na, nb), (ba, bb) = tots[c], base[c]
+            norm_a = F.when(
+                F.col("c") == c, (F.col("cum_a") - F.lit(ba)) / F.lit(float(na))
+            ).otherwise(norm_a)
+            norm_b = F.when(
+                F.col("c") == c, (F.col("cum_b") - F.lit(bb)) / F.lit(float(nb))
+            ).otherwise(norm_b)
+        gaps = (
+            cum.groupBy("c")
+            .agg(F.max(F.abs(norm_a - norm_b)).alias("ks"))
+            .collect()
+        )
+        for r in gaps:
+            if r["c"] in out and r["ks"] is not None:
+                out[r["c"]] = float(r["ks"])
+    return out
+
+
 def kll_ks_distance(a: KLLSketch, b: KLLSketch) -> tuple[float, float]:
     """-> (ks_estimate, error_bound).  NaN estimate if either side is
     empty (no distribution to compare)."""

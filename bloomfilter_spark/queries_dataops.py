@@ -3384,7 +3384,7 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowExec anywhere in this query.  TV distances are emitted as
     values: Misra-Gries is exact below capacity, so at oracle scale the
     sketch TV equals the SQL replay."""
-    from bloomfilter_spark.operators.drift import exact_ks_distance, snapshot_drift
+    from bloomfilter_spark.operators.drift import exact_ks_distances, snapshot_drift
 
     docs = _t(spark, sf_dir, "documents")
     a = docs.filter(F.pmod("doc_id", F.lit(5)) != 0)
@@ -3410,8 +3410,13 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     }
 
+    # one stacked pass for BOTH int columns' exact-KS replays — the
+    # serial per-column version paid the groupBy + range shuffle +
+    # prefix-sum offsets job twice for identical layouts
+    ks_exact = exact_ks_distances(a, b, ["doc_id", "n_chars"])
+
     def exact_ks(c: str) -> float:
-        return exact_ks_distance(a, b, c)
+        return ks_exact[c]
 
     # exact novelty/distinct replay for ALL columns in ONE aggregation
     # (stack to (col_name, v), presence flags per side, two-level agg) —

@@ -137,6 +137,40 @@ class TestExactKS:
         # identical samples -> KS exactly 0
         assert exact_ks_distance(df_a, df_a, "v") == 0.0
 
+    def test_stacked_multi_column_equals_single(self, spark):
+        """exact_ks_distances (one shared stacked pass) must return
+        bit-identical values to the per-column function, and NaN for a
+        column empty on one side — the drift query relies on both."""
+        from bloomfilter_spark.operators.drift import (
+            exact_ks_distance,
+            exact_ks_distances,
+        )
+
+        rng = np.random.default_rng(7)
+        rows_a = [
+            (int(v), int(w))
+            for v, w in zip(
+                rng.integers(0, 200, 300), rng.integers(50, 400, 300)
+            )
+        ]
+        rows_b = [
+            (int(v), int(w) + 20)
+            for v, w in zip(
+                rng.integers(30, 230, 250), rng.integers(50, 400, 250)
+            )
+        ]
+        df_a = spark.createDataFrame(rows_a, "x long, y long")
+        df_b = spark.createDataFrame(rows_b, "x long, y long")
+        multi = exact_ks_distances(df_a, df_b, ["x", "y"])
+        assert multi["x"] == exact_ks_distance(df_a, df_b, "x")
+        assert multi["y"] == exact_ks_distance(df_a, df_b, "y")
+
+        # y all-NULL on one side -> NaN for y, x unaffected
+        df_b_null = df_b.selectExpr("x", "cast(NULL as long) as y")
+        part = exact_ks_distances(df_a, df_b_null, ["x", "y"])
+        assert part["x"] == exact_ks_distance(df_a, df_b_null, "x")
+        assert math.isnan(part["y"])
+
     def test_no_single_partition_window_in_plan(self, spark):
         """The plan must contain no unpartitioned WindowExec — the whole
         point of the range-shuffle prefix-sum rewrite."""
