@@ -381,7 +381,10 @@ def q_line_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("text"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the reflow is a higher-order-function transform (interpreted per
+    # line) and remove_duplicate_lines reads its input twice (line split
+    # + rebuild join) — checkpoint so it runs once
     out = remove_duplicate_lines(reflowed, "doc_id", "text", min_docs=2)
     return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
 
