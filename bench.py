@@ -294,25 +294,43 @@ def main() -> None:
     # maps (3,180 chars in r4) were invisible (VERDICT r4 #1).  Headline
     # fields + the 8 slowest graded queries stay well under the window;
     # the complete maps live in BENCH_LAST.json.
+    line = build_headline(out)
+    try:
+        spark.stop()
+    except Exception as exc:
+        print(f"[bench] spark.stop failed: {exc}", file=sys.stderr)
+    # the one and only write to real stdout, after everything else
+    os.write(real_stdout, (line + "\n").encode())
+    os._exit(0)  # skip interpreter teardown: nothing may write after the JSON
+
+
+def build_headline(out: dict, limit: int = 1500) -> str:
+    """The single driver-visible stdout line: headline fields + the 8
+    slowest graded queries, guaranteed under `limit` chars (the driver
+    captures only a 2,000-char stdout TAIL — a longer line truncates
+    mid-JSON and parses as null, the r1-r4 failure).  Degrades by
+    dropping the per-query map, then load_by-style extras, before ever
+    exceeding the limit."""
+    timings = out.get("queries", {})
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
     )
     head = {
-        "metric": out["metric"],
-        "value": out["value"],
+        "metric": out.get("metric", ""),
+        "value": out.get("value"),
         "unit": "sec",
-        "sf": out["sf"],
+        "sf": out.get("sf"),
         "n_queries": len(timings),
         "queries": slowest,
         "queries_omitted": max(0, len(timings) - len(slowest)),
         "full_record": "BENCH_LAST.json",
-        "canary_sec": out["canary_sec"],
-        "warmup_sec": out["warmup_sec"],
-        "reruns": out["reruns"],
-        "reruns_final": out["reruns_final"],
+        "canary_sec": out.get("canary_sec"),
+        "warmup_sec": out.get("warmup_sec"),
+        "reruns": out.get("reruns", 0),
+        "reruns_final": out.get("reruns_final", 0),
         "load_1m_start": out.get("load_1m_start"),
-        "load_max": out["load_max"],
-        "load_1m_end": out["load_1m_end"],
+        "load_max": out.get("load_max"),
+        "load_1m_end": out.get("load_1m_end"),
     }
     for k in (
         "value_extended",
@@ -323,16 +341,14 @@ def main() -> None:
         if k in out:
             head[k] = out[k]
     line = json.dumps(head)
-    if len(line) > 1500:  # belt-and-braces: never exceed the capture window
+    if len(line) > limit:  # belt-and-braces: never exceed the capture window
         head.pop("queries", None)
         line = json.dumps(head)
-    try:
-        spark.stop()
-    except Exception as exc:
-        print(f"[bench] spark.stop failed: {exc}", file=sys.stderr)
-    # the one and only write to real stdout, after everything else
-    os.write(real_stdout, (line + "\n").encode())
-    os._exit(0)  # skip interpreter teardown: nothing may write after the JSON
+    if len(line) > limit:  # pathological metric string: keep the core only
+        head = {k: head[k] for k in ("metric", "value", "unit", "sf") if k in head}
+        head["metric"] = str(head.get("metric", ""))[:200]
+        line = json.dumps(head)
+    return line
 
 
 def index_phases(spark, sf_dir: str) -> dict:
