@@ -3232,9 +3232,16 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counts, nulls, min/max, mean, string length stats, lexicographic
     min/max) are value-checked against DuckDB; sketch fields (HLL
     distinct, KLL median, Misra-Gries top-1) surface as bound-check
-    booleans plus the exact quantities the oracle recomputes.  MG capacity
-    exceeds the table's distinct counts at oracle scale, so top-1
-    value/count are exact (underestimate-only ⇒ exact below capacity)."""
+    booleans plus the exact quantities the oracle recomputes.  top-1
+    value/count are EXACT (from the replay pass below, not the MG
+    sketch): once a column's distinct count exceeds MG capacity the
+    sketch's counter is an underestimate and its surviving item is not
+    SQL-replayable — at sf0.1 the near-all-distinct text column (4992
+    distinct > 4096 counters) decrements, which is exactly the regime
+    the `top1_ok` boolean gates (est within [exact - N/(k+1), exact] and
+    est >= true-top1-count - N/(k+1), the MG guarantees)."""
+    from pyspark.sql.window import Window
+
     from bloomfilter_spark.operators.profile import profile_sketches
 
     docs = _t(spark, sf_dir, "documents")
@@ -3247,6 +3254,48 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [F.countDistinct(c).alias(f"d_{c}") for c in cols]
     aggs += [F.expr(f"percentile({c}, 0.5)").alias(f"m_{c}") for c in num_cols]
     ex = docs.agg(*aggs).first()
+
+    # Exact per-column top-1 replay (oracle gating, like `ex` above —
+    # the scalable answer is the MG sketch, gated by top1_ok): stacked
+    # value counts, tie-break = count DESC then TYPED value ASC (numeric
+    # order for int/float columns, binary string order otherwise),
+    # matching the oracle's ORDER BY COUNT(*) DESC, {col}.
+    mg_top: dict[str, tuple[str, int, int]] = {}
+    for c in cols:
+        fsk = per_col[c].get("freq")
+        if fsk is not None and fsk.total:
+            t = fsk.topk(1)
+            if t:
+                mg_top[c] = (str(t[0][0]), int(t[0][1]), int(fsk.error_bound()))
+    stack_parts = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    counts = (
+        docs.selectExpr(f"stack({len(cols)}, {stack_parts}) AS (col_name, v)")
+        .where(F.col("v").isNotNull())
+        .groupBy("col_name", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order_num = F.when(
+        F.col("col_name").isin(num_cols), F.col("v").cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("cnt").desc(), order_num.asc_nulls_first(), F.col("v").asc()
+    )
+    claim_cond = F.lit(False)  # fetch the MG items' exact counts too
+    for c, (v, _, _) in mg_top.items():
+        claim_cond = claim_cond | (
+            (F.col("col_name") == F.lit(c)) & (F.col("v") == F.lit(v))
+        )
+    top_exact: dict[str, tuple[str, int]] = {}
+    claim_cnt: dict[str, int] = {}
+    for r in (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) | claim_cond)
+        .collect()
+    ):
+        if r["rn"] == 1:
+            top_exact[r["col_name"]] = (r["v"], int(r["cnt"]))
+        if r["col_name"] in mg_top and r["v"] == mg_top[r["col_name"]][0]:
+            claim_cnt[r["col_name"]] = int(r["cnt"])
 
     rows = []
     for c in cols:
@@ -3283,10 +3332,16 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             n_values = sks["moments"].n_added
         top1_value = top1_count = None
-        if "freq" in sks and sks["freq"].total:
-            top = sks["freq"].topk(1)
-            if top:
-                top1_value, top1_count = str(top[0][0]), int(top[0][1])
+        if c in top_exact:
+            top1_value, top1_count = top_exact[c][0], top_exact[c][1]
+        top1_ok = True  # vacuously-true when the column carries no MG sketch
+        if c in mg_top:
+            _, est, bound = mg_top[c]
+            exact_cnt = claim_cnt.get(c, 0)
+            top1_ok = bool(
+                exact_cnt - bound <= est <= exact_cnt
+                and (top1_count is None or est >= top1_count - bound)
+            )
         # KMV example-value sample is a pure function of the value SET, so
         # it is FULL-value checkable: the oracle replays it as
         # ORDER BY md5(v) LIMIT k over the distinct values.
@@ -3299,6 +3354,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 min_num, max_num, mean,
                 min_str, max_str, len_min, len_max, avg_len,
                 top1_value, top1_count, sample_vals, hll_ok, q50_ok,
+                top1_ok,
             )
         )
     return spark.createDataFrame(
@@ -3307,7 +3363,8 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_num double, max_num double, mean_val double, "
         "min_str string, max_str string, len_min long, len_max long, "
         "avg_len double, top1_value string, top1_count long, "
-        "sample_vals string, hll_ok boolean, q50_ok boolean",
+        "sample_vals string, hll_ok boolean, q50_ok boolean, "
+        "top1_ok boolean",
     )
 
 
@@ -3331,7 +3388,7 @@ SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
            (SELECT DISTINCT CAST({c} AS VARCHAR) AS v FROM documents
             WHERE {c} IS NOT NULL)
           ORDER BY h LIMIT 4) st) AS sample_vals,
-       TRUE AS hll_ok, TRUE AS q50_ok
+       TRUE AS hll_ok, TRUE AS q50_ok, TRUE AS top1_ok
 FROM documents"""
 
 
@@ -3353,7 +3410,7 @@ SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
          (SELECT v, md5(v) AS h FROM
            (SELECT DISTINCT {c} AS v FROM documents WHERE {c} IS NOT NULL)
           ORDER BY h LIMIT 4) st) AS sample_vals,
-       TRUE AS hll_ok, TRUE AS q50_ok
+       TRUE AS hll_ok, TRUE AS q50_ok, TRUE AS top1_ok
 FROM documents"""
 
 

@@ -163,3 +163,43 @@ def test_event_queries_match_oracle_on_adversarial_table(
 )
 def test_queries_match_oracle_on_adversarial_table(spark, edge_dir, qname):
     _compare(spark, edge_dir, qname)
+
+
+def test_table_profile_over_mg_capacity(spark, tmp_path):
+    """Pin the over-capacity Misra-Gries regime (the sf0.1 latent bug this
+    test was added for): with more distinct texts than MG counters the
+    sketch decrements, so its top-1 counter UNDERESTIMATES the planted
+    duplicate's true count (2) and its surviving item is not replayable —
+    the query must report the EXACT top-1 (value + count) from its replay
+    pass and gate the sketch through top1_ok instead."""
+    from bloomfilter_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    n = 4200  # > freq_capacity=4096 distinct texts once the dup collapses
+    rows = {
+        "doc_id": list(range(n)),
+        # ~n distinct texts; doc 0 and doc n-1 share one planted dup text
+        "text": ["planted dup text alpha beta"]
+        + [f"unique text body number {i} gamma" for i in range(1, n - 1)]
+        + ["planted dup text alpha beta"],
+        "lang": ["en"] * n,
+        "source": [f"src{i % 7}" for i in range(n)],
+        # spread values: the q50_ok KLL gate assumes a non-degenerate
+        # distribution (rank(median)≈0.5 breaks under one massive tie)
+        "n_chars": [20 + i for i in range(n)],
+    }
+    pdf = pd.DataFrame(rows)
+    d = tmp_path / "sfprof"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet", index=False)
+
+    got = canon(ALL_QUERIES["table_profile"](spark, str(d)).toPandas())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = canon(con.execute(ALL_ORACLES["table_profile"]).df())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+    text_row = got[got["col_name"] == "text"].iloc[0]
+    assert text_row["top1_value"] == "planted dup text alpha beta"
+    assert int(text_row["top1_count"]) == 2
+    assert bool(got["top1_ok"].all())
