@@ -39,6 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# pages-table cache is cwd-relative by default (spark-submit zip rule);
+# pin it to the repo so a driver invoking bench.py from any cwd still
+# finds the materialized 2M table (the pages2m_docs_per_sec headline)
+os.environ.setdefault("SPARK_GRAFT_CACHE", os.path.join(REPO, ".cache"))
+
 
 def _load_quiet_records() -> dict[str, float]:
     """Committed per-query quiet-box minima (bench_quiet_record.json) —

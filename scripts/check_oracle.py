@@ -49,7 +49,18 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from bloomfilter_spark.plans.session import get_spark
 
-    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    # Overridable so the same harness doubles as a partition-count
+    # invariance check: every catalog result must be identical at any
+    # parallelism / shuffle-partition count (the property that matters at
+    # 1000 executors).  Swept green at local[3]/5, local[8]/8 (default)
+    # and local[32]/32 on the final round-5 code.
+    import os
+
+    spark = get_spark(
+        app_name="oracle-check",
+        master=os.environ.get("ORACLE_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("ORACLE_SHUFFLE", "8")),
+    )
 
     con = duckdb.connect()
     for t in TABLES:
