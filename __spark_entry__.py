@@ -10,9 +10,18 @@ bound-check booleans (see that module's docstring for the oracle pattern).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# pages-table cache is cwd-relative by default; pin it to this repo so a
+# driver importing this module from any cwd reuses the materialized
+# tables (and the pages oracle SQL embeds the same absolute path)
+os.environ.setdefault(
+    "SPARK_GRAFT_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache"),
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
