@@ -352,6 +352,7 @@ def build_headline(out: dict, limit: int = 1500) -> str:
         "value_extended",
         "pages_docs_per_sec",
         "pages2m_docs_per_sec",
+        "pages2m_prehashed_docs_per_sec",
         "pages_bloom_fpp_est",
     ):
         if k in out:
@@ -455,6 +456,16 @@ def pages_throughput(spark) -> dict:
             dt2 = min(dt2, time.perf_counter() - t0)
         out["pages2m_build_sec"] = round(dt2, 3)
         out["pages2m_docs_per_sec"] = round(2_000_000 / dt2, 1)
+        # prehash=True: the corpus-scale layout (url/host keyed on JVM
+        # xxhash64 — 8-byte Arrow columns + fixed-width murmur kernels);
+        # same acceptance contracts, pinned by test_build_suite_prehashed
+        dt3 = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build_suite(df2, n_expected=2_000_000, prehash=True)
+            dt3 = min(dt3, time.perf_counter() - t0)
+        out["pages2m_build_prehashed_sec"] = round(dt3, 3)
+        out["pages2m_prehashed_docs_per_sec"] = round(2_000_000 / dt3, 1)
     return out
 
 

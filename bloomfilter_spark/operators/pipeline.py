@@ -416,16 +416,36 @@ def _merge_tree(
 # ---------------------------------------------------------------------------
 
 
-def pages_suite_specs(n_expected: int) -> dict[str, tuple[str, Callable]]:
+def pages_suite_specs(
+    n_expected: int, prehash: bool = False
+) -> dict[str, tuple[str, Callable]]:
+    """Suite spec: name -> (feature column, sketch factory).
+
+    prehash=True is the 100 TB scale path: the url-keyed membership /
+    cardinality / count sketches consume a JVM-computed `xxhash64(url)`
+    (and `xxhash64(host)`) instead of the raw string, so the Arrow batch
+    ships an 8-byte int per row where the default ships the whole url, and
+    the Python fold runs the fixed-8-byte murmur kernel (~2x the
+    variable-length string rate, MICROBENCH).  Correctness: a 64-bit
+    prehash can never create a false NEGATIVE (equal keys hash equal); it
+    adds at most ~n²/2⁶⁵ false-positive mass from prehash collisions
+    (≈1e-7 at n=2M — three orders below the 1% FPP budget), and HLL/CMS
+    already hash internally so their error model is unchanged.  freq_host
+    stays on the raw string (Misra-Gries must report host NAMES, not
+    hashes); cms_lang stays raw (a handful of 2-byte codes).  Probes
+    against a prehashed suite must apply the same `F.xxhash64(col)`
+    JVM-side — see tests/test_pages.py::test_build_suite_prehashed."""
+    url_key = "url_h" if prehash else "url"
+    host_key = "host_h" if prehash else "host"
     return {
-        "bloom_url": ("url", bloom_factory(max(1024, n_expected), 0.01)),
+        "bloom_url": (url_key, bloom_factory(max(1024, n_expected), 0.01)),
         # "has this text been seen" (north star: url/text-hash membership);
         # the 64-bit text hash is computed JVM-side, the Bloom hashes its
         # 8-byte LE form (the reference's AddUint64 byte-collapse)
         "bloom_texthash": ("text_hash", bloom_factory(max(1024, n_expected), 0.01)),
-        "hll_url": ("url", hll_factory(precision=14)),
-        "hll_host": ("host", hll_factory(precision=14)),
-        "cms_host": ("host", cms_factory(epsilon=0.0005, delta=0.001)),
+        "hll_url": (url_key, hll_factory(precision=14)),
+        "hll_host": (host_key, hll_factory(precision=14)),
+        "cms_host": (host_key, cms_factory(epsilon=0.0005, delta=0.001)),
         "cms_lang": ("lang", cms_factory(epsilon=0.0005, delta=0.001)),
         # heavy-hitter hosts WITHOUT a candidate set (north star: the CMS
         # scores hosts you already suspect; MG surfaces them from the scan)
@@ -438,28 +458,51 @@ def pages_suite_specs(n_expected: int) -> dict[str, tuple[str, Callable]]:
     }
 
 
-def with_page_features(df: DataFrame) -> DataFrame:
+def with_page_features(df: DataFrame, prehash: bool = False) -> DataFrame:
     """Derive host + text_len JVM-side (Catalyst, codegen) so the Python
-    workers only ever see the exact columns each sketch consumes."""
-    return df.select(
+    workers only ever see the exact columns each sketch consumes.
+
+    prehash=True additionally computes xxhash64(url)/xxhash64(host) in the
+    same codegen stage and DROPS the url string from the projection — the
+    single widest column the Arrow boundary would otherwise ship."""
+    base = df.select(
         "url",
         "lang",
         F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
         F.length("text").alias("text_len"),
         F.xxhash64("text").alias("text_hash"),
     )
+    if not prehash:
+        return base
+    return base.select(
+        F.xxhash64("url").alias("url_h"),
+        "host",
+        F.xxhash64("host").alias("host_h"),
+        "lang",
+        "text_len",
+        "text_hash",
+    )
 
 
 def build_suite(
-    df: DataFrame, n_expected: int | None = None, fanin: int | None = None
+    df: DataFrame,
+    n_expected: int | None = None,
+    fanin: int | None = None,
+    prehash: bool = False,
 ) -> dict[str, object]:
     """Full sketch suite over a pages DataFrame in one scan.
 
     Pass n_expected when df is filtered/derived: the fallback count() is
     metadata-only on plain parquet but a real extra scan on a filtered or
     snapshot-pinned input.  Upper bounds are safe (Bloom just runs at a
-    lower FPP)."""
+    lower FPP).
+
+    prehash=True keys the url/host sketches on JVM-side xxhash64 values
+    (see pages_suite_specs) — the high-throughput layout for corpus-scale
+    builds; the default keeps raw-byte keys for reference parity."""
     if n_expected is None:
         n_expected = df.count()
-    feats = with_page_features(df)
-    return build_multi(feats, pages_suite_specs(n_expected), fanin=fanin)
+    feats = with_page_features(df, prehash=prehash)
+    return build_multi(
+        feats, pages_suite_specs(n_expected, prehash=prehash), fanin=fanin
+    )

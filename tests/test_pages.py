@@ -146,6 +146,71 @@ def test_build_suite_one_scan_accuracy(spark):
         assert abs(rank - 0.5) <= 0.05
 
 
+def test_build_suite_prehashed(spark):
+    """prehash=True (the corpus-scale layout: url/host keyed on JVM
+    xxhash64 instead of raw strings) keeps every suite contract:
+
+      * membership: zero false negatives when the probe applies the SAME
+        F.xxhash64 JVM-side;
+      * cardinality/count estimates within the same bounds (HLL/CMS hash
+        internally — a 64-bit injective-in-practice prehash is invisible);
+      * numeric + raw-string sketches (KLL/t-digest/DDS/freq_host/
+        cms_lang/bloom_texthash) BIT-IDENTICAL to the default suite —
+        prehashing url/host must not perturb any other column's stream;
+      * deterministic across partitionings.
+    """
+    from pyspark.sql import functions as F
+
+    from bloomfilter_spark.operators.pipeline import build_suite
+
+    df = pages_df(spark, 2000, num_partitions=8)
+    pdf = df.toPandas()
+    suite = build_suite(df, n_expected=2000, prehash=True)
+    plain = build_suite(df, n_expected=2000)
+
+    # zero FN: probe inserted urls through the identical JVM prehash
+    url_h = (
+        df.select(F.xxhash64("url").alias("h")).toPandas().h.to_numpy()
+    )
+    assert suite["bloom_url"].contains(url_h).all()
+
+    # FPP on absent keys still inside the 2x gate (prehash collisions add
+    # ~n^2/2^65 — unobservable at this scale)
+    absent = np.arange(10_000, dtype=np.int64) + (1 << 40)
+    assert suite["bloom_url"].contains(absent).mean() <= 0.02
+
+    # cardinality within HLL bound
+    exact_urls = pdf.url.nunique()
+    est = suite["hll_url"].estimate()
+    assert abs(est - exact_urls) / exact_urls <= 4 * 1.04 / (2**14) ** 0.5
+
+    # hot-host CMS estimate within eps*N when probed via the same prehash
+    hosts = pdf.url.str.extract(r"https://([^/]+)/")[0]
+    hot = hosts.value_counts().index[0]
+    exact_hot = int(hosts.value_counts().iloc[0])
+    hot_h = spark.createDataFrame([(hot,)], "host string").select(
+        F.xxhash64("host").alias("h")
+    ).collect()[0].h
+    sk = suite["cms_host"]
+    est_hot = int(sk.query(pd.Series([hot_h]))[0])
+    assert exact_hot <= est_hot <= exact_hot + sk.error_bound() + 1
+
+    # every sketch NOT keyed on url/host is bit-identical to the default
+    for name in (
+        "bloom_texthash", "cms_lang", "freq_host",
+        "kll_textlen", "tdigest_textlen", "dds_textlen",
+    ):
+        assert suite[name].to_bytes() == plain[name].to_bytes(), name
+
+    # partitioning invariance (commutative families) on the prehashed path
+    s1 = build_suite(pages_df(spark, 1000, num_partitions=1),
+                     n_expected=1000, prehash=True)
+    s8 = build_suite(pages_df(spark, 1000, num_partitions=8),
+                     n_expected=1000, prehash=True)
+    for name in ("bloom_url", "hll_url", "hll_host", "cms_host"):
+        assert s1[name].to_bytes() == s8[name].to_bytes(), name
+
+
 def test_suite_merge_determinism(spark):
     """Commutative sketches: bit-identical across partitionings.  All
     sketches: bit-identical across repeated runs of the same partitioning
