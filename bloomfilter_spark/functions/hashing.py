@@ -304,28 +304,54 @@ def murmur3_x64_128_u64(values, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, n
 # ---------------------------------------------------------------------------
 
 
-def bytes_view_of_strings(values) -> tuple[np.ndarray, np.ndarray]:
-    """(flat, offsets) view of a batch of strings, zero-copy via Arrow.
+def _bytes_view(values, want_binary: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Shared adapter behind bytes_view_of_strings/bytes_view_of_binary.
 
     Accepts a pandas Series, pyarrow Array/ChunkedArray, numpy object array,
-    or list of str.  Nulls hash as empty strings (callers that need to skip
-    nulls should drop them first).
-    """
+    or list.  Nulls hash as empty values (callers that need to skip nulls
+    drop them first).  Batches whose flat bytes exceed the int32-offset
+    2 GiB capacity are widened to the large_(string|binary) layout instead
+    of failing with an opaque ArrowCapacityError/AttributeError deep in the
+    hash path — the offsets are normalized to int64 either way, so the
+    murmur kernel sees one shape."""
     import pyarrow as pa
 
+    pa_type = pa.binary() if want_binary else pa.string()
+    large_type = pa.large_binary() if want_binary else pa.large_string()
+    is_flat = pa.types.is_binary if want_binary else pa.types.is_string
+    is_large = (
+        pa.types.is_large_binary if want_binary else pa.types.is_large_string
+    )
+    fill = b"" if want_binary else ""
+
     if isinstance(values, pd.Series):
-        arr = pa.Array.from_pandas(values, type=pa.string())
-    elif isinstance(values, pa.ChunkedArray):
-        arr = values.combine_chunks()
-        if not pa.types.is_string(arr.type):
-            arr = arr.cast(pa.string())
-    elif isinstance(values, pa.Array):
-        arr = values if pa.types.is_string(values.type) else values.cast(pa.string())
+        try:
+            arr = pa.Array.from_pandas(values, type=pa_type)
+        except pa.ArrowCapacityError:
+            arr = pa.Array.from_pandas(values, type=large_type)
+    elif isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = values
     else:
-        arr = pa.array(list(values), type=pa.string())
+        try:
+            arr = pa.array(list(values), type=pa_type)
+        except pa.ArrowCapacityError:
+            arr = pa.array(list(values), type=large_type)
+    if isinstance(arr, pa.ChunkedArray):
+        try:
+            arr = arr.combine_chunks()
+        except (pa.ArrowCapacityError, pa.ArrowInvalid):
+            arr = arr.cast(large_type).combine_chunks()
+    if not (is_flat(arr.type) or is_large(arr.type)):
+        try:
+            arr = arr.cast(pa_type)
+        except (pa.ArrowCapacityError, pa.ArrowInvalid):
+            arr = arr.cast(large_type)
     if arr.null_count:
-        arr = arr.fill_null("")
-    raw_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        arr = arr.fill_null(fill)
+    off_dtype = np.int64 if is_large(arr.type) else np.int32
+    raw_offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)
+    # astype always copies: the kernel gets a writable int64 array in both
+    # offset layouts (np.frombuffer views are read-only)
     offsets = raw_offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
     data_buf = arr.buffers()[2]
     flat = (
@@ -334,33 +360,16 @@ def bytes_view_of_strings(values) -> tuple[np.ndarray, np.ndarray]:
         else np.empty(0, dtype=np.uint8)
     )
     return flat, offsets
+
+
+def bytes_view_of_strings(values) -> tuple[np.ndarray, np.ndarray]:
+    """(flat, offsets) view of a batch of strings, zero-copy via Arrow."""
+    return _bytes_view(values, want_binary=False)
 
 
 def bytes_view_of_binary(values) -> tuple[np.ndarray, np.ndarray]:
     """(flat, offsets) for a batch of bytes objects (binary column)."""
-    import pyarrow as pa
-
-    if isinstance(values, pd.Series):
-        arr = pa.Array.from_pandas(values, type=pa.binary())
-    elif isinstance(values, pa.ChunkedArray):
-        arr = values.combine_chunks()
-    elif isinstance(values, pa.Array):
-        arr = values
-    else:
-        arr = pa.array(list(values), type=pa.binary())
-    if not pa.types.is_binary(arr.type):
-        arr = arr.cast(pa.binary())
-    if arr.null_count:
-        arr = arr.fill_null(b"")
-    raw_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
-    offsets = raw_offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
-    data_buf = arr.buffers()[2]
-    flat = (
-        np.frombuffer(data_buf, dtype=np.uint8)
-        if data_buf is not None
-        else np.empty(0, dtype=np.uint8)
-    )
-    return flat, offsets
+    return _bytes_view(values, want_binary=True)
 
 
 def bytes_view_of_int64(values) -> tuple[np.ndarray, np.ndarray]:
@@ -432,7 +441,10 @@ def hash_any(values, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
             # dropna; integral floats are integer keys (same acceptance
             # rule as FrequentItemsSketch), anything else is a caller bug
             return murmur3_x64_128_u64(_integral_keys(values.to_numpy()), seed)
-        if len(values) and isinstance(values.iloc[0], (bytes, bytearray)):
+        # sniff the first NON-NULL element: a nullable binary column whose
+        # first row happens to be null must still route to the bytes path
+        sample = values.dropna()
+        if len(sample) and isinstance(sample.iloc[0], (bytes, bytearray)):
             return murmur3_x64_128(*bytes_view_of_binary(values), seed)
         return murmur3_x64_128(*bytes_view_of_strings(values), seed)
     if isinstance(values, np.ndarray) and values.dtype.kind in ("i", "u"):
@@ -442,7 +454,13 @@ def hash_any(values, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         t = values.type
         if pa.types.is_integer(t):
-            return murmur3_x64_128_u64(values.to_numpy(zero_copy_only=False), seed)
+            npv = values.to_numpy(zero_copy_only=False)
+            if npv.dtype.kind == "f":
+                # nulls surfaced as NaN — _integral_keys raises the
+                # drop-your-nulls TypeError instead of letting a NaN take
+                # the architecture-dependent float->uint64 cast
+                npv = _integral_keys(npv)
+            return murmur3_x64_128_u64(npv, seed)
         if pa.types.is_floating(t):
             # same rule as the pandas branch — never fall through to
             # hashing a float's string repr
@@ -453,8 +471,16 @@ def hash_any(values, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
             return murmur3_x64_128(*bytes_view_of_binary(values), seed)
         return murmur3_x64_128(*bytes_view_of_strings(values), seed)
     values = list(values)
-    if values and isinstance(values[0], (int, np.integer)):
-        return murmur3_x64_128_u64(np.array(values, dtype=np.uint64), seed)
-    if values and isinstance(values[0], (bytes, bytearray)):
+    first = next((v for v in values if v is not None), None)
+    if isinstance(first, (int, np.integer)):
+        # int64 first so negative keys wrap two's-complement (identical
+        # bytes to the pandas/numpy branches on every numpy version);
+        # only a genuine uint64-range key falls back to the uint64 dtype
+        try:
+            arr = np.array(values, dtype=np.int64)
+        except OverflowError:
+            arr = np.array(values, dtype=np.uint64)
+        return murmur3_x64_128_u64(arr, seed)
+    if isinstance(first, (bytes, bytearray)):
         return murmur3_x64_128(*bytes_view_of_binary(values), seed)
     return murmur3_x64_128(*bytes_view_of_strings(values), seed)

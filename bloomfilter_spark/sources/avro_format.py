@@ -190,9 +190,15 @@ def decode(buf: BinaryIO, schema: Any) -> Any:
     if t in ("int", "long"):
         return read_long(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        b = buf.read(4)
+        if len(b) != 4:
+            raise EOFError("truncated float")
+        return struct.unpack("<f", b)[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        b = buf.read(8)
+        if len(b) != 8:
+            raise EOFError("truncated double")
+        return struct.unpack("<d", b)[0]
     if t == "bytes":
         return _read_bytes(buf)
     if t == "string":
@@ -203,7 +209,12 @@ def decode(buf: BinaryIO, schema: Any) -> Any:
             raise EOFError("truncated fixed")
         return b
     if t == "enum":
-        return schema["symbols"][read_long(buf)]
+        # validate like the union branch: a corrupt negative index would
+        # otherwise silently select from the end via Python indexing
+        i = read_long(buf)
+        if not (0 <= i < len(schema["symbols"])):
+            raise ValueError(f"enum index {i} out of range")
+        return schema["symbols"][i]
     if t == "record":
         return {f["name"]: decode(buf, f["type"]) for f in schema["fields"]}
     if t == "array":

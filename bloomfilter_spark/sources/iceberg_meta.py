@@ -159,11 +159,13 @@ class IcebergMetaTable:
     def create(cls, location: str, spark_schema) -> "IcebergMetaTable":
         location = os.path.abspath(location)
         meta_dir = os.path.join(location, "metadata")
-        os.makedirs(os.path.join(location, "data"), exist_ok=True)
-        os.makedirs(meta_dir, exist_ok=True)
+        # refuse BEFORE touching the filesystem: a rejected create must not
+        # leave empty data/metadata dirs behind on the target path
         if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
             raise FileExistsError(f"{location}: table already exists")
         schema = _iceberg_schema_json(spark_schema)
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        os.makedirs(meta_dir, exist_ok=True)
         metadata = {
             "format-version": 1,
             # deterministic uuid: tables created at the same path are the

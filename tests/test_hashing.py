@@ -6,6 +6,7 @@ SIMD-vs-scalar differential (vectorized numpy vs per-row Python port)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from bloomfilter_spark.functions.hashing import (
@@ -194,3 +195,54 @@ def test_mid_buffer_view_path_bit_identical():
     assert np.array_equal(h1, iso1) and np.array_equal(h2, iso2)
     for i, b in enumerate(corpus[lo:hi]):
         assert (int(h1[i]), int(h2[i])) == murmur3_x64_128_scalar(b, 7)
+
+
+def test_hash_any_arrow_int_nulls_raise_not_undefined_cast():
+    """Arrow int64 with nulls surfaces as float64+NaN from to_numpy; the
+    NaN must raise the drop-your-nulls TypeError (like every float path)
+    instead of taking the architecture-dependent float->uint64 cast."""
+    import pyarrow as pa
+    import pytest
+
+    from bloomfilter_spark.functions.hashing import hash_any
+
+    with pytest.raises(TypeError, match="drop NaN/None"):
+        hash_any(pa.array([1, None, 3], type=pa.int64()))
+    # null-free arrow ints still hash, identical to the numpy branch
+    a1, a2 = hash_any(pa.array([1, 2, 3], type=pa.int64()))
+    b1, b2 = hash_any(np.array([1, 2, 3], dtype=np.int64))
+    assert np.array_equal(a1, b1) and np.array_equal(a2, b2)
+
+
+def test_hash_any_negative_int_list_matches_numpy_branch():
+    """Plain-list negative keys must wrap two's-complement exactly like
+    the numpy/pandas int branches (np.uint64 construction from negative
+    Python ints is an error on numpy >= 2)."""
+    from bloomfilter_spark.functions.hashing import hash_any
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old uint64 path warned here
+        l1, l2 = hash_any([-1, -2, 3])
+    n1, n2 = hash_any(np.array([-1, -2, 3], dtype=np.int64))
+    assert np.array_equal(l1, n1) and np.array_equal(l2, n2)
+    # genuine uint64-range keys still take the uint64 fallback
+    u1, u2 = hash_any([2**64 - 1, 5])
+    v1, v2 = hash_any(np.array([2**64 - 1, 5], dtype=np.uint64))
+    assert np.array_equal(u1, v1) and np.array_equal(u2, v2)
+
+
+def test_hash_any_binary_series_null_first_routes_to_bytes():
+    """Dispatch sniffs the first NON-NULL element: a nullable binary
+    column whose first row is null must still hash as bytes (the utf8
+    string path would reject b'\\xff')."""
+    from bloomfilter_spark.functions.hashing import hash_any
+
+    got1, got2 = hash_any(pd.Series([None, b"\xff\xfe", b"ok"]))
+    ref1, ref2 = hash_any(pd.Series([b"", b"\xff\xfe", b"ok"]))  # null == empty
+    assert np.array_equal(got1, ref1) and np.array_equal(got2, ref2)
+    first = next(v for v in [None, b"\xff\xfe"] if v is not None)
+    assert isinstance(first, bytes)
+    lg1, lg2 = hash_any([None, b"\xff\xfe", b"ok"])
+    assert np.array_equal(lg1, ref1) and np.array_equal(lg2, ref2)

@@ -319,3 +319,42 @@ def test_metadata_files_are_spec_shaped(ice):
     assert df_fields["record_count"] == 103
     assert all(e["status"] == 1 for e in entries)  # ADDED
     assert all(e["data_file"]["file_format"] == "PARQUET" for e in entries)
+
+
+def test_enum_and_float_decode_reject_corruption(tmp_path):
+    """Corrupt containers must fail loudly: a negative enum index raises
+    (never silently selects from the end via Python indexing) and a
+    truncated float/double raises the module's EOFError convention."""
+    import io
+
+    import pytest
+
+    from bloomfilter_spark.sources.avro_format import decode, write_long
+
+    buf = io.BytesIO()
+    write_long(buf, -1)
+    buf.seek(0)
+    with pytest.raises(ValueError, match="enum index"):
+        decode(buf, {"type": "enum", "name": "e", "symbols": ["a", "b"]})
+
+    with pytest.raises(EOFError, match="truncated float"):
+        decode(io.BytesIO(b"\x01\x02"), "float")
+    with pytest.raises(EOFError, match="truncated double"):
+        decode(io.BytesIO(b"\x01\x02\x03"), "double")
+
+
+def test_refused_create_leaves_no_dirs(tmp_path):
+    """create() on a path with an unsupported column type must refuse
+    BEFORE touching the filesystem — no stray data/metadata dirs that a
+    later reader could misread as a partially-initialized table."""
+    import pytest
+
+    from pyspark.sql.types import MapType, StringType, StructField, StructType
+
+    from bloomfilter_spark.sources.iceberg_meta import IcebergMetaTable
+
+    target = str(tmp_path / "not_a_table")
+    bad = StructType([StructField("m", MapType(StringType(), StringType()))])
+    with pytest.raises(Exception):
+        IcebergMetaTable.create(target, bad)
+    assert not os.path.exists(target)
