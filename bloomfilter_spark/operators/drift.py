@@ -54,10 +54,14 @@ def exact_ks_distance(df_a: DataFrame, df_b: DataFrame, column: str) -> float:
     than |distinct| rows and never forms a single partition.  NaN if
     either side has no non-NULL rows.
     """
+    # quote the attribute name explicitly (backticks doubled) so names
+    # containing quotes/backticks/dots resolve as ONE identifier instead
+    # of being parsed as quoting syntax
+    c = "`{}`".format(column.replace("`", "``"))
     u = (
-        df_a.select(F.col(column).alias("v"), F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        df_a.select(F.col(c).alias("v"), F.lit(1).alias("ia"), F.lit(0).alias("ib"))
         .unionAll(
-            df_b.select(F.col(column).alias("v"), F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+            df_b.select(F.col(c).alias("v"), F.lit(0).alias("ia"), F.lit(1).alias("ib"))
         )
         .filter(F.col("v").isNotNull())
     )
@@ -100,8 +104,19 @@ def exact_ks_distances(
     if not columns:
         return {}
     n = len(columns)
+    # escape the interpolated names: a quote/backtick in a column name
+    # must not break (or inject into) the generated stack() expression —
+    # the single-column function accepts such names via F.col, so this
+    # path must too
     stack = "stack({}, {}) AS (c, v)".format(
-        n, ", ".join(f"'{c}', cast(`{c}` as long)" for c in columns)
+        n,
+        ", ".join(
+            "'{}', cast(`{}` as long)".format(
+                c.replace("\\", "\\\\").replace("'", "\\'"),
+                c.replace("`", "``"),
+            )
+            for c in columns
+        ),
     )
     u = (
         df_a.selectExpr(stack)

@@ -47,7 +47,6 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, functions as F
 
 from bloomfilter_spark.plans.skew import ensure_parallelism
-from bloomfilter_spark.functions.textstats import WS_SPLIT_PATTERN
 
 
 class BigramLM(NamedTuple):
@@ -62,12 +61,17 @@ class BigramLM(NamedTuple):
     alpha: float
 
 
-def _toks(df, text_col: str):
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    return (
-        F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>"))
-        .otherwise(F.split(F.lower(F.trim(t)), WS_SPLIT_PATTERN))
-        .alias("toks")
+def _toks(text_col: str):
+    """The library-wide FILTERED tokenizer (textstats.tokens_nonempty):
+    F.trim strips only spaces while split keeps boundary empties, so
+    un-filtered tokenization would mint phantom '' tokens from any
+    leading/trailing tab/newline (most web pages end with one) —
+    inflating n_tokens and polluting the fitted model with '' as a
+    high-frequency word."""
+    from bloomfilter_spark.functions.textstats import tokens_nonempty
+
+    return tokens_nonempty(F.coalesce(F.col(text_col), F.lit(""))).alias(
+        "toks"
     )
 
 
@@ -88,7 +92,7 @@ def fit_bigram_lm(
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    ref = ensure_parallelism(ref_df).select(_toks(ref_df, text_col))
+    ref = ensure_parallelism(ref_df).select(_toks(text_col))
     words = ref.select(F.explode("toks").alias("w"))
     uni = (
         words.groupBy(F.xxhash64("w").alias("h"))
@@ -135,7 +139,7 @@ def perplexity_score(
     n_scored = 0 carry NULL avg_logp/ppl.
     """
     base = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), _toks(df, text_col)
+        F.col(id_col).alias("id"), _toks(text_col)
     )
     # both the bigram-pairs branch and the n_tokens join-back read this
     # view; localCheckpoint (same rationale as linededup/spans) so the

@@ -302,10 +302,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_PERPLEXITY_SQL = """
 WITH toks AS (
+  -- list_filter replays the operator's tokens_nonempty rule: boundary
+  -- tab/newline whitespace must not mint phantom '' tokens
   SELECT doc_id, lang,
-         CASE WHEN length(trim(COALESCE(text, ''))) = 0
-              THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+         list_filter(
+           CASE WHEN length(trim(COALESCE(text, ''))) = 0
+                THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(lower(trim(text)), '\\s+') END,
+           x -> x <> '') AS t
   FROM documents
 ), ref AS (
   SELECT t FROM toks WHERE lang = 'en'

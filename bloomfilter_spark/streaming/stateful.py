@@ -126,6 +126,15 @@ def streaming_first_seen(
     )
 
     def update(key, pdfs, state):
+        if key[0] == -1:
+            # null-key shard: rows are always emitted, never inserted —
+            # keep NO state (a full-size empty Bloom here would re-write
+            # ~m/8 bytes into the checkpoint every trigger for nothing)
+            for pdf in pdfs:
+                out = pdf.drop(columns=["__shard", "__key_str"])
+                if len(out):
+                    yield out
+            return
         if state.exists:
             sk = serde.deserialize(bytes(state.get[0]))
         else:
@@ -180,13 +189,14 @@ def grouped_sketch_stream(
         else:
             sk, rows = factory(), 0
         rows += _fold_state(sk, pdfs, value_col)
-        state.update((sk.to_bytes(), rows))
+        blob = sk.to_bytes()  # serialize once: state and output share it
+        state.update((blob, rows))
         yield pd.DataFrame(
             {
                 key_col: [key[0]],
                 "rows_total": [rows],
                 "estimate": [_estimate_of(sk)],
-                "blob": [sk.to_bytes()],
+                "blob": [blob],
             }
         )
 
@@ -249,13 +259,14 @@ def grouped_sketch_stream_tws(
             else:
                 sk, n = factory(), 0
             n += _fold_state(sk, rows, value_col)
-            self._state.update((sk.to_bytes(), n))
+            blob = sk.to_bytes()  # serialize once: state and output share it
+            self._state.update((blob, n))
             yield pd.DataFrame(
                 {
                     key_col: [key[0]],
                     "rows_total": [n],
                     "estimate": [_estimate_of(sk)],
-                    "blob": [sk.to_bytes()],
+                    "blob": [blob],
                 }
             )
 
@@ -295,8 +306,12 @@ def windowed_sketch_stream(
     'timeout below watermark' check or finalize windows hours late.
     """
     w = F.lit(window_seconds)
+    # a NULL event time cannot be assigned a window: drop such rows here
+    # (Spark's watermark filter does NOT — the null grouping key would
+    # reach update() as NaN and wedge the query at setTimeoutTimestamp)
     with_win = (
-        stream_df.withWatermark(ts_col, watermark)
+        stream_df.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .withColumn(
             "window_start_s",
             (F.floor(F.unix_timestamp(F.col(ts_col)) / w) * w).cast("long"),
@@ -316,8 +331,10 @@ def windowed_sketch_stream(
                 {
                     "window_start_s": [int(key[0])],
                     "rows": [rows],
+                    # emit the stored bytes verbatim — deserialize only
+                    # for the estimate, never re-serialize the same sketch
                     "estimate": [_estimate_of(sk)],
-                    "blob": [sk.to_bytes()],
+                    "blob": [bytes(blob)],
                 }
             )
             return

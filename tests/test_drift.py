@@ -180,3 +180,21 @@ class TestExactKS:
         out = global_running_sum(df, ["v"], "ca", out_col="cum")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
+
+
+def test_exact_ks_distances_handles_quoted_column_names(spark):
+    """Column names containing quotes/backticks must survive the stacked
+    multi-column path exactly like the single-column F.col path."""
+    import pandas as pd
+
+    from bloomfilter_spark.operators.drift import (
+        exact_ks_distance,
+        exact_ks_distances,
+    )
+
+    name = "it's `odd`"
+    a = spark.createDataFrame(pd.DataFrame({name: [1, 2, 3, 4, 5]}))
+    b = spark.createDataFrame(pd.DataFrame({name: [3, 4, 5, 6, 7]}))
+    multi = exact_ks_distances(a, b, [name])
+    single = exact_ks_distance(a, b, name)
+    assert abs(multi[name] - single) < 1e-12

@@ -79,10 +79,24 @@ def test_matches_scalar_reference(spark):
         "solo",                 # 1 token -> unscored
         "",                     # empty -> unscored
         None,                   # null -> empty
+        "the cat sat\n",        # trailing newline: F.trim strips only
+        "\tthe cat sat",        # spaces — boundary \t/\n must NOT mint
+        "\t",                   # phantom '' tokens (tokens_nonempty rule)
+        " the cat sat ",        # plain-space boundary (trim handles)
     ]
     got = _run(spark, ref, texts)
     want = _py_score(ref, texts)
     assert got == want
+
+
+def test_boundary_whitespace_ref_corpus_fits_clean_model(spark):
+    """A reference corpus whose docs end in newlines (most web pages do)
+    must fit the same model as the stripped corpus — no '' unigram, no
+    (last_word, '') bigrams."""
+    ref_clean = ["the cat sat", "the dog sat"]
+    ref_noisy = ["the cat sat\n", "\tthe dog sat"]
+    texts = ["the cat sat", "dog the"]
+    assert _run(spark, ref_noisy, texts) == _run(spark, ref_clean, texts)
 
 
 def test_in_domain_scores_lower_perplexity(spark):

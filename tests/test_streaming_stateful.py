@@ -432,3 +432,39 @@ def test_windowed_first_seen_multi_chunk_groups(spark, tmp_path):
     ).select("event_id").toPandas()
     want_ids = set(firsts.event_id) | set(passthrough.event_id)
     assert set(out.event_id) == want_ids and len(out) == len(want_ids)
+
+
+def test_windowed_stream_drops_null_event_times(spark, tmp_path):
+    """A NULL event time cannot be windowed: such rows are dropped BEFORE
+    grouping — without the guard the null grouping key reaches update()
+    as NaN and setTimeoutTimestamp wedges the whole query."""
+    import pandas as pd
+
+    src = str(tmp_path / "wnull_src")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": [base, base + pd.Timedelta(seconds=20), pd.NaT,
+                       base + pd.Timedelta(seconds=3600)],
+                "user_id": ["a", "b", "null_ts_row", "z"],
+            }
+        )
+    )
+    df.coalesce(1).write.mode("append").parquet(src)
+
+    out = _run(
+        spark,
+        src,
+        lambda s: windowed_sketch_stream(
+            s, "ts", "user_id", hll_factory(precision=12),
+            window_seconds=600, watermark="10 minutes",
+        ),
+        "win_null_ts",
+        str(tmp_path / "ck_null"),
+        "append",
+    )
+    got = {int(r["window_start_s"]): r for _, r in out.iterrows()}
+    epoch0 = int(base.timestamp())
+    assert epoch0 in got
+    assert int(got[epoch0]["rows"]) == 2  # a, b — the NULL-ts row dropped
