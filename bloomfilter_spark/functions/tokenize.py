@@ -209,6 +209,7 @@ def bpe_token_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     passthrough: tuple[str, ...] = (),
+    cache_cap: int = _CACHE_CAP,
 ) -> DataFrame:
     """Per-document token accounting: map-only, no shuffle.
 
@@ -226,6 +227,16 @@ def bpe_token_stats(
     for c in (text_col, id_col, *passthrough):
         if c not in df.columns:
             raise ValueError(f"bpe: column {c!r} not in DataFrame")
+    cols = [text_col, id_col, *passthrough]
+    dupes = {c for c in cols if cols.count(c) > 1}
+    if dupes:
+        # a duplicated select gives the pandas batch duplicate columns and
+        # pdf[col] then returns a DataFrame — fail here with a clear error
+        # instead of an AttributeError inside the executor
+        raise ValueError(
+            f"bpe: column(s) {sorted(dupes)} passed more than once across "
+            "text_col/id_col/passthrough"
+        )
     if len(merges) > _MAX_MERGES:
         raise ValueError(f"bpe: merge list too large ({len(merges)})")
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -252,8 +263,13 @@ def bpe_token_stats(
             pretoks = pdf[text_col].map(_PRETOKEN_RE.findall)
             # Zipf: encode each UNIQUE pre-token once per partition
             uniq = {pt for pts in pretoks for pt in pts if pt not in cache}
-            if len(cache) + len(uniq) > _CACHE_CAP:
+            if len(cache) + len(uniq) > cache_cap:
+                # eviction must not orphan pre-tokens the CURRENT batch
+                # still reads from the cache: re-collect uniq from scratch
+                # after the clear, else the count loop KeyErrors on any
+                # pre-token cached by an earlier batch
                 cache.clear()
+                uniq = {pt for pts in pretoks for pt in pts}
             for pt in uniq:
                 w = pt.encode("utf-8")
                 syms = _encode(w, ranks)

@@ -152,22 +152,28 @@ def build_sketch_checkpointed(
     stats = pruned.mapInPandas(build_iter, schema=STATS_SCHEMA)
     stats_pdf = stats.toPandas()  # runs the job; raises if a task fails
 
-    # merge: complete partial set, sorted order → deterministic
-    blobs = []
-    for pid in range(n_parts):
+    # merge: complete partial set, sorted order → deterministic.  The
+    # commutative path STREAMS (open → merge → discard): memory stays at
+    # 2 sketches instead of n_parts sketches — a few hundred 1 GB Bloom
+    # partials would otherwise OOM the driver.  Compaction sketches
+    # (merge_all) keep the single canonical n-ary merge: their partials
+    # are KB-sized (KLL/t-digest), and the one-shot order is the pinned
+    # determinism contract.
+    def _read(pid: int):
         path = os.path.join(ckpt_dir, f"partial-{pid:06d}.bin")
         if not os.path.exists(path):
             raise RuntimeError(
                 f"checkpoint incomplete: missing partial for partition {pid}"
             )
         with open(path, "rb") as f:
-            blobs.append(serde.deserialize(f.read()))
+            return serde.deserialize(f.read())
+
     acc = factory()
     if hasattr(acc, "merge_all"):
-        acc.merge_all(blobs)
+        acc.merge_all([_read(pid) for pid in range(n_parts)])
     else:
-        for b in blobs:
-            acc.merge(b)
+        for pid in range(n_parts):
+            acc.merge(_read(pid))
 
     lineage = df.sparkSession.createDataFrame(stats_pdf, schema=STATS_SCHEMA)
     return acc, lineage
@@ -185,7 +191,9 @@ def checkpoint_progress(ckpt_dir: str) -> dict:
             with open(os.path.join(ckpt_dir, name)) as f:
                 rec = json.load(f)
             done.append(rec["partition_id"])
-            totals["rows"] += rec["rows"]
-            totals["input_bytes"] += rec["input_bytes"]
-            totals["wall_ms"] += rec["wall_ms"]
+            totals["rows"] += rec.get("rows", 0)
+            # suite checkpoints (pipeline.build_multi_checkpointed) write
+            # lineage sidecars without input_bytes — tolerate both shapes
+            totals["input_bytes"] += rec.get("input_bytes", 0)
+            totals["wall_ms"] += rec.get("wall_ms", 0.0)
     return {"completed_partitions": done, **totals}

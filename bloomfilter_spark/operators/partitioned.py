@@ -29,12 +29,24 @@ from bloomfilter_spark.sketches import serde
 from bloomfilter_spark.sketches.bloom import BloomFilter
 
 
-_SHARD_COL = "__bf_shard"  # internal name — never collides with user columns
+_SHARD_COL = "__bf_shard"  # internal names — never collide with user columns
+_KEY_COL = "__bf_key_str"
 
 
 def _with_shard(df: DataFrame, col: str, n_shards: int) -> DataFrame:
-    return df.withColumn(
-        _SHARD_COL, F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n_shards))
+    """Adds the shard id AND the canonical key string.
+
+    The insert/probe identity is the JVM `CAST(key AS STRING)` rendering,
+    computed ONCE here (Catalyst-side) and carried to the Python workers:
+    build and probe batches therefore always see byte-identical key forms.
+    Rendering in pandas instead (astype(str)) breaks the zero-FN contract
+    for integer keys — an int64 partition that happens to contain a null
+    arrives as float64 and renders '123.0' while a null-free probe batch
+    renders '123'.  NULL keys keep a NULL rendering (cast preserves null);
+    they carry no identity — dropped at build, definitely-absent at probe."""
+    key_str = F.col(col).cast("string")
+    return df.withColumn(_KEY_COL, key_str).withColumn(
+        _SHARD_COL, F.pmod(F.xxhash64(key_str), F.lit(n_shards))
     )
 
 
@@ -59,12 +71,14 @@ def bloom_build_sharded(
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = BloomFilter(m, k, s)
-        sk.update(pdf[col].astype(str))
+        keys = pdf[_KEY_COL].dropna()
+        if len(keys):
+            sk.update(keys)
         return pd.DataFrame(
             {
                 "shard": [int(pdf[_SHARD_COL].iloc[0])],
                 "blob": [sk.to_bytes()],
-                "n_keys": [len(pdf)],
+                "n_keys": [len(keys)],
                 "n_shards": [n_shards],
             }
         )
@@ -106,7 +120,8 @@ def _make_check(col: str, n_shards: int):
     blob row whose recorded n_shards disagrees is a hard error."""
 
     def check(probe_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
-        probe_pdf = probe_pdf.drop(columns=[_SHARD_COL])
+        keys = probe_pdf[_KEY_COL]
+        probe_pdf = probe_pdf.drop(columns=[_SHARD_COL, _KEY_COL])
         if len(probe_pdf) == 0:
             probe_pdf["might_contain"] = pd.Series([], dtype=bool)
             return probe_pdf
@@ -114,6 +129,16 @@ def _make_check(col: str, n_shards: int):
             # no keys were inserted into this shard → definitely absent
             probe_pdf["might_contain"] = False
             return probe_pdf
+        if len(blob_pdf) > 1:
+            # e.g. two build outputs unioned: probing only one blob would
+            # silently return false negatives — same hard-error rationale
+            # as the modulus check below (merge the filters first)
+            raise ValueError(
+                f"shard {int(blob_pdf[_SHARD_COL].iloc[0])} has "
+                f"{len(blob_pdf)} blob rows; a probe answers against ONE "
+                "filter per shard — union the builds via BloomFilter.union "
+                "before probing"
+            )
         built_with = int(blob_pdf["n_shards"].iloc[0])
         if built_with != n_shards:
             raise ValueError(
@@ -121,7 +146,10 @@ def _make_check(col: str, n_shards: int):
                 f"got n_shards={n_shards}: probes would route to wrong shards"
             )
         sk = serde.deserialize(blob_pdf["blob"].iloc[0])
-        probe_pdf["might_contain"] = sk.contains(probe_pdf[col].astype(str))
+        null_mask = keys.isna().to_numpy()
+        res = sk.contains(keys.fillna(""))
+        res[null_mask] = False  # NULL carries no identity: never inserted
+        probe_pdf["might_contain"] = res
         return probe_pdf
 
     return check
@@ -185,14 +213,16 @@ def bloom_build_sharded_grouped(
     s = DEFAULT_SEED if seed is None else seed
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = BloomFilter.create(max(1024, len(pdf)), fpp, seed=s)
-        sk.update(pdf[col].astype(str))
+        keys = pdf[_KEY_COL].dropna()
+        sk = BloomFilter.create(max(1024, len(keys)), fpp, seed=s)
+        if len(keys):
+            sk.update(keys)
         return pd.DataFrame(
             {
                 "group": [pdf[group_col].iloc[0]],
                 "shard": [int(pdf[_SHARD_COL].iloc[0])],
                 "blob": [sk.to_bytes()],
-                "n_keys": [len(pdf)],
+                "n_keys": [len(keys)],
                 "n_shards": [n_shards],
             }
         )

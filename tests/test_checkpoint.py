@@ -229,3 +229,22 @@ def test_iceberg_suite_build_and_resume(spark, tmp_path):
     b, lineage = build_multi_checkpointed(df, specs, ckpt, input_pin=pin)
     assert a["bloom_url"].to_bytes() == b["bloom_url"].to_bytes()
     assert lineage.toPandas()["resumed"].all()
+
+
+def test_progress_reads_suite_lineage_without_input_bytes(spark, tmp_path):
+    """checkpoint_progress must tolerate the suite checkpoint's lineage
+    sidecar shape (build_multi_checkpointed writes no input_bytes)."""
+    import json
+
+    from bloomfilter_spark.operators.checkpoint import checkpoint_progress
+
+    d = tmp_path / "suite_ck"
+    d.mkdir()
+    (d / "lineage-000000.json").write_text(
+        json.dumps({"partition_id": 0, "rows": 10, "wall_ms": 5.0,
+                    "cols": ["url"], "sketches": ["bloom_url"],
+                    "completed_at": 1.0})
+    )
+    prog = checkpoint_progress(str(d))
+    assert prog["completed_partitions"] == [0]
+    assert prog["rows"] == 10 and prog["input_bytes"] == 0

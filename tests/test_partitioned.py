@@ -153,3 +153,51 @@ def test_grouped_sharded_membership_contract(spark):
         assert neg.might_contain.mean() <= 2 * 0.01 + 0.01, t
     unk = checked[checked.tenant == "t-unknown"]
     assert not unk.might_contain.any()  # no filter → definitely absent
+
+
+def test_sharded_int_keys_with_nulls_no_false_negatives(spark):
+    """The zero-FN killer the canonical JVM key rendering fixes: an int64
+    build partition that contains a null arrives in pandas as float64, so
+    a pandas-side astype(str) would insert '123.0' while null-free probe
+    batches render '123'.  Build/probe must agree for every real key, and
+    NULL keys carry no identity (never inserted, probe False)."""
+    from bloomfilter_spark.operators.partitioned import (
+        bloom_build_sharded,
+        sharded_might_contain,
+    )
+
+    rows = [(i,) for i in range(500)] + [(None,)] * 7
+    df = spark.createDataFrame(rows, "key long")
+    shards = bloom_build_sharded(df, "key", n_expected=1000, n_shards=4)
+
+    probes = spark.createDataFrame(
+        [(i,) for i in range(500)] + [(None,)] * 3 + [(10_000 + i,) for i in range(200)],
+        "key long",
+    )
+    got = sharded_might_contain(probes, "key", shards, n_shards=4).toPandas()
+    inserted = got[got.key.notna() & (got.key < 500)]
+    assert inserted.might_contain.all(), "false negatives on int keys"
+    assert not got[got.key.isna()].might_contain.any(), "null probes must be False"
+    absent = got[got.key >= 10_000]
+    assert absent.might_contain.mean() <= 0.05
+
+
+def test_sharded_probe_rejects_multi_blob_shards(spark):
+    """Two unioned build outputs would silently answer against one blob
+    (false negatives) — the probe must hard-error instead."""
+    import pytest
+
+    from bloomfilter_spark.operators.partitioned import (
+        bloom_build_sharded,
+        sharded_might_contain,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "key long")
+    b = spark.createDataFrame([(i,) for i in range(100, 200)], "key long")
+    sa = bloom_build_sharded(a, "key", n_expected=500, n_shards=2)
+    sb = bloom_build_sharded(b, "key", n_expected=500, n_shards=2)
+    probes = spark.createDataFrame([(5,), (150,)], "key long")
+    with pytest.raises(Exception, match="blob rows"):
+        sharded_might_contain(
+            probes, "key", sa.unionAll(sb), n_shards=2
+        ).collect()

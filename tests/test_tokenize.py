@@ -226,3 +226,46 @@ class TestSparkTokenStats:
         }
         with pytest.raises(ValueError, match="column 'nope'"):
             bpe_token_stats(documents, merges, passthrough=("nope",))
+
+
+def test_cache_eviction_mid_partition_keeps_counts_correct(spark):
+    """When the per-partition pre-token cache overflows mid-partition, the
+    eviction must not orphan pre-tokens the CURRENT batch still reads —
+    force a tiny cap (closure-captured, so it reaches the workers) over a
+    multi-batch partition and check counts equal the uncapped run."""
+    import bloomfilter_spark.functions.tokenize as tk
+
+    # many docs + tiny arrow batches => several batches per partition,
+    # with common words ('doc', 'two') cached by earlier batches
+    texts = [(i, f"doc number {i} two common words plus unique{i}")
+             for i in range(300)]
+    df = spark.createDataFrame(texts, "doc_id long, text string").coalesce(1)
+    merges = [(b"o", b"n"), (b"t", b"w")]
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "20")  # several batches per partition: the bug
+    try:  # needs batch N+1 to reuse entries cached by batch N
+        want = tk.bpe_token_stats(df, merges).toPandas().sort_values("doc_id")
+        got = (
+            tk.bpe_token_stats(df, merges, cache_cap=5)
+            .toPandas()
+            .sort_values("doc_id")
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    for c in ("n_bytes", "n_pretokens", "n_bpe_tokens", "recon_ok"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_duplicate_passthrough_rejected_on_driver(spark):
+    import pytest
+
+    from bloomfilter_spark.functions.tokenize import bpe_token_stats
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="more than once"):
+        bpe_token_stats(df, [], passthrough=("doc_id",))
