@@ -39,6 +39,18 @@ def _emb_matrix(pdf: pd.DataFrame, col: str) -> np.ndarray:
     return np.vstack(pdf[col].to_numpy())
 
 
+def _nonnull_emb(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Library-wide null policy for embedding operators: rows with a NULL
+    id, NULL vector, or empty vector carry nothing to score — drop them
+    Catalyst-side (np.vstack over a column holding None would otherwise
+    crash the executor)."""
+    return emb.filter(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (F.size(vec_col) > 0)
+    )
+
+
 def _local_topk(s: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
     """Top-kk indices by (sim desc, id asc) — O(B) argpartition, then a
     lexsort over only the candidates at/above the kk-th sim (so boundary
@@ -88,7 +100,7 @@ def brute_topk(
                 {"qid": out_q, "vec_id": out_id, "sim": out_s}
             )
 
-    local = emb.select(id_col, vec_col).mapInPandas(
+    local = _nonnull_emb(emb, id_col, vec_col).select(id_col, vec_col).mapInPandas(
         score_iter, schema="qid long, vec_id long, sim double"
     )
     w = Window.partitionBy("qid").orderBy(
@@ -123,9 +135,15 @@ def neardup_pairs(
     where approximate recall is acceptable, the sub-quadratic path is
     minhash/simhash LSH (operators/dedup.py) or ivf_assign bucketing."""
     spark = emb.sparkSession
+    emb = _nonnull_emb(emb, id_col, vec_col)
     if n_blocks is None:
         n_blocks = max(4, min(64, spark.sparkContext.defaultParallelism // 2))
     pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    # the right side carries only STRICT pairs (i < j): a diagonal group's
+    # score() is a @ a.T over the left frame alone, so shipping the block
+    # again as its own right side was one full redundant copy of the
+    # table through the shuffle
+    pair_rows_strict = [(i, j) for i in range(n_blocks) for j in range(i + 1, n_blocks)]
     block_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
     # the two sides get fully distinct column names (and separate tiny
     # block-pair relations) so Spark's ambiguous-self-join analyzer can
@@ -141,16 +159,18 @@ def neardup_pairs(
         block_of.alias("block_r"),
     )
     pairs_a = spark.createDataFrame(pair_rows, "bi long, bj long")
-    pairs_b = spark.createDataFrame(pair_rows, "bi_r long, bj_r long")
+    pairs_b = spark.createDataFrame(pair_rows_strict, "bi_r long, bj_r long")
     side_a = F.broadcast(pairs_a).join(e_a, F.col("bi") == F.col("block"))
     side_b = F.broadcast(pairs_b).join(e_b, F.col("bj_r") == F.col("block_r"))
 
     def score(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
-        if len(l) == 0 or len(r) == 0:
+        if len(l) == 0:
             return empty
         ids_a = l["id"].to_numpy()
         a = _normalize(_emb_matrix(l, "vec"))
+        # diagonal groups have NO right side (pairs_b is strict) — check
+        # the diagonal branch before the r-empty early-out
         if int(l["bi"].iloc[0]) == int(l["bj"].iloc[0]):
             sims = a @ a.T
             ii, jj = np.nonzero(sims >= threshold)
@@ -162,6 +182,8 @@ def neardup_pairs(
                     "sim": sims[ii, jj][keep],
                 }
             )
+        if len(r) == 0:
+            return empty
         ids_b = r["id_r"].to_numpy()
         b = _normalize(_emb_matrix(r, "vec_r"))
         sims = a @ b.T
@@ -203,7 +225,8 @@ def train_centroids(
     At real scale you'd sample per-partition and still fit centroids
     driver-side — centroid count is tiny."""
     pdf = (
-        emb.select(id_col, vec_col)
+        _nonnull_emb(emb, id_col, vec_col)
+        .select(id_col, vec_col)
         .orderBy(id_col)
         .limit(sample)
         .toPandas()
@@ -229,8 +252,10 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Adds `bucket` = argmax-centroid per row (numpy GEMM per batch)."""
+    """Adds `bucket` = argmax-centroid per row (numpy GEMM per batch).
+    Null/empty-embedding rows are dropped (no bucket can hold them)."""
     spark = emb.sparkSession
+    emb = _nonnull_emb(emb, id_col, vec_col)
     bc = spark.sparkContext.broadcast(centroids)
     cols = emb.columns
 

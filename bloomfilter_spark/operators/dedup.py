@@ -327,6 +327,25 @@ def _minhash_fold(
                     sink(start + int(row), m)
 
 
+def _id_out(df: DataFrame, id_col: str):
+    """(spark DataType, pandas widener) for an id column that must survive
+    the mapInPandas boundary with its ORIGINAL type: hardcoding `id long`
+    breaks string-keyed corpora outright and NULL ids in int columns
+    (float64+NaN cannot convert back to long) — the same contract
+    exploded_shingles already keeps."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[id_col].dataType
+    is_int = isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+
+    def widen(s: pd.Series) -> pd.Series:
+        return s.astype("Int64") if is_int else s
+
+    return dt, widen
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -342,7 +361,16 @@ def minhash_signatures(
     num_perm 2-universal permutations as a broadcast multiply chunked to a
     bounded working set (_MINHASH_CHUNK_SHINGLES) and a per-doc segmented
     min (np.minimum.reduceat) — no per-row Python."""
+    from pyspark.sql import types as T
+
     a_p, b_p = _perm_params(num_perm, seed)
+    id_dt, widen = _id_out(df, id_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_dt),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
 
     def sig_iter(batches):
         for pdf in batches:
@@ -357,10 +385,10 @@ def minhash_signatures(
                     lambda row, m: sigs.__setitem__(row, m.view(np.int64).tolist()),
                     cap=chunk_shingles,
                 )
-            yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
+            yield pd.DataFrame({"id": widen(pdf[id_col]), "sig": sigs})
 
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
-        sig_iter, schema="id long, sig array<long>"
+        sig_iter, schema=out_schema
     )
 
 
@@ -375,7 +403,17 @@ def minhash_signatures_with_shingles(
     """(id, sig array<long>, shingles array<long>) — signatures plus the
     sorted distinct shingle-hash set, so LSH candidates can be EXACTLY
     verified (array_intersect) without re-shingling."""
+    from pyspark.sql import types as T
+
     a_p, b_p = _perm_params(num_perm, seed)
+    id_dt, widen = _id_out(df, id_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_dt),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("shingles", T.ArrayType(T.LongType())),
+        ]
+    )
 
     def sig_iter(batches):
         for pdf in batches:
@@ -395,11 +433,11 @@ def minhash_signatures_with_shingles(
 
                 _minhash_fold(h, offsets, a_p, b_p, sink)
             yield pd.DataFrame(
-                {"id": pdf[id_col], "sig": sigs, "shingles": shs}
+                {"id": widen(pdf[id_col]), "sig": sigs, "shingles": shs}
             )
 
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
-        sig_iter, schema="id long, sig array<long>, shingles array<long>"
+        sig_iter, schema=out_schema
     )
 
 
@@ -420,7 +458,7 @@ def minhash_dedup_pairs_verified(
     probability (1-J⁴)³² ≤ 5e-8 — the output matches the brute-force exact
     join w.h.p., which is what lets this path carry a SQL oracle while
     staying sub-quadratic."""
-    rows_per_band = num_perm // bands
+    rows_per_band = _band_geometry(num_perm, bands)
     # materialize once: the signature+shingle relation feeds the LSH
     # self-join (both branches) AND both verify joins — without this the
     # shingling/minhash mapInPandas pass runs up to 4×
@@ -443,6 +481,28 @@ def minhash_dedup_pairs_verified(
     )
 
 
+def _band_geometry(num_perm: int, bands: int) -> int:
+    """rows_per_band with the srp_signatures-style validation: bands >
+    num_perm would give zero-length band slices (every band hash becomes
+    the same constant for every doc → a full O(n²) candidate
+    cross-product), and a non-divisible num_perm silently drops tail
+    permutations, breaking the documented (1-J^r)^b recall math."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if num_perm < bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be >= bands ({bands}): empty band "
+            "slices hash identically for every doc and candidate "
+            "generation degenerates to the full cross-product"
+        )
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}) — "
+            f"{num_perm % bands} tail permutations would be silently unused"
+        )
+    return num_perm // bands
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 32, rows_per_band: int = 4
 ) -> DataFrame:
@@ -451,6 +511,11 @@ def lsh_candidate_pairs(
     Band hash = xxhash64 of the band's signature slice (JVM-side); bucket
     join = groupBy-free self-equijoin on (band, hash).  Pairs sharing ≥1
     band collide — P[collide] = 1-(1-J^r)^b."""
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"bands ({bands}) and rows_per_band ({rows_per_band}) must be "
+            ">= 1 (empty band slices collide every pair of documents)"
+        )
     bands_col = F.array(
         *[
             F.struct(
@@ -509,7 +574,7 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end near-dup pairs: signatures → LSH candidates → estimate ≥
     threshold.  Sub-quadratic: only colliding pairs are ever scored."""
-    rows_per_band = num_perm // bands
+    rows_per_band = _band_geometry(num_perm, bands)
     # materialized once — feeds the LSH self-join and both estimate joins
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm=num_perm, n=n
@@ -538,6 +603,12 @@ def simhash64(
     chunks bounded by token count (same memory discipline as
     _minhash_fold: a batch of multi-KB pages would otherwise materialize
     GBs per python worker)."""
+    from pyspark.sql import types as T
+
+    id_dt, widen = _id_out(df, id_col)
+    out_schema = T.StructType(
+        [T.StructField("id", id_dt), T.StructField("simhash", T.LongType())]
+    )
     chunk_tokens = _SIMHASH_CHUNK_TOKENS if chunk_tokens is None else chunk_tokens
 
     def sim_iter(batches):
@@ -585,10 +656,10 @@ def simhash64(
                     if len(nz):
                         sums = np.add.reduceat(bits, seg[nz] - lo, axis=0)
                         out[start + nz] = pack(sums).view(np.int64)
-            yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
+            yield pd.DataFrame({"id": widen(pdf[id_col]), "simhash": out})
 
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
-        sim_iter, schema="id long, simhash long"
+        sim_iter, schema=out_schema
     )
 
 

@@ -44,7 +44,18 @@ def might_contain_udf(spark, sketch) -> "callable":
     @F.pandas_udf(T.BooleanType())
     def _might_contain(s: pd.Series) -> pd.Series:
         sk = _cached_sketch(bc.value)
-        return pd.Series(sk.contains(s))
+        mask = s.isna()
+        if not mask.any():
+            return pd.Series(sk.contains(s))
+        # NULL keys were never inserted (library-wide null policy) →
+        # might_contain = False; probing only the non-null slice also
+        # keeps an int batch with nulls on the integral-float fast path
+        # instead of crashing hash_any on the NaN rows
+        out = pd.Series(False, index=s.index, dtype=bool)
+        nn = s[~mask]
+        if len(nn):
+            out[~mask] = sk.contains(nn)
+        return out
 
     return _might_contain
 

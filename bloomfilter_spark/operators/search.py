@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from bloomfilter_spark.functions.textstats import WS_SPLIT_PATTERN
+from bloomfilter_spark.functions.textstats import token_count, tokens
 
 
 def _score_tf(tf: DataFrame, stats: DataFrame, k1: float, b: float, topk: int) -> DataFrame:
@@ -83,14 +83,16 @@ def write_inverted_index(
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN).alias("toks"),
-        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)))
-        .alias("dl"),
+        tokens(F.col(text_col)).alias("toks"),
+        token_count(F.col(text_col)).alias("dl"),
     )
+    # n_buckets rides in the sidecar: a probe with a different modulus
+    # would silently prune matching terms' buckets away
     toks.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).write.mode("overwrite").parquet(f"{path}__stats")
+    ).withColumn("n_buckets", F.lit(n_buckets)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}__stats")
     (
         toks.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
@@ -109,18 +111,39 @@ def bm25_search_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 20,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """BM25 top-k over a materialized inverted index — no corpus scan.
 
     Same scoring and output contract as bm25_search; reads only the
     query terms' buckets (partition pruning on the bucket column, then a
     term IN-list rowgroup filter inside them).
+
+    n_buckets defaults to the value the index was written with (recorded
+    in the stats sidecar); passing a DIFFERENT value is a hard error —
+    the wrong modulus routes terms to buckets the index never wrote,
+    silently dropping matching documents.
     """
     if not terms:
         raise ValueError("bm25_search_indexed needs at least one query term")
     terms = [t.lower() for t in terms]
     stats = spark.read.parquet(f"{path}__stats")
+    recorded = None
+    if "n_buckets" in stats.columns:
+        recorded = int(stats.select("n_buckets").first()["n_buckets"])
+        stats = stats.drop("n_buckets")
+    if n_buckets is None:
+        if recorded is None:
+            raise ValueError(
+                f"{path}__stats records no n_buckets (pre-sidecar index): "
+                "pass n_buckets explicitly, matching the write"
+            )
+        n_buckets = recorded
+    elif recorded is not None and n_buckets != recorded:
+        raise ValueError(
+            f"index at {path} was written with n_buckets={recorded}, "
+            f"got n_buckets={n_buckets}: probes would prune wrong buckets"
+        )
     buckets = sorted(
         {r.bucket for r in
          spark.createDataFrame([(t,) for t in terms], "term string")
@@ -169,9 +192,13 @@ def hybrid_search(
     cands = bm25_search(
         docs, id_col, text_col, terms, topk=topk_recall
     ).localCheckpoint(eager=False)
-    cand_ids = cands.select(F.col("doc_id"))
+    # reserved alias: an unqualified doc_id would be AMBIGUOUS_REFERENCE
+    # whenever the embedding table's own id column is also named doc_id
+    cand_ids = cands.select(F.col("doc_id").alias("__cand_id"))
     cand_emb = emb.join(
-        F.broadcast(cand_ids), emb[emb_id_col] == F.col("doc_id"), "left_semi"
+        F.broadcast(cand_ids),
+        emb[emb_id_col] == F.col("__cand_id"),
+        "left_semi",
     )
     # score ALL candidates, then cut on the ROUNDED cosine (engine-portable
     # rank rule, like every other top-k in the library) with an id tiebreak
@@ -217,10 +244,8 @@ def bm25_search(
     terms = [t.lower() for t in terms]
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN).alias("toks"),
-        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)))
-        .alias("dl"),
+        tokens(F.col(text_col)).alias("toks"),
+        token_count(F.col(text_col)).alias("dl"),
     )
     # one-row corpus stats; broadcast into the scoring plan (no collect)
     stats = toks.agg(

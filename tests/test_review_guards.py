@@ -1,0 +1,154 @@
+"""Regression pins for the round-5 review findings across the dedup / ANN /
+search / membership operator tier: null-key routing, geometry validation,
+id-dtype preservation, and index-modulus persistence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_bloom_semi_join_survives_null_int_probe_keys(spark):
+    """A nullable long probe column used to crash the pandas UDF (float64
+    batch with NaN); NULL keys now answer might_contain=False and the
+    exact semi-join output is unchanged."""
+    from bloomfilter_spark.operators.membership import bloom_semi_join
+
+    build = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    probe = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(None,)] * 3 + [(999,)], "k long"
+    )
+    got = bloom_semi_join(probe, "k", build, "k", n_expected=200).toPandas()
+    assert sorted(got.k) == list(range(50))
+
+
+def test_minhash_band_geometry_validated(spark):
+    from bloomfilter_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_dedup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "five six seven eight")],
+        "id long, text string",
+    )
+    with pytest.raises(ValueError, match="must be >= bands"):
+        minhash_dedup_pairs(df, "id", "text", num_perm=16, bands=32)
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_dedup_pairs(df, "id", "text", num_perm=100, bands=32)
+    sigs = spark.createDataFrame([(1, [1, 2, 3, 4])], "id long, sig array<long>")
+    with pytest.raises(ValueError, match=">= 1"):
+        lsh_candidate_pairs(sigs, bands=4, rows_per_band=0)
+
+
+def test_minhash_simhash_preserve_string_ids(spark):
+    """Signature ops hardcoded `id long`; string-keyed corpora (URL/sha
+    ids) must work and NULL int ids must not crash the Arrow boundary."""
+    from bloomfilter_spark.operators.dedup import (
+        minhash_signatures,
+        simhash64,
+    )
+
+    sdf = spark.createDataFrame(
+        [("urn:a", "one two three four five"), ("urn:b", "six seven eight nine")],
+        "id string, text string",
+    )
+    sig = minhash_signatures(sdf, "id", "text", num_perm=8).toPandas()
+    assert sorted(sig.id) == ["urn:a", "urn:b"]
+    sh = simhash64(sdf, "id", "text").toPandas()
+    assert sorted(sh.id) == ["urn:a", "urn:b"]
+
+    ndf = spark.createDataFrame(
+        [(1, "one two three four"), (None, "five six seven eight")],
+        "id long, text string",
+    )
+    sig2 = minhash_signatures(ndf, "id", "text", num_perm=8).toPandas()
+    assert len(sig2) == 2 and sig2.id.isna().sum() == 1
+
+
+def test_ann_ops_drop_null_embeddings(spark):
+    from bloomfilter_spark.operators.ann import brute_topk, neardup_pairs
+
+    rows = [(i, [float(i), 1.0, 0.5]) for i in range(20)]
+    rows += [(100, None), (None, [1.0, 2.0, 3.0]), (101, [])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = pd.DataFrame({"qid": [0], "vector": [np.array([1.0, 1.0, 0.5])]})
+    top = brute_topk(emb, q, k=5).toPandas()
+    assert len(top) == 5 and top.vec_id.notna().all()
+    pairs = neardup_pairs(emb, threshold=0.99, n_blocks=4).toPandas()
+    assert pairs.id_a.notna().all() and pairs.id_b.notna().all()
+
+
+def test_neardup_strict_right_side_matches_full(spark):
+    """Dropping the diagonal copies from the right cogroup side must not
+    change the output: compare against a brute-force pair scan."""
+    from bloomfilter_spark.operators.ann import neardup_pairs
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    vecs[13] = vecs[7] * 2.0  # planted exact-direction dup
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    got = (
+        neardup_pairs(emb, threshold=0.8, n_blocks=4)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    want = sorted(
+        (i, j)
+        for i in range(40)
+        for j in range(i + 1, 40)
+        if round(sims[i, j], 4) >= 0.8
+    )
+    assert [tuple(r) for r in got[["id_a", "id_b"]].to_numpy()] == want
+    assert (13 in got.id_a.values) or (13 in got.id_b.values)
+
+
+def test_bm25_index_records_and_validates_n_buckets(spark, tmp_path):
+    from bloomfilter_spark.operators.search import (
+        bm25_search,
+        bm25_search_indexed,
+        write_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark hash join"), (2, "bloom filter hash"), (3, "vector search")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    write_inverted_index(docs, idx, "doc_id", "text", n_buckets=128)
+    # default: picks up the recorded modulus
+    got = bm25_search_indexed(spark, idx, ["hash", "join"]).toPandas()
+    want = bm25_search(docs, "doc_id", "text", ["hash", "join"]).toPandas()
+    pd.testing.assert_frame_equal(got, want)
+    # wrong explicit modulus: hard error, not silently-missing docs
+    with pytest.raises(ValueError, match="n_buckets=128"):
+        bm25_search_indexed(spark, idx, ["hash"], n_buckets=64)
+
+
+def test_hybrid_search_with_doc_id_keyed_embeddings(spark):
+    """The natural shared-key layout (embedding table keyed doc_id) used
+    to raise AMBIGUOUS_REFERENCE in the candidate semi-join."""
+    from bloomfilter_spark.operators.search import hybrid_search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta"), (3, "omega psi")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 1.0])],
+        "doc_id long, embedding array<double>",
+    )
+    q = pd.DataFrame({"qid": [0], "vector": [np.array([1.0, 0.0])]})
+    out = hybrid_search(
+        docs, emb, ["beta"], q, topk_recall=3, topk=2, emb_id_col="doc_id"
+    ).toPandas()
+    assert set(out.doc_id) <= {1, 2} and len(out) == 2
