@@ -57,12 +57,20 @@ _cache_bytes = 0
 
 def _sketch_for(blob) -> object:
     global _cache_bytes
-    b = bytes(blob)
-    key = hashlib.blake2b(b, digest_size=16).digest()
+    # hash without copying: a cache HIT costs one digest pass over the
+    # blob (memoryview — no bytes() materialization); the copy for
+    # deserialization is paid only on a miss.  The digest stays FULL-blob:
+    # a truncated fingerprint could alias two different blobs and silently
+    # answer probes from the wrong sketch.  For GB-scale filters probed at
+    # billions of rows, prefer the DataFrame API (operators/membership.py
+    # broadcasts the sketch once) over shipping the blob through SQL rows.
+    mv = blob if isinstance(blob, (bytes, bytearray, memoryview)) else bytes(blob)
+    key = hashlib.blake2b(mv, digest_size=16).digest()
     hit = _cache.get(key)
     if hit is not None:
         _cache.move_to_end(key)
         return hit[0]
+    b = mv if isinstance(mv, bytes) else bytes(mv)
     sk = serde.deserialize(b)
     size = len(b)
     if size > _CACHE_MAX_BYTES:  # a single over-budget giant: use uncached

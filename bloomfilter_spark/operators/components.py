@@ -133,15 +133,21 @@ def _component_labels(df, id_col, pairs, extra_cols, src, dst):
         nodes=df.filter(F.col(id_col).isNotNull()).select(id_col),
         id_col=id_col,
     )
+    # reserved aliases: comp's columns are literally (id, component), so
+    # id_col == "id" (the library's own default node name) or a caller
+    # "component" column would otherwise be AMBIGUOUS_REFERENCE
+    comp = comp.select(
+        F.col("id").alias("__cc_id"), F.col("component").alias("__cc_comp")
+    )
     return (
         df.select(F.col(id_col), *[F.col(c) for c in extra_cols])
-        .join(comp, df[id_col] == comp["id"], "left")
+        .join(comp, df[id_col] == F.col("__cc_id"), "left")
         .select(
             F.col(id_col),
             *[F.col(c) for c in extra_cols],
             F.when(
                 F.col(id_col).isNotNull(),
-                F.coalesce(F.col("component"), F.col(id_col)),
+                F.coalesce(F.col("__cc_comp"), F.col(id_col)),
             ).alias("component"),
         )
     )

@@ -60,6 +60,11 @@ def write_partitioned_with_bloom(
         build_grouped,
     )
 
+    # materialize the caller's plan ONCE: the write, the max-partition
+    # count, and the grouped sketch build all read it — an expensive (or
+    # nondeterministic) upstream would otherwise run three times and
+    # could make the sidecar disagree with the written files
+    df = df.localCheckpoint()
     df.write.mode("overwrite").partitionBy(part_col).parquet(path)
     n_max = (
         df.groupBy(part_col).count().agg(F.max("count")).collect()[0][0]
@@ -99,8 +104,14 @@ def bloom_skipping_lookup(
     # isin on the partition column compiles to PartitionFilters — only
     # candidate directories are listed/read (pytest-pinned).  SQL IN never
     # matches NULL, so the NULL partition (Hive default dir) needs its own
-    # isNull branch or its rows would be FALSE NEGATIVES
-    non_null = [c for c in cands if c is not None and not pd.isna(c)]
+    # isNull branch or its rows would be FALSE NEGATIVES.  EMPTY-STRING
+    # partition values take the same branch: Spark writes "" to the Hive
+    # default dir too and reads it back as NULL, while the sidecar (built
+    # from the DataFrame, not the files) records "" — isin([""]) would
+    # never match those rows
+    non_null = [
+        c for c in cands if c is not None and not pd.isna(c) and c != ""
+    ]
     part_pred = F.col(part_col).isin(non_null)
     if len(non_null) != len(cands):
         part_pred = part_pred | F.col(part_col).isNull()

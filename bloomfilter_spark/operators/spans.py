@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from bloomfilter_spark.plans.skew import ensure_parallelism
-from bloomfilter_spark.functions.textstats import WS_SPLIT_PATTERN
 
 
 def _covered_positions(df, id_col, text_col, k, min_count):
@@ -35,15 +34,14 @@ def _covered_positions(df, id_col, text_col, k, min_count):
         raise ValueError(f"k must be >= 1, got {k}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from bloomfilter_spark.functions.textstats import token_count, tokens
+
     df = ensure_parallelism(df)
     toks_df = df.select(
         F.col(id_col).alias("id"),
-        F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN).alias("toks"),
-        # the split of an all-whitespace string is [''] (size 1) — the
-        # shared token-count rule treats those documents as 0 tokens
-        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)))
-        .alias("n_tokens"),
+        tokens(F.col(text_col)).alias("toks"),
+        # library-wide token-count rule (all-whitespace text = 0 tokens)
+        token_count(F.col(text_col)).alias("n_tokens"),
     )
     # positional k-grams; materialized once (localCheckpoint) because both
     # the frequency count and the join-back read it
@@ -109,7 +107,12 @@ def duplicate_span_stats(
         .select(
             "id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+            # NULL text (n_tokens NULL) keeps NULL stats — a missing
+            # document is not a 0-duplication document
+            F.when(
+                F.col("n_tokens").isNull(), F.lit(None)
+            )
+            .otherwise(F.coalesce(F.col("n_dup_tokens"), F.lit(0)))
             .cast("long")
             .alias("n_dup_tokens"),
             F.when(F.col("n_tokens") == 0, F.lit(0.0))
@@ -159,9 +162,18 @@ def remove_duplicate_spans(
         ),
     ).otherwise(F.array().cast("array<int>"))
     kept = F.transform(kept_pos, lambda i: F.get("toks", i))  # 0-based gather
+    # NULL text stays NULL end-to-end (n_tokens is NULL exactly for NULL
+    # text): a missing document is NOT a fully-deduplicated one — callers
+    # filtering on text_clean = '' must not swallow NULL-text rows
+    null_text = F.col("n_tokens").isNull()
     return joined.select(
         "id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.size("cov").cast("long").alias("n_removed"),
-        F.concat_ws(" ", kept).alias("text_clean"),
+        F.when(null_text, F.lit(None))
+        .otherwise(F.size("cov"))
+        .cast("long")
+        .alias("n_removed"),
+        F.when(null_text, F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("text_clean"),
     )

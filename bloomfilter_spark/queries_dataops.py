@@ -239,8 +239,12 @@ WITH toks AS (
 _DUP_SPANS_SQL = _SPANS_CTES + """
 SELECT toks.doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
-       CASE WHEN len(t) = 0 THEN 0.0
+       -- NULL text keeps NULL stats (operator contract: a missing
+       -- document is not a 0-duplication document)
+       CASE WHEN t IS NULL THEN NULL
+            ELSE CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) END AS n_dup_tokens,
+       CASE WHEN t IS NULL THEN NULL
+            WHEN len(t) = 0 THEN 0.0
             ELSE ROUND(COALESCE(n_dup_tokens, 0) / len(t), 6)
        END AS dup_ratio
 FROM toks LEFT JOIN per_doc USING (rid)
@@ -261,8 +265,12 @@ _SPAN_REMOVAL_SQL = _SPANS_CTES + """
 )
 SELECT toks.doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_removed,
-       COALESCE(rebuilt.text_clean, '') AS text_clean
+       -- NULL text stays NULL end-to-end (operator contract): a missing
+       -- document is NOT a fully-deduplicated one
+       CASE WHEN t IS NULL THEN NULL
+            ELSE CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) END AS n_removed,
+       CASE WHEN t IS NULL THEN NULL
+            ELSE COALESCE(rebuilt.text_clean, '') END AS text_clean
 FROM toks
 LEFT JOIN per_doc USING (rid)
 LEFT JOIN rebuilt USING (rid)

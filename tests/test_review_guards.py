@@ -152,3 +152,58 @@ def test_hybrid_search_with_doc_id_keyed_embeddings(spark):
         docs, emb, ["beta"], q, topk_recall=3, topk=2, emb_id_col="doc_id"
     ).toPandas()
     assert set(out.doc_id) <= {1, 2} and len(out) == 2
+
+
+def test_dedup_keep_with_id_named_id(spark):
+    """connected_components' own default node name used to collide with
+    the label frame's (id, component) columns -> AMBIGUOUS_REFERENCE."""
+    from bloomfilter_spark.operators.components import dedup_keep
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = dedup_keep(df, "id", pairs).toPandas().sort_values("id")
+    assert list(got.is_kept) == [True, False, True]
+
+
+def test_skipindex_empty_string_partition_no_false_negative(spark, tmp_path):
+    """Spark writes '' partition values to the Hive default dir and reads
+    them back as NULL, while the sidecar records '' — the lookup must
+    still find those rows (zero-FN contract)."""
+    from bloomfilter_spark.operators.skipindex import (
+        bloom_skipping_lookup,
+        write_partitioned_with_bloom,
+    )
+
+    df = spark.createDataFrame(
+        [("", "k1"), ("p1", "k2"), ("p2", "k3")], "part string, k string"
+    )
+    path = str(tmp_path / "skip_empty")
+    write_partitioned_with_bloom(df, path, "part", "k")
+    rows, cands, total = bloom_skipping_lookup(spark, path, "part", "k", ["k1"])
+    got = rows.toPandas()
+    assert list(got.k) == ["k1"]
+
+
+def test_span_ops_keep_null_text_null(spark):
+    """NULL text must stay NULL end-to-end: a missing document is neither
+    a 0-duplication document nor a fully-deduplicated empty one."""
+    from bloomfilter_spark.operators.spans import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, None), (3, "a b c d x y z w")],
+        "doc_id long, text string",
+    )
+    stats = duplicate_span_stats(df, "doc_id", "text").toPandas().set_index("id")
+    assert pd.isna(stats.loc[2, "n_tokens"])
+    assert pd.isna(stats.loc[2, "n_dup_tokens"])
+    assert pd.isna(stats.loc[2, "dup_ratio"])
+    clean = remove_duplicate_spans(df, "doc_id", "text").toPandas().set_index("id")
+    assert clean.loc[2, "text_clean"] is None or pd.isna(clean.loc[2, "text_clean"])
+    assert pd.isna(clean.loc[2, "n_removed"])
+    # non-null rows unaffected: doc 1 is fully covered by corpus-frequent
+    # 4-grams ('a b c d' appears 3x across docs 1 and 3, and doc 1's own
+    # positions 1-4 chain through it), so its clean text is the TRUE ''
+    assert clean.loc[1, "text_clean"] == ""
