@@ -101,7 +101,16 @@ def partial_build(
                     raise ValueError(
                         f"weighted build: negative weight in '{weight_col}'"
                     )
-                sk.update(clean[cols[0]], weights=w.round().astype("int64"))
+                wr = w.round()
+                if not bool((wr == w).all()):
+                    # silent rounding would change the counted mass
+                    # (0.4 -> 0): integer counters need integer weights
+                    raise TypeError(
+                        f"weighted build: non-integer weights in "
+                        f"'{weight_col}' — scale to integer mass upstream "
+                        "(CMS counters are int64)"
+                    )
+                sk.update(clean[cols[0]], weights=wr.astype("int64"))
             else:
                 for c in cols:
                     _numeric_update(sk, pdf[c])
@@ -236,13 +245,25 @@ def merge_partials(partials: DataFrame, factory: Callable[[], object]):
     all partial blobs to the driver.  Small fan-ins (≤ DEFAULT_MERGE_FANIN
     blobs — already driver-sized) merge n-ary in canonical partition order.
     """
-    probe = factory()
+    # KIND without materializing a sketch when the factory carries it
+    # (all build.py factories do): factory() for a 1e9-key Bloom would
+    # allocate the full ~GB words array on the driver just to read a tag
+    kind = getattr(factory, "KIND", None)
+    if kind is None:
+        kind = factory().KIND
     n_parts = partials.rdd.getNumPartitions()
     if n_parts > DEFAULT_MERGE_FANIN:
-        if probe.KIND in _COMMUTATIVE_KINDS:
-            zero = probe.to_bytes()
-
+        if kind in _COMMUTATIVE_KINDS:
+            # zeroValue is an EMPTY sentinel, not a dense empty-sketch
+            # blob: treeAggregate serializes the zero into every task
+            # closure, and a 1e9-key Bloom zero is ~1.2 GB — merging with
+            # "empty" is identity for every commutative kind, so b""
+            # short-circuits carry the same semantics with zero bytes
             def comb(a_blob: bytes, b_blob: bytes) -> bytes:
+                if not a_blob:
+                    return b_blob
+                if not b_blob:
+                    return a_blob
                 a = serde.deserialize(a_blob)
                 a.merge(serde.deserialize(b_blob))
                 return a.to_bytes()
@@ -250,8 +271,10 @@ def merge_partials(partials: DataFrame, factory: Callable[[], object]):
             merged_blob = (
                 partials.select("blob")
                 .rdd.map(lambda r: r.blob)
-                .treeAggregate(zero, comb, comb, depth=2)
+                .treeAggregate(b"", comb, comb, depth=2)
             )
+            if not merged_blob:  # zero partials: an empty build
+                return factory()
             return serde.deserialize(merged_blob)
         return tree_merge_blobs(partials, factory, n_parts)
     # small fan-in: single bounded collect beats extra tree stages
@@ -579,7 +602,11 @@ def rollup_sliding(
         # F.sequence(u, u-1) would silently generate a DESCENDING range,
         # attributing blobs to earlier units instead of erroring
         raise ValueError(f"rollup_sliding: window must be >= 1, got {window}")
-    src = grouped_blobs.select(
+    # NULL units are dropped EXPLICITLY (a null endpoint makes F.sequence
+    # null and the explode silently emits nothing — the blob would vanish
+    # from every window with no trace); a unit-less blob has no place on
+    # the time axis, same skip-NULL-keys policy as the sketch builds
+    src = grouped_blobs.filter(F.col(unit_col).isNotNull()).select(
         F.col(unit_col).cast("long").alias("__u"), "blob"
     )
     fanned = src.select(
@@ -628,6 +655,13 @@ def grouped_estimates(grouped_blobs: DataFrame, finalize: str = "estimate") -> D
 # convenient factories ---------------------------------------------------------
 
 
+def _tag(fn, cls):
+    """Attach the sketch-kind tag so merge paths can learn KIND without
+    materializing an instance (a 1e9-key Bloom is ~GB)."""
+    fn.KIND = cls.KIND
+    return fn
+
+
 def bloom_factory(n: int, p: float = 0.01, seed=None):
     from bloomfilter_spark.functions.hashing import DEFAULT_SEED
 
@@ -637,7 +671,7 @@ def bloom_factory(n: int, p: float = 0.01, seed=None):
     # array into every executor's task binary (1.2 GB at n=1e9)
     proto = BloomFilter.create(n, p, seed=s)
     m, k = proto.m, proto.k
-    return lambda: BloomFilter(m, k, s)
+    return _tag(lambda: BloomFilter(m, k, s), BloomFilter)
 
 
 def cbf_factory(n: int, p: float = 0.01, seed=None):
@@ -647,14 +681,14 @@ def cbf_factory(n: int, p: float = 0.01, seed=None):
     s = DEFAULT_SEED if seed is None else seed
     proto = CountingBloomFilter.create(n, p, seed=s)
     m, k = proto.m, proto.k
-    return lambda: CountingBloomFilter(m, k, s)  # scalars only (see above)
+    return _tag(lambda: CountingBloomFilter(m, k, s), CountingBloomFilter)  # scalars only (see above)
 
 
 def hll_factory(precision: int = 14, seed=None):
     from bloomfilter_spark.functions.hashing import DEFAULT_SEED
 
     s = DEFAULT_SEED if seed is None else seed
-    return lambda: HyperLogLog(p=precision, seed=s)
+    return _tag(lambda: HyperLogLog(p=precision, seed=s), HyperLogLog)
 
 
 def cms_factory(epsilon: float = 0.0005, delta: float = 0.001, seed=None):
@@ -663,27 +697,27 @@ def cms_factory(epsilon: float = 0.0005, delta: float = 0.001, seed=None):
     s = DEFAULT_SEED if seed is None else seed
     proto = CountMinSketch.create(epsilon, delta, seed=s)
     depth, width = proto.depth, proto.width
-    return lambda: CountMinSketch(depth, width, s)  # scalars only (see above)
+    return _tag(lambda: CountMinSketch(depth, width, s), CountMinSketch)  # scalars only (see above)
 
 
 def kll_factory(k: int = 200):
-    return lambda: KLLSketch(k=k)
+    return _tag(lambda: KLLSketch(k=k), KLLSketch)
 
 
 def freqitems_factory(capacity: int = 4096):
-    return lambda: FrequentItemsSketch(capacity)
+    return _tag(lambda: FrequentItemsSketch(capacity), FrequentItemsSketch)
 
 
 def theta_factory(k: int = 16384, seed=None):
     from bloomfilter_spark.functions.hashing import DEFAULT_SEED
 
     s = DEFAULT_SEED if seed is None else seed
-    return lambda: ThetaSketch(k, seed=s)
+    return _tag(lambda: ThetaSketch(k, seed=s), ThetaSketch)
 
 
 def tdigest_factory(delta: int = 200):
-    return lambda: TDigest(delta=delta)
+    return _tag(lambda: TDigest(delta=delta), TDigest)
 
 
 def dds_factory(alpha: float = 0.01):
-    return lambda: DDSketch(alpha=alpha)
+    return _tag(lambda: DDSketch(alpha=alpha), DDSketch)

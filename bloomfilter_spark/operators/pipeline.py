@@ -209,10 +209,18 @@ def build_multi_checkpointed(
     n_parts = pruned.rdd.getNumPartitions()
 
     os.makedirs(ckpt_dir, exist_ok=True)
+    # merge_par pins the ADAPTIVE merge-tree shape: fanin=None sizes each
+    # reduce round from the cluster parallelism, so without recording it a
+    # build killed on N cores and resumed on 4N would merge the SAME
+    # partials through a different tree — compaction sketches
+    # (KLL/t-digest) would then NOT be bit-identical to the uninterrupted
+    # build, silently breaking the resume contract the manifest enforces
+    merge_par = df.sparkSession.sparkContext.defaultParallelism
     manifest = {
         "cols": cols,
         "n_parts": n_parts,
         "input_pin": input_pin,
+        "merge_par": merge_par,
         "sketches": {
             n: [col_of[n], factories[n]().to_bytes()[:64].hex()] for n in names
         },
@@ -224,7 +232,14 @@ def build_multi_checkpointed(
         # a checkpoint written before input_pin existed is pin-less, not
         # mismatched — don't orphan an in-flight build across the upgrade
         prev.setdefault("input_pin", None)
-        if prev != manifest:
+        prev.setdefault("merge_par", merge_par)
+        # the recorded merge_par WINS on resume (that's the pin); it is
+        # excluded from the identity check — a new cluster size is a
+        # legitimate resume, a different input/sketch geometry is not
+        merge_par = int(prev["merge_par"])
+        if {k: v for k, v in prev.items() if k != "merge_par"} != {
+            k: v for k, v in manifest.items() if k != "merge_par"
+        }:
             raise ValueError(
                 "checkpoint dir was written by a different suite build "
                 f"(manifest {prev} != {manifest}); use a fresh ckpt_dir"
@@ -329,8 +344,11 @@ def build_multi_checkpointed(
             yield pd.DataFrame(recs, columns=cols_out)
 
     partials = files.mapInPandas(parse_iter, schema=schema)
-    par = spark.sparkContext.defaultParallelism
-    merged = _merge_tree(partials, schema, names, factories, n_parts, fanin, par)
+    # merge_par from the MANIFEST, not the live cluster: the tree shape
+    # must match the original build's for bit-identical resumes
+    merged = _merge_tree(
+        partials, schema, names, factories, n_parts, fanin, merge_par
+    )
     lineage = spark.createDataFrame(stats_pdf, schema=STATS_SCHEMA)
     return merged, lineage
 
@@ -468,7 +486,10 @@ def with_page_features(df: DataFrame, prehash: bool = False) -> DataFrame:
     base = df.select(
         "url",
         "lang",
-        F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
+        # no trailing-slash requirement: a bare-domain url
+        # ('https://example.com') must keep its host — requiring '/'
+        # would lump every such url under host '' in the host sketches
+        F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host"),
         F.length("text").alias("text_len"),
         F.xxhash64("text").alias("text_hash"),
     )

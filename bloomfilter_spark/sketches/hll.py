@@ -79,7 +79,15 @@ class HyperLogLog:
                 f"hyperloglog: relativeError must be in range (0, 1), got {relative_error:f}"
             )
         m_needed = (1.04 / relative_error) ** 2
-        p = max(4, min(18, math.ceil(math.log2(m_needed))))
+        p = max(4, math.ceil(math.log2(m_needed)))
+        if p > 18:
+            # silently clamping would return a sketch with WORSE error
+            # than requested — refuse like every other bad-sizing input
+            raise ValueError(
+                f"hyperloglog: relativeError {relative_error:g} needs "
+                f"precision {p} > 18 (max); smallest supported is "
+                f"{1.04 / math.sqrt(2 ** 18):.6f}"
+            )
         return cls(p=p, seed=seed)
 
     def empty_like(self) -> "HyperLogLog":

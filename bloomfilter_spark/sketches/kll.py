@@ -219,9 +219,16 @@ class KLLSketch:
             raise ValueError(f"not a kll blob (kind={kind})")
         k, nl = struct.unpack_from("<II", params, 0)
         sizes = struct.unpack_from(f"<{nl}q", params, 8)
+        flat = np.frombuffer(payload, dtype="<f8")
+        if len(flat) < sum(sizes):
+            # a short slice would silently drop the HIGHEST-weight items
+            # and skew every quantile — refuse like Bloom/HLL from_bytes
+            raise ValueError(
+                f"kll blob truncated: {len(flat)} values, level sizes "
+                f"declare {sum(sizes)}"
+            )
         levels = []
         off = 0
-        flat = np.frombuffer(payload, dtype="<f8")
         for s in sizes:
             levels.append(flat[off : off + s].astype(np.float64))
             off += s

@@ -72,6 +72,11 @@ def unpack(blob: bytes | bytearray | memoryview):
         raise ValueError("sketch blob: bad magic (not a SKB1 sketch)")
     if version != VERSION:
         raise ValueError(f"sketch blob: unsupported version {version}")
+    if len(blob) < _HEADER.size + param_len:
+        raise ValueError(
+            f"sketch blob truncated inside params: header declares "
+            f"{param_len} param bytes, {len(blob) - _HEADER.size} present"
+        )
     params = bytes(blob[_HEADER.size : _HEADER.size + param_len])
     payload = blob[_HEADER.size + param_len :]
     return kind, seed, n_added, params, payload

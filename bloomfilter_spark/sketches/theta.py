@@ -201,10 +201,13 @@ class ThetaSketch:
     # -- serde ----------------------------------------------------------------
 
     def to_bytes(self) -> bytes:
-        # vals are sorted unique — already canonical; θ−1 fits u64
+        # vals are sorted unique — already canonical; θ−1 fits u64.
+        # Explicit little-endian payload (like KLL '<f8' / HLL '<u4') so
+        # blobs are portable across host byte orders.
         params = self._PARAMS.pack(self.k, len(self.vals), self.theta - 1)
         return serde.pack(
-            serde.KIND_THETA, self.seed, self.n_added, params, self.vals.tobytes()
+            serde.KIND_THETA, self.seed, self.n_added, params,
+            self.vals.astype("<u8", copy=False).tobytes(),
         )
 
     @classmethod
@@ -213,7 +216,12 @@ class ThetaSketch:
         if kind != serde.KIND_THETA:
             raise ValueError(f"not a theta blob (kind={kind})")
         k, n, theta_m1 = cls._PARAMS.unpack(params)
-        vals = np.frombuffer(payload, dtype=np.uint64)[:n].copy()
+        flat = np.frombuffer(payload, dtype="<u8")
+        if len(flat) < n:
+            raise ValueError(
+                f"theta blob truncated: {len(flat)} values, header says {n}"
+            )
+        vals = flat[:n].astype(np.uint64)
         return cls(k, seed=seed, theta=theta_m1 + 1, vals=vals, n_added=n_added)
 
     def __eq__(self, other) -> bool:

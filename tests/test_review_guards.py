@@ -207,3 +207,98 @@ def test_span_ops_keep_null_text_null(spark):
     # 4-grams ('a b c d' appears 3x across docs 1 and 3, and doc 1's own
     # positions 1-4 chain through it), so its clean text is the TRUE ''
     assert clean.loc[1, "text_clean"] == ""
+
+
+def test_page_features_keep_bare_domain_host(spark):
+    from bloomfilter_spark.operators.pipeline import with_page_features
+
+    df = spark.createDataFrame(
+        [("https://example.com", "x", "en"),
+         ("https://a.example.com/p/1", "y", "en"),
+         ("http://b.example.com?q=1", "z", "en")],
+        "url string, text string, lang string",
+    )
+    got = with_page_features(df).select("url", "host").toPandas().set_index("url")
+    assert got.loc["https://example.com", "host"] == "example.com"
+    assert got.loc["https://a.example.com/p/1", "host"] == "a.example.com"
+    assert got.loc["http://b.example.com?q=1", "host"] == "b.example.com"
+
+
+def test_tree_aggregate_many_partitions_matches_local(spark):
+    """The commutative treeAggregate path (empty-bytes zero sentinel) over
+    more partitions than the merge fan-in must equal a local build."""
+    import numpy as np
+
+    from bloomfilter_spark.operators.build import bloom_factory, build_sketch
+    from bloomfilter_spark.sketches.bloom import BloomFilter
+
+    df = spark.range(0, 5000).repartition(100)
+    dist = build_sketch(df, "id", bloom_factory(10_000, 0.01))
+    local = BloomFilter.create(10_000, 0.01)
+    local.update(np.arange(5000, dtype=np.int64))
+    assert dist.to_bytes() == local.to_bytes()
+
+
+def test_sketch_sizing_and_serde_validation():
+    import struct
+
+    from bloomfilter_spark.sketches import serde
+    from bloomfilter_spark.sketches.hll import HyperLogLog
+    from bloomfilter_spark.sketches.kll import KLLSketch
+    from bloomfilter_spark.sketches.theta import ThetaSketch
+
+    # HLL refuses unreachable accuracy instead of silently clamping
+    with pytest.raises(ValueError, match="precision"):
+        HyperLogLog.create(relative_error=0.001)
+    # truncated KLL payload raises instead of skewing quantiles
+    sk = KLLSketch(k=64)
+    sk.update(np.arange(10_000, dtype=np.float64))
+    blob = sk.to_bytes()
+    with pytest.raises(ValueError, match="truncated"):
+        KLLSketch.from_bytes(blob[:-16])
+    # truncated theta payload raises
+    th = ThetaSketch(256)
+    th.update(pd.Series(np.arange(5000)))
+    tb = th.to_bytes()
+    with pytest.raises(ValueError, match="truncated"):
+        ThetaSketch.from_bytes(tb[:-8])
+    # blob cut inside the params region gets the clear truncation error
+    hdr_size = struct.calcsize("<4sBBBxQQI")
+    h = HyperLogLog(p=8)
+    with pytest.raises(ValueError, match="truncated"):
+        serde.unpack(h.to_bytes()[: hdr_size + 2])
+
+
+def test_weighted_build_rejects_fractional_weights(spark):
+    """Silent rounding changed the counted mass (0.4 -> 0 contributions);
+    fractional weights now fail the build loudly."""
+    from bloomfilter_spark.operators.build import (
+        build_sketch_weighted,
+        cms_factory,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0.4), ("b", 2.0)], "k string, w double"
+    )
+    with pytest.raises(Exception, match="non-integer"):
+        build_sketch_weighted(df, "k", "w", cms_factory(0.01, 0.01))
+    ok = spark.createDataFrame([("a", 3.0), ("b", 2.0)], "k string, w double")
+    sk = build_sketch_weighted(ok, "k", "w", cms_factory(0.01, 0.01))
+    assert int(sk.query(pd.Series(["a"]))[0]) >= 3
+
+
+def test_rollup_sliding_drops_null_units_explicitly(spark):
+    from bloomfilter_spark.operators.build import (
+        build_grouped,
+        hll_factory,
+        rollup_sliding,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "u1"), (0, "u2"), (1, "u3"), (None, "ghost")],
+        "day int, user string",
+    )
+    daily = build_grouped(df, "day", "user", hll_factory(10))
+    out = rollup_sliding(daily, "day", 2, hll_factory(10)).toPandas()
+    # null-unit blob dropped deliberately; real units intact
+    assert sorted(out["day"].dropna()) == [0, 1]
