@@ -37,6 +37,14 @@ def chunk_documents(
     hits).  Every token is covered; the final window may be shorter.
     Empty/NULL documents produce no chunks.  chunk_idx is 0-based and
     dense per document.
+
+    chunk_text is NORMALIZED, not original bytes: the library-wide
+    tokenizer lowercases and collapses whitespace, and chunks re-join
+    tokens with single spaces.  Pipelines that must display or
+    byte-match chunks against the source should re-slice the original
+    text by the (chunk_idx, chunk_tokens, overlap) provenance instead of
+    using chunk_text verbatim (contrast: linededup preserves original
+    bytes because its product IS the cleaned document).
     """
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")

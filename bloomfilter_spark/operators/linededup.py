@@ -60,15 +60,27 @@ def _lines_view(df, id_col: str, text_col: str, min_docs: int):
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     df = ensure_parallelism(df)
-    lines_df = df.select(
-        F.col(id_col).alias("id"),
-        F.when(
-            F.length(F.coalesce(F.col(text_col), F.lit(""))) == 0,
-            F.array().cast("array<string>"),
+    # __rid: a per-ROW key for position bookkeeping.  Joining covered
+    # positions back on the document id would MERGE the positions of all
+    # rows sharing an id (duplicate-id inputs) and delete unrelated lines
+    # by position in every copy; the document-frequency VOTE below still
+    # counts distinct ids.  The SQL oracle keys per-row the same way
+    # (ROW_NUMBER rid).  localCheckpoint pins the nondeterministic id
+    # assignment so both the explode and the rebuild join read ONE value.
+    lines_df = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.when(
+                F.length(F.coalesce(F.col(text_col), F.lit(""))) == 0,
+                F.array().cast("array<string>"),
+            )
+            .otherwise(F.split(F.col(text_col), "\n"))
+            .alias("lines"),
         )
-        .otherwise(F.split(F.col(text_col), "\n"))
-        .alias("lines"),
-    ).withColumn("n_lines", F.size("lines"))
+        .withColumn("n_lines", F.size("lines"))
+        .withColumn("__rid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
     # NULL-id contract: a row without identity can neither vote in the
     # document-frequency count (countDistinct skips NULL anyway) nor have
     # lines removed — it passes through UNCHANGED (the rebuild join below
@@ -76,9 +88,10 @@ def _lines_view(df, id_col: str, text_col: str, min_docs: int):
     # the SQL oracle on one rule)
     exploded = (
         lines_df.filter(F.col("id").isNotNull())
-        .select("id", F.posexplode("lines").alias("pos", "line"))
+        .select("id", "__rid", F.posexplode("lines").alias("pos", "line"))
         .select(
             "id",
+            "__rid",
             "pos",
             F.xxhash64(_norm_line(F.col("line"))).alias("h"),
             (F.length(_norm_line(F.col("line"))) == 0).alias("is_blank"),
@@ -93,7 +106,9 @@ def _lines_view(df, id_col: str, text_col: str, min_docs: int):
         .filter(F.col("df") >= min_docs)
         .select("h")
     )
-    covered = exploded.join(boilerplate, "h").select("id", "pos").distinct()
+    covered = (
+        exploded.join(boilerplate, "h").select("__rid", "pos").distinct()
+    )
     return lines_df, covered
 
 
@@ -111,10 +126,10 @@ def line_dedup_stats(
     n_dup_lines / n_lines (0.0 for empty documents).
     """
     lines_df, covered = _lines_view(df, id_col, text_col, min_docs)
-    per_doc = covered.groupBy("id").agg(F.count("*").alias("n_dup_lines"))
+    per_doc = covered.groupBy("__rid").agg(F.count("*").alias("n_dup_lines"))
     return (
-        lines_df.select("id", "n_lines")
-        .join(per_doc, "id", "left")
+        lines_df.select("id", "__rid", "n_lines")
+        .join(per_doc, "__rid", "left")
         .select(
             "id",
             F.col("n_lines").cast("long").alias("n_lines"),
@@ -153,10 +168,10 @@ def remove_duplicate_lines(
     gather, O(lines + hits) per document.
     """
     lines_df, covered = _lines_view(df, id_col, text_col, min_docs)
-    cov = covered.groupBy("id").agg(
+    cov = covered.groupBy("__rid").agg(
         F.sort_array(F.collect_list("pos")).alias("cov")
     )
-    joined = lines_df.join(cov, "id", "left").withColumn(
+    joined = lines_df.join(cov, "__rid", "left").withColumn(
         "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
     )
     # set-subtract covered positions from the position range, then gather

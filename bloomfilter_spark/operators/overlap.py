@@ -196,15 +196,21 @@ def corpus_overlap_exact(
     )
     za = sz.select(F.col("grp").alias("source_a"), F.col("sz").alias("sz_a"))
     zb = sz.select(F.col("grp").alias("source_b"), F.col("sz").alias("sz_b"))
+    # full pair grid (left join, inter coalesced to 0): the estimator
+    # emits EVERY group pair including est_jaccard = 0.0, so the exact
+    # baseline must return the same pair universe — a disjoint pair gets
+    # jaccard 0.0, not a missing row (an estimate-vs-exact join would
+    # otherwise silently skip exactly the pairs where a collision-induced
+    # nonzero estimate most needs checking)
+    grid = za.crossJoin(zb).filter(F.col("source_a") < F.col("source_b"))
     return (
-        inter.join(za, "source_a")
-        .join(zb, "source_b")
+        grid.join(inter, ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
             F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
                 6,
             ).alias("jaccard"),
         )

@@ -29,16 +29,25 @@ def snapshot_diff(
     unchanged.  Rows must be unique per key in each snapshot (a crawl
     keyed by canonical URL is).  NULL content columns hash as the empty
     string (coalesce), so NULL vs '' is 'unchanged' — document-level
-    nullability is not content change.
+    nullability is not content change.  NULL keys carry no identity to
+    match across snapshots (SQL full-outer join never pairs them): a
+    NULL-keyed row in each snapshot yields one 'removed' + one 'added'
+    row, the library-wide null-key rule.
     """
     cols = [content_cols] if isinstance(content_cols, str) else list(content_cols)
+    if not cols:
+        # concat_ws over zero columns is the constant '' — every key
+        # present in both snapshots would silently report 'unchanged'
+        raise ValueError("snapshot_diff needs at least one content column")
 
     def fp(df: DataFrame, out: str) -> DataFrame:
-        h = F.md5(
-            F.concat_ws(
-                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
-            )
-        )
+        # length-prefixed concat: injective even when values contain the
+        # separator (('a\x1fb','c') vs ('a','b\x1fc') must NOT collide)
+        parts = []
+        for c in cols:
+            v = F.coalesce(F.col(c).cast("string"), F.lit(""))
+            parts.append(F.concat(F.length(v).cast("string"), F.lit(":"), v))
+        h = F.md5(F.concat_ws("\x1f", *parts))
         return df.select(F.col(key_col).alias("k"), h.alias(out))
 
     o = fp(old, "h_old")

@@ -302,3 +302,66 @@ def test_rollup_sliding_drops_null_units_explicitly(spark):
     out = rollup_sliding(daily, "day", 2, hll_factory(10)).toPandas()
     # null-unit blob dropped deliberately; real units intact
     assert sorted(out["day"].dropna()) == [0, 1]
+
+
+def test_line_dedup_duplicate_ids_keep_rows_independent(spark):
+    """Rows sharing a doc id must keep their OWN covered positions: the
+    old id-keyed join merged positions across copies and deleted
+    unrelated lines by position (stats could report dup_line_ratio > 1)."""
+    from bloomfilter_spark.operators.linededup import (
+        line_dedup_stats,
+        remove_duplicate_lines,
+    )
+
+    banner = "subscribe to our newsletter"
+    rows = [
+        (7, f"{banner}\nunique seven alpha"),
+        (7, f"distinct seven beta\n{banner}"),  # same id, banner at pos 1
+        (8, f"{banner}\nunique eight gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicate_lines(df, "doc_id", "text").toPandas()
+    cleaned = sorted(out.text_clean)
+    assert cleaned == [
+        "distinct seven beta",
+        "unique eight gamma",
+        "unique seven alpha",
+    ]
+    stats = line_dedup_stats(df, "doc_id", "text").toPandas()
+    assert (stats.dup_line_ratio <= 1.0).all()
+    assert (stats.n_dup_lines == 1).all()
+
+
+def test_snapshot_diff_separator_injection_and_empty_cols(spark):
+    from bloomfilter_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a\x1fb", "c")], "k long, t string, b string")
+    new = spark.createDataFrame([(1, "a", "b\x1fc")], "k long, t string, b string")
+    got = snapshot_diff(old, new, "k", ["t", "b"]).toPandas()
+    assert list(got.status) == ["changed"]  # old concat == new concat w/o prefixing
+    with pytest.raises(ValueError, match="at least one content column"):
+        snapshot_diff(old, new, "k", [])
+
+
+def test_corpus_overlap_exact_emits_disjoint_pairs(spark):
+    """The exact baseline must return the same pair universe as the
+    estimator: disjoint sources get jaccard 0.0, not a missing row."""
+    from bloomfilter_spark.operators.overlap import (
+        corpus_overlap_exact,
+        corpus_overlap_minhash,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "alpha beta gamma delta epsilon zeta"),
+         ("B", "alpha beta gamma delta epsilon eta"),
+         ("C", "one two three four five six")],
+        "source string, text string",
+    )
+    exact = corpus_overlap_exact(df, "text", "source").toPandas()
+    est = corpus_overlap_minhash(df, "text", "source", num_perm=32).toPandas()
+    pairs_exact = set(zip(exact.source_a, exact.source_b))
+    pairs_est = set(zip(est.source_a, est.source_b))
+    assert pairs_exact == pairs_est == {("A", "B"), ("A", "C"), ("B", "C")}
+    byp = exact.set_index(["source_a", "source_b"]).jaccard
+    assert byp[("A", "C")] == 0.0 and byp[("B", "C")] == 0.0
+    assert byp[("A", "B")] > 0.0
