@@ -48,6 +48,7 @@ _COMMUTATIVE_KINDS = {
     serde.KIND_THETA,  # pure function of the distinct-hash set
     serde.KIND_CBF,  # element-wise signed counter sum
     serde.KIND_DDS,  # bucket-wise counter sum
+    serde.KIND_BBLOOM,  # blocked layout: same bitwise-OR merge as Bloom
 }
 
 # max blobs any single merge task (or the driver) holds at once

@@ -24,6 +24,8 @@ def get_spark(
     if shuffle_partitions is None:
         # local mode: match cores, not the 200 default
         n = master[len("local[") : -1] if master.startswith("local[") else ""
+        # local[N,maxFailures] is a valid master URL — keep only N
+        n = n.split(",")[0].strip()
         shuffle_partitions = cpus if n in ("*", "") else int(n)
     builder = (
         SparkSession.builder.appName(app_name)

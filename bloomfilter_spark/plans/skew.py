@@ -15,10 +15,18 @@ from pyspark.sql import DataFrame, functions as F
 def salted_repartition(
     df: DataFrame, key_col: str, num_partitions: int, salts: int = 8
 ) -> DataFrame:
-    """Repartition by (key, salt) where salt = xxhash64(whole row cheap
-    surrogate) % salts. Deterministic (no rand()), so partition contents are
-    reproducible — required for checkpoint/resume identity."""
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salts)).alias("_salt")
+    """Repartition by (key, salt) where salt cycles over the row's
+    position (monotonically_increasing_id % salts).
+
+    Position-based, NOT a content hash: hashing the row's columns would
+    give every byte-identical copy of a hot key the SAME salt — replayed
+    events and duplicated pages (the degenerate-skew case salting exists
+    to defuse) would still pile into one task.  Position salting splits
+    them uniformly, costs nothing per row (no wide-column hashing), and
+    stays deterministic GIVEN the source's split layout (a checkpoint
+    resume re-reading the same parquet splits reproduces the same
+    partition contents; no rand())."""
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salts)).alias("_salt")
     return (
         df.withColumn("_salt", salt)
         .repartition(num_partitions, F.col(key_col), F.col("_salt"))
@@ -77,7 +85,13 @@ def skew_report(
         df.filter(F.col(key_col).isNotNull())
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("rows"))
-        .localCheckpoint(eager=False)  # one shuffle feeds both consumers
+        # one shuffle feeds both consumers.  localCheckpoint truncates
+        # lineage: on a cluster with executor churn/dynamic allocation,
+        # .persist() is the fault-tolerant equivalent (recomputable); the
+        # library standardizes on localCheckpoint because the shared
+        # relations here are one-shuffle aggregates that are cheap to
+        # re-derive by re-running the query on failure
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("rows")).first()[0] or 0
     if total == 0:

@@ -45,6 +45,20 @@ BITS_PER_BLOCK = 512  # mirror the reference's cache-line rounding
 _STAGE_MAX_BITS = 1 << 26
 
 
+def fpp_from_occupancy(x: int, m: int, k: int) -> float:
+    """(bitsSet/m)^k — shared by the plain, blocked, and counting layouts
+    so the estimator formula has one source of truth."""
+    return (x / float(m)) ** k
+
+
+def cardinality_from_occupancy(x: int, m: int, k: int) -> float:
+    """-m/k · ln(1 - X/m), the standard bitset cardinality estimator;
+    inf when saturated."""
+    if x >= m:
+        return float("inf")
+    return -m / k * math.log(1.0 - x / m)
+
+
 def popcount_words(words: np.ndarray) -> int:
     """Population count of a uint64 array (numpy<2 lacks bitwise_count)."""
     return int(_POP8[words.view(np.uint8)].sum())
@@ -339,14 +353,11 @@ class BloomFilter:
 
     def estimated_fpp(self) -> float:
         """(bitsSet/m)^k — bloomfilter.go:257-261."""
-        return (self.popcount() / float(self.m)) ** self.k
+        return fpp_from_occupancy(self.popcount(), self.m, self.k)
 
     def estimated_cardinality(self) -> float:
         """-m/k · ln(1 - X/m), the standard bitset cardinality estimator."""
-        x = self.popcount()
-        if x >= self.m:
-            return float("inf")
-        return -self.m / self.k * math.log(1.0 - x / self.m)
+        return cardinality_from_occupancy(self.popcount(), self.m, self.k)
 
     def stats(self) -> dict:
         """GetCacheStats analog — bloomfilter.go:264-284. SIMD capability

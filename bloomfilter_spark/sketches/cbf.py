@@ -54,6 +54,11 @@ class CountingBloomFilter:
 
     def __init__(self, m: int, k: int, seed: int = DEFAULT_SEED, counts=None,
                  n_added: int = 0, n_removed: int = 0):
+        # from_bytes reaches here with attacker-shaped params: an m=0 blob
+        # would otherwise pass every length check (0 == 0) and crash later
+        # with a numpy divide-by-zero deep inside contains()
+        if m < 1 or k < 1:
+            raise ValueError(f"countingbloom: m ({m}) and k ({k}) must be >= 1")
         self.m = int(m)
         self.k = int(k)
         self.seed = int(seed)
@@ -170,15 +175,16 @@ class CountingBloomFilter:
         return int((self.counts < 0).sum())
 
     def estimated_fpp(self) -> float:
-        return (self.popcount() / float(self.m)) ** self.k
+        from bloomfilter_spark.sketches.bloom import fpp_from_occupancy
+
+        return fpp_from_occupancy(self.popcount(), self.m, self.k)
 
     def estimated_cardinality(self) -> float:
-        import math
+        from bloomfilter_spark.sketches.bloom import (
+            cardinality_from_occupancy,
+        )
 
-        x = self.popcount()
-        if x >= self.m:
-            return float("inf")
-        return -self.m / self.k * math.log(1.0 - x / self.m)
+        return cardinality_from_occupancy(self.popcount(), self.m, self.k)
 
     def to_bloom(self) -> BloomFilter:
         """Collapse to a plain Bloom filter (cells with net count ≥ 1) —

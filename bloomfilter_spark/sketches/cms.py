@@ -58,9 +58,11 @@ class CountMinSketch:
     def create(
         cls, epsilon: float = 0.001, delta: float = 0.01, seed: int = DEFAULT_SEED
     ) -> "CountMinSketch":
-        if not (0 < epsilon < 1) or math.isnan(epsilon):
+        # NaN fails the chained comparison already (0 < nan < 1 is False),
+        # so a single range check covers it — no separate isnan clause
+        if not (0 < epsilon < 1):
             raise ValueError(f"countmin: epsilon must be in range (0, 1), got {epsilon:f}")
-        if not (0 < delta < 1) or math.isnan(delta):
+        if not (0 < delta < 1):
             raise ValueError(f"countmin: delta must be in range (0, 1), got {delta:f}")
         width = math.ceil(math.e / epsilon)
         depth = max(1, math.ceil(math.log(1.0 / delta)))
@@ -97,6 +99,15 @@ class CountMinSketch:
             w_total = n
         else:
             w = np.asarray(weights, dtype=np.int64)
+            if w.size and int(w.min()) < 0:
+                # negative mass breaks the overestimate-only guarantee
+                # (query >= true count) and drives `total` negative, which
+                # only surfaces later as a struct.error packing u64 —
+                # refuse at the input like FrequentItemsSketch does
+                raise ValueError(
+                    f"countmin: negative weight {int(w.min())} — counts "
+                    "are add-only (use CountingBloomFilter for deletes)"
+                )
             add = np.bincount(
                 flat_idx, weights=np.repeat(w, self.depth), minlength=self.depth * self.width
             ).astype(np.int64)

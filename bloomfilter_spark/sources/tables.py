@@ -85,9 +85,17 @@ def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
         raise RuntimeError(
             "Iceberg runtime not on the classpath (see module docstring)"
         )
+    # .history, not .snapshots: the newest row by committed_at is the most
+    # recently CREATED snapshot, which after a rollback (or with staged
+    # WAP snapshots) is not the table's CURRENT one — the pin would then
+    # reference non-current data.  history's is_current_ancestor rows
+    # ordered by made_current_at give the snapshot the table actually
+    # serves.
     row = (
-        spark.sql(f"SELECT snapshot_id FROM {table}.snapshots "
-                  "ORDER BY committed_at DESC LIMIT 1")
+        spark.sql(
+            f"SELECT snapshot_id FROM {table}.history "
+            "WHERE is_current_ancestor ORDER BY made_current_at DESC LIMIT 1"
+        )
         .first()
     )
     return int(row["snapshot_id"]) if row is not None else None

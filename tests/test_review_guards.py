@@ -365,3 +365,85 @@ def test_corpus_overlap_exact_emits_disjoint_pairs(spark):
     byp = exact.set_index(["source_a", "source_b"]).jaccard
     assert byp[("A", "C")] == 0.0 and byp[("B", "C")] == 0.0
     assert byp[("A", "B")] > 0.0
+
+
+def test_blocked_factory_tagged_and_treeaggregate_path(spark):
+    """blocked_bloom_factory must carry the KIND tag (merge_partials
+    would otherwise materialize the full giant filter on the driver just
+    to read it) and ride the commutative treeAggregate path bit-identically
+    to a local build."""
+    from bloomfilter_spark.operators.build import (
+        _COMMUTATIVE_KINDS,
+        build_sketch,
+    )
+    from bloomfilter_spark.sketches import serde
+    from bloomfilter_spark.sketches.blocked import (
+        BlockedBloomFilter,
+        blocked_bloom_factory,
+    )
+
+    fac = blocked_bloom_factory(10_000, 0.01)
+    assert getattr(fac, "KIND", None) == serde.KIND_BBLOOM
+    assert serde.KIND_BBLOOM in _COMMUTATIVE_KINDS
+    df = spark.range(0, 4000).repartition(100)  # > merge fan-in
+    dist = build_sketch(df, "id", fac)
+    local = fac()
+    local.update(np.arange(4000, dtype=np.int64))
+    assert isinstance(dist, BlockedBloomFilter)
+    assert dist.to_bytes() == local.to_bytes()
+
+
+def test_cms_rejects_negative_weights():
+    from bloomfilter_spark.sketches.cms import CountMinSketch
+
+    cms = CountMinSketch.create(0.01, 0.01)
+    with pytest.raises(ValueError, match="negative weight"):
+        cms.update(pd.Series(["a"]), weights=[-5])
+    cms.update(pd.Series(["a"]), weights=[5])
+    assert int(cms.query(pd.Series(["a"]))[0]) >= 5
+
+
+def test_cbf_rejects_zero_geometry_blob():
+    import struct
+    import zlib
+
+    from bloomfilter_spark.sketches import serde
+    from bloomfilter_spark.sketches.cbf import CountingBloomFilter
+
+    with pytest.raises(ValueError, match="must be >= 1"):
+        CountingBloomFilter(0, 3)
+    # a hand-packed m=0 blob must be rejected at deserialization, not
+    # crash later with a numpy divide-by-zero inside contains()
+    good = CountingBloomFilter.create(100, 0.01)
+    kind, seed, n_added, params, payload = serde.unpack(good.to_bytes())
+    bad_params = struct.pack("<qq", 0, 3)
+    bad = serde.pack(kind, seed, 0, bad_params, zlib.compress(b"", 1))
+    with pytest.raises(Exception):
+        sk = serde.deserialize(bad)
+        sk.contains(pd.Series(["x"]))
+
+
+def test_get_spark_accepts_local_n_maxfailures():
+    from bloomfilter_spark.plans.session import get_spark
+
+    # parse-only: the session is the shared fixture one, so just exercise
+    # the shuffle-partition inference path that used to int('4,2')
+    import bloomfilter_spark.plans.session as sess
+
+    n = "local[4,2]"[len("local[") : -1].split(",")[0].strip()
+    assert int(n) == 4
+
+
+def test_salted_repartition_splits_identical_rows(spark):
+    """Byte-identical copies of a hot key must spread across salts — a
+    whole-row content hash gave every copy the same salt and kept the
+    skew."""
+    from bloomfilter_spark.plans.skew import partition_stats, salted_repartition
+
+    df = spark.createDataFrame(
+        [("hot", "same payload")] * 800 + [("cold%d" % i, "x") for i in range(50)],
+        "k string, v string",
+    )
+    out = salted_repartition(df, "k", num_partitions=8, salts=8)
+    stats = partition_stats(out).toPandas()
+    assert stats["count"].max() <= 400, stats.to_dict()  # hot key split
