@@ -161,7 +161,15 @@ def decode_media_features(
                              round(float(arr.std()), 6)]
                             + [round(float(v), 6) for v in small.ravel()]
                         )
-                except (NotImplementedError, ValueError, IndexError, struct.error):
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    IndexError,
+                    struct.error,
+                    OSError,  # PIL.UnidentifiedImageError and friends —
+                    # with pillow installed a corrupt/non-image blob must
+                    # yield decode_ok=false, not kill the job
+                ):
                     width.append(None), height.append(None)
                     channels.append(None), ok.append(False), moments.append(None)
             pdf = pdf.copy()

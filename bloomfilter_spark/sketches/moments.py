@@ -9,12 +9,12 @@ Unlike the probabilistic sketches these are EXACT: count / min / max /
 sum / sum-of-squares (numeric) and count / length stats / lexicographic
 min-max (string, binary) are all commutative monoid folds, so the merged
 result is a pure function of the value multiset under any merge topology.
-The one caveat is float64 addition: `sum`/`sum2` are order-sensitive in
-the last bits, but both the per-partition fold (numpy pairwise summation)
-and the bounded-fan-in merge tree (canonical partition_id order) are
-deterministic, so repeated builds over the same partitioning are
-bit-identical — the same determinism contract as KLL/t-digest compaction
-(sketches/kll.py).
+The one caveat is float64 arithmetic: the running (mean, M2) pair is
+order-sensitive in the last bits, but both the per-partition fold (numpy
+pairwise summation inside each batch) and the bounded-fan-in merge tree
+(canonical partition_id order) are deterministic, so repeated builds over
+the same partitioning are bit-identical — the same determinism contract
+as KLL/t-digest compaction (sketches/kll.py).
 
 Contract pattern cloned from the reference's Bloom rows (SURVEY.md §2.1,
 /root/reference/bloomfilter.go Stats/Union semantics): strict validation,
@@ -40,11 +40,18 @@ MODE_BINARY = 2
 
 @serde.register(serde.KIND_MOMENTS)
 class MomentsSketch:
-    """Exact numeric column stats: n / min / max / sum / sum²  (+ a
+    """Exact numeric column stats: n / min / max / mean / M2  (+ a
     non-finite counter so NaN/Inf rows are reported, not silently folded
-    into the moments)."""
+    into the moments).
 
-    __slots__ = ("n", "n_nonfinite", "minv", "maxv", "sum", "sum2", "n_added")
+    The second moment is kept as centered M2 = Σ(x−mean)² with Chan's
+    parallel-merge update — NOT raw sum-of-squares: for large-offset data
+    (epoch timestamps ~1.7e9 with std ~1e4) the naive E[x²]−mean² formula
+    cancels catastrophically in float64 and reports std 0.0; the centered
+    form keeps full precision at any offset (same math Spark's own
+    stddev_pop and NumPy use)."""
+
+    __slots__ = ("n", "n_nonfinite", "minv", "maxv", "mean_", "m2", "n_added")
 
     _PAYLOAD = struct.Struct("<QQdddd")
 
@@ -53,12 +60,22 @@ class MomentsSketch:
         self.n_nonfinite = 0  # NaN/±Inf values seen (excluded from moments)
         self.minv = math.inf
         self.maxv = -math.inf
-        self.sum = 0.0
-        self.sum2 = 0.0
+        self.mean_ = 0.0
+        self.m2 = 0.0  # Σ(x − mean)² over the folded values
         self.n_added = 0
 
     def empty_like(self) -> "MomentsSketch":
         return MomentsSketch()
+
+    def _fold(self, nb: int, mb: float, m2b: float) -> None:
+        """Chan's pairwise combine of (n, mean, M2) groups."""
+        if nb == 0:
+            return
+        n_new = self.n + nb
+        delta = mb - self.mean_
+        self.mean_ += delta * nb / n_new
+        self.m2 += m2b + delta * delta * self.n * nb / n_new
+        self.n = n_new
 
     # -- update ---------------------------------------------------------------
 
@@ -75,23 +92,21 @@ class MomentsSketch:
             v = v[finite]
             if v.size == 0:
                 return
-        self.n += int(v.size)
         self.minv = min(self.minv, float(v.min()))
         self.maxv = max(self.maxv, float(v.max()))
-        self.sum += float(v.sum())
-        self.sum2 += float(np.square(v).sum())
+        mb = float(v.mean())
+        self._fold(int(v.size), mb, float(np.square(v - mb).sum()))
 
     # -- query ----------------------------------------------------------------
 
     def mean(self) -> float | None:
-        return self.sum / self.n if self.n else None
+        return self.mean_ if self.n else None
 
     def variance(self) -> float | None:
         """Population variance (the SQL var_pop / stddev_pop flavor)."""
         if not self.n:
             return None
-        m = self.sum / self.n
-        return max(0.0, self.sum2 / self.n - m * m)
+        return max(0.0, self.m2 / self.n)
 
     def std(self) -> float | None:
         v = self.variance()
@@ -119,12 +134,10 @@ class MomentsSketch:
     def merge(self, other: "MomentsSketch") -> "MomentsSketch":
         if not isinstance(other, MomentsSketch):
             raise ValueError("moments: can only merge another MomentsSketch")
-        self.n += other.n
         self.n_nonfinite += other.n_nonfinite
         self.minv = min(self.minv, other.minv)
         self.maxv = max(self.maxv, other.maxv)
-        self.sum += other.sum
-        self.sum2 += other.sum2
+        self._fold(other.n, other.mean_, other.m2)
         self.n_added += other.n_added
         return self
 
@@ -135,7 +148,7 @@ class MomentsSketch:
 
     def to_bytes(self) -> bytes:
         payload = self._PAYLOAD.pack(
-            self.n, self.n_nonfinite, self.minv, self.maxv, self.sum, self.sum2
+            self.n, self.n_nonfinite, self.minv, self.maxv, self.mean_, self.m2
         )
         return serde.pack(serde.KIND_MOMENTS, 0, self.n_added, b"", payload)
 
@@ -144,9 +157,15 @@ class MomentsSketch:
         kind, _seed, n_added, _params, payload = serde.unpack(blob)
         if kind != serde.KIND_MOMENTS:
             raise ValueError(f"not a moments blob (kind={kind})")
+        payload = bytes(payload)
+        if len(payload) != cls._PAYLOAD.size:
+            raise ValueError(
+                f"moments blob truncated: {len(payload)} payload bytes, "
+                f"need {cls._PAYLOAD.size}"
+            )
         sk = cls()
-        (sk.n, sk.n_nonfinite, sk.minv, sk.maxv, sk.sum, sk.sum2) = (
-            cls._PAYLOAD.unpack(bytes(payload))
+        (sk.n, sk.n_nonfinite, sk.minv, sk.maxv, sk.mean_, sk.m2) = (
+            cls._PAYLOAD.unpack(payload)
         )
         sk.n_added = n_added
         return sk

@@ -85,6 +85,13 @@ class TDigest:
             w = np.ones(v.size, dtype=np.float64)
         else:
             w = np.asarray(weights, dtype=np.float64)
+            if w.size and not bool((np.isfinite(w) & (w > 0)).all()):
+                # zero total weight makes _compress divide 0/0 and the NaN
+                # centroids poison every later quantile with no error;
+                # negative weights break the cumsum monotonicity binning
+                raise ValueError(
+                    "tdigest: weights must be finite and > 0"
+                )
         # family-wide skip contract (see ddsketch.py): NaN AND ±inf dropped
         keep = np.isfinite(v)
         v, w = v[keep], w[keep]
@@ -187,6 +194,14 @@ class TDigest:
             raise ValueError(f"not a tdigest blob (kind={kind})")
         delta, n, vmin, vmax = struct.unpack("<IIdd", params)
         flat = np.frombuffer(payload, dtype="<f8")
+        if len(flat) < 2 * n:
+            # a short slice would silently yield mismatched means/weights
+            # and fail later with an opaque shape error — refuse like
+            # DDSketch/KLL from_bytes
+            raise ValueError(
+                f"tdigest blob truncated: {len(flat)} floats, header "
+                f"declares {2 * n}"
+            )
         means = flat[:n].astype(np.float64)
         weights = flat[n : 2 * n].astype(np.float64)
         return cls(
@@ -200,9 +215,15 @@ class TDigest:
         )
 
     def __eq__(self, other) -> bool:
+        # vmin/vmax are the quantile interpolation anchors and n_added is
+        # part of the blob: equal sketches must answer identically AND
+        # round-trip identically, so all state participates
         return (
             isinstance(other, TDigest)
             and self.delta == other.delta
+            and self.vmin == other.vmin
+            and self.vmax == other.vmax
+            and self.n_added == other.n_added
             and np.array_equal(self.means, other.means)
             and np.array_equal(self.weights, other.weights)
         )

@@ -10,8 +10,18 @@ equivalent is per-batch immutable partials + associative merge.
 Exactly-once across restarts: foreachBatch can re-deliver the last batch
 after a failure, so the accumulator records `(last_batch_id, blob)` with an
 atomic rename after each fold and skips batch_ids it has already absorbed —
-replays become no-ops and the final sketch is identical to a batch build
-over the same rows.
+replays become no-ops.
+
+Batch-equivalence is per sketch family: COMMUTATIVE sketches (Bloom /
+HLL / CMS / theta / DDSketch) fold to a result BIT-IDENTICAL to one
+batch build over the same rows under any micro-batch slicing.
+Compaction sketches (KLL / t-digest) fold one merge per micro-batch,
+so their compaction schedule — and therefore the exact retained items —
+depends on the batch boundaries; the result honors the same published
+rank-error bound as any merge topology (the defined semantic at scale,
+see tree_merge_blobs), it just isn't byte-equal to the single n-ary
+batch merge.  The stream≡batch pytest pins bit-identity for the
+commutative families and bound-equivalence for the compaction ones.
 """
 
 from __future__ import annotations

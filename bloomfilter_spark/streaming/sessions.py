@@ -43,16 +43,15 @@ def sessionized_stream(
     first/last event, derived from the pre-cast NTZ wall clock when the
     input column is TIMESTAMP_NTZ.
     """
-    if dict(stream_df.dtypes)[ts_col] == "timestamp_ntz":
-        tus = F.timestamp_diff(
-            "MICROSECOND",
-            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-            F.col(ts_col),
-        )
-    else:
-        tus = F.unix_micros(F.col(ts_col))
-    prepared = stream_df.withColumn("__ts_us", tus).withColumn(
-        ts_col, F.col(ts_col).cast("timestamp")
+    from bloomfilter_spark.operators.sessions import _epoch_us
+
+    # same epoch rule AND the same null-ts filter as batch sessionize
+    # (operators/sessions.py): a null event time cannot join a session,
+    # and the batch==stream parity contract requires one rule in one place
+    prepared = (
+        stream_df.filter(F.col(ts_col).isNotNull())
+        .withColumn("__ts_us", _epoch_us(stream_df, ts_col))
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     )
     aggs = [
         F.min("__ts_us").alias("session_start_us"),

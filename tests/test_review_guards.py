@@ -447,3 +447,87 @@ def test_salted_repartition_splits_identical_rows(spark):
     out = salted_repartition(df, "k", num_partitions=8, salts=8)
     stats = partition_stats(out).toPandas()
     assert stats["count"].max() <= 400, stats.to_dict()  # hot key split
+
+
+def test_moments_variance_no_catastrophic_cancellation():
+    """Epoch-scale offsets (~1.7e9, std ~1e4): the naive E[x^2]-mean^2
+    formula cancels to 0 in float64; the centered (mean, M2) form with
+    Chan's merge keeps full precision under any merge topology."""
+    from bloomfilter_spark.sketches.moments import MomentsSketch
+
+    rng = np.random.default_rng(11)
+    vals = 1.7e9 + rng.normal(0, 1e4, size=50_000)
+    sk = MomentsSketch()
+    sk.update(vals)
+    assert abs(sk.std() - vals.std()) / vals.std() < 1e-9
+    # merged across chunks == same bound
+    parts = [MomentsSketch() for _ in range(8)]
+    for i, p in enumerate(parts):
+        p.update(vals[i::8])
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(p)
+    assert abs(acc.std() - vals.std()) / vals.std() < 1e-9
+    assert abs(acc.mean() - vals.mean()) / abs(vals.mean()) < 1e-12
+    # serde round-trip carries the centered moments
+    rt = type(sk).from_bytes(sk.to_bytes())
+    assert rt.std() == sk.std() and rt.mean() == sk.mean()
+
+
+def test_tdigest_guards():
+    from bloomfilter_spark.sketches.tdigest import TDigest
+
+    td = TDigest(delta=100)
+    with pytest.raises(ValueError, match="finite and > 0"):
+        td.update([1.0, 2.0], weights=[0.0, 0.0])
+    with pytest.raises(ValueError, match="finite and > 0"):
+        td.update([1.0], weights=[-1.0])
+    td.update(np.arange(1000, dtype=np.float64))
+    blob = td.to_bytes()
+    with pytest.raises(ValueError, match="truncated"):
+        TDigest.from_bytes(blob[:-8])
+    # __eq__ covers the interpolation anchors
+    a, b = TDigest(delta=100), TDigest(delta=100)
+    a.update([1.0, 5.0, 9.0])
+    b.update([1.0, 5.0, 9.0])
+    assert a == b
+    b.vmin = 5.0
+    assert a != b
+
+
+def test_streaming_sessions_drop_null_ts(spark, tmp_path):
+    """Batch sessionize filters null event times; the streaming path must
+    apply the same rule instead of feeding a null event time into
+    session_window."""
+    import pandas as pd
+
+    from bloomfilter_spark.streaming.sessions import sessionized_stream
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": ["a", "a", "nullrow", "z"],
+                "ts": [base, base + pd.Timedelta(seconds=30), pd.NaT,
+                       base + pd.Timedelta(hours=40)],
+            }
+        )
+    )
+    src = str(tmp_path / "sess_src")
+    df.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = (
+        sessionized_stream(stream, "user_id", "ts", gap="1 hour")
+        .writeStream.format("memory").queryName("sess_null_ts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    out.awaitTermination()
+    got = spark.sql("SELECT * FROM sess_null_ts").toPandas()
+    # the a-session closed (watermark passed via the z row); nullrow gone
+    assert "nullrow" not in set(got.user_id)
+    a_rows = got[got.user_id == "a"]
+    assert len(a_rows) == 1 and int(a_rows.n_events.iloc[0]) == 2

@@ -235,3 +235,35 @@ def test_streaming_sessions_equal_batch(spark, tmp_path):
     # the straddling session merged: 3 events, 10:00 -> 11:30
     s = got.iloc[0]
     assert s["n_events"] == 3 and s["sum_value"] == 7.0
+
+
+def test_stream_kll_honors_rank_bound(spark, tmp_path):
+    """Compaction sketches (KLL/t-digest) streamed per-micro-batch are NOT
+    byte-equal to the single n-ary batch merge (the compaction schedule
+    depends on batch boundaries) — but every merge topology honors the
+    published rank-error bound, which is the defined semantic at scale."""
+    from bloomfilter_spark.operators.build import kll_factory
+
+    # stage a numeric column (text length) for the quantile sketch
+    src = str(tmp_path / "kll_src")
+    for i in range(3):
+        pages_df(spark, 300, num_partitions=2).filter(
+            (F.xxhash64("url") % 3) == i
+        ).select(F.length("text").alias("text_len")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    factory = kll_factory(k=200)
+    acc = StreamingSketchAccumulator("text_len", factory, str(tmp_path / "st"))
+    _stream(spark, src, acc, str(tmp_path / "ck"))
+    sk = acc.sketch
+    import numpy as np
+
+    vals = np.sort(
+        spark.read.parquet(src).select("text_len").toPandas()
+        .text_len.to_numpy()
+    )
+    for q in (0.25, 0.5, 0.9):
+        est = sk.quantile(q)
+        rank = float((vals <= est).mean())
+        assert abs(rank - q) <= sk.rank_error() + 0.02, (q, est, rank)
