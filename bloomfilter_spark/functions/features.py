@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from bloomfilter_spark.functions.textstats import WS_SPLIT_PATTERN
 
 
 def _dim_of(term, d: int):
@@ -37,12 +36,13 @@ def tfidf_vectors(
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    from bloomfilter_spark.functions.textstats import tokens_nonempty
+
+    # the library-wide filtered tokenizer — one pinned rule, not a copy
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT_PATTERN)
-        ).alias("term"),
-    ).filter(F.col("term") != "")
+        F.explode(tokens_nonempty(F.col(text_col))).alias("term"),
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n_docs"))

@@ -27,7 +27,12 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
     (
         "phone",
-        r"\+\d[\d\- ]{7,14}\d",
+        # international (+cc ...) OR the two common domestic shapes —
+        # (212) 555-0199 and 555-123-4567.  The domestic alternatives run
+        # AFTER ssn in the chain: 123-45-6789 is already [SSN] by the
+        # time this pattern scans (and \d{3}-\d{3}-\d{4} would not match
+        # an SSN's 2-digit middle group anyway)
+        r"(\+\d[\d\- ]{7,14}\d|\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b)",
         "[PHONE]",
     ),
 ]

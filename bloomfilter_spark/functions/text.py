@@ -34,8 +34,19 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     """
     if len(html) == 0:
         return pd.Series([], dtype="object")
-    s = html.map(lambda b: b if isinstance(b, (bytes, bytearray)) else b"")
-    txt = s.str.decode("utf-8", errors="replace")
+    first = html.dropna()
+    if len(first) and isinstance(first.iloc[0], str):
+        # a StringType html column (decoded HTML stored as text): encode
+        # rather than silently coercing every row to b'' — which would
+        # emit empty text for the whole table with no error
+        txt = html.fillna("")
+    else:
+        if len(first) and not isinstance(first.iloc[0], (bytes, bytearray)):
+            raise TypeError(
+                "extract_text: html column must be binary or string, got "
+                f"{type(first.iloc[0]).__name__}"
+            )
+        txt = html.fillna(b"").str.decode("utf-8", errors="replace")
     txt = txt.str.replace(_HEAD_RE, " ", regex=True)
     txt = txt.str.replace(_SCRIPT_RE, " ", regex=True)
     txt = txt.str.replace(_TAG_RE, " ", regex=True)

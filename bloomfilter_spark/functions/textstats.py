@@ -53,7 +53,17 @@ WS_SPLIT_PATTERN = r"[ \t\n\f\r]+"
 
 
 def tokens(col) -> Column:
-    """Whitespace tokenizer (lowercased)."""
+    """Whitespace tokenizer (lowercased) — the RAW rule.
+
+    Two-tier contract, deliberate: F.trim strips only ASCII spaces, so
+    text with boundary tab/newline whitespace yields empty edge tokens
+    here; `tokens_nonempty` drops them.  Scoring/vocabulary consumers
+    (classifier, TF-IDF, n-gram counts, simhash weights, the LM,
+    line-dedup votes) use the FILTERED rule; counting and positional
+    consumers (token_count, spans, chunking, BM25 dl) use this raw rule,
+    pinned cross-engine by every SQL oracle replaying the identical
+    split — changing either tier means changing operator and oracle in
+    lockstep (see the lm.py r5 fix for the procedure)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.lower(F.trim(c)), WS_SPLIT_PATTERN)
 
@@ -82,6 +92,16 @@ def word_ngrams(tokens_col, n: int) -> Column:
         F.size(c) >= n, F.sequence(F.lit(1), F.size(c) - n + 1)
     ).otherwise(F.array().cast("array<int>"))
     return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(c, i, n)))
+
+
+def distinct_shingles(toks, n: int) -> Column:
+    """DISTINCT space-joined n-grams of a token-array column — the one
+    shingle rule the dedup operators and the repetition features share
+    (operators/dedup aliases this; a second copy of the sequence-guard
+    expression would drift)."""
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(word_ngrams(toks, n))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def marker_count(col, words: list[str]) -> Column:
@@ -141,8 +161,6 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     F.aggregate — max run length of a sorted array IS the mode's count.
     O(n log n) per row inside codegen beats two shuffles keyed by doc id
     at any corpus size."""
-    from bloomfilter_spark.operators.dedup import _shingles_of
-
     c = F.col(text_col)
     # MATERIALIZE the token array before anything references it inside a
     # higher-order-function lambda: expressions under transform()/aggregate()
@@ -155,7 +173,7 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     safe = F.greatest(n_tokens, F.lit(1)).cast("double")
     n_uniq = F.size(F.array_distinct(toks))
     total_tri = F.greatest(n_tokens - 2, F.lit(0))
-    distinct_tri = F.size(_shingles_of(toks, 3))  # distinct by construction
+    distinct_tri = F.size(distinct_shingles(toks, 3))
     run = lambda acc, t: F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1))
     top = F.aggregate(
         F.array_sort(toks),
@@ -312,9 +330,14 @@ def compression_features(df, text_col: str = "text", id_col: str = "doc_id"):
 
     from pyspark.sql import types as _T
 
+    # the id travels as a STRING through the Arrow boundary and is cast
+    # back afterwards: an int batch containing a null arrives as float64,
+    # and a float64 round-trip silently corrupts ids above 2^53 — the
+    # string form is lossless for any value and for NULLs
+    id_dt = df.schema[id_col].dataType
     schema = _T.StructType(
         [
-            _T.StructField("id", _T.LongType()),
+            _T.StructField("id", _T.StringType()),
             _T.StructField("n_bytes", _T.LongType()),
             _T.StructField("n_compressed", _T.LongType()),
             _T.StructField("compression_ratio", _T.DoubleType()),
@@ -335,12 +358,7 @@ def compression_features(df, text_col: str = "text", id_col: str = "doc_id"):
             ]
             yield _pd.DataFrame(
                 {
-                    # nullable Int64: a NULL id (nullable-int parquet cols
-                    # surface as float64/NaN here) passes through as a
-                    # null-id row with computed features — the same
-                    # contract as the Catalyst map-only text ops — instead
-                    # of astype('int64') raising on the whole batch
-                    "id": pdf[id_col].astype("Int64"),
+                    "id": pdf["__id_str"],
                     "n_bytes": nb,
                     "n_compressed": nc,
                     "compression_ratio": ratio,
@@ -350,8 +368,17 @@ def compression_features(df, text_col: str = "text", id_col: str = "doc_id"):
 
     from bloomfilter_spark.plans.skew import ensure_parallelism
 
+    from pyspark.sql import functions as _F
+
+    src_df = df.select(
+        _F.col(id_col).cast("string").alias("__id_str"),
+        _F.col(text_col).alias(text_col),
+    )
     return (
-        ensure_parallelism(df.select(id_col, text_col))
+        ensure_parallelism(src_df)
         .mapInPandas(run, schema=schema)
-        .withColumnRenamed("id", id_col)
+        .withColumn(id_col, _F.col("id").cast(id_dt))
+        .drop("id")
+        .select(id_col, "n_bytes", "n_compressed",
+                "compression_ratio", "compression_ok")
     )

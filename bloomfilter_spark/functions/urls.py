@@ -29,7 +29,18 @@ def normalize_url(url: Column | str) -> Column:
     """Canonical form of a URL column (rules in the module docstring)."""
     u = F.col(url) if isinstance(url, str) else url
     u = F.regexp_replace(u, r"#.*$", "")  # 1. fragment
-    prefix = F.lower(F.regexp_extract(u, _PREFIX_RE, 1))  # 2. lowercase
+    # 2. lowercase ONLY scheme + host[:port] — userinfo (user:password@)
+    # is case-sensitive and must pass through untouched (lowercasing it
+    # would collapse URLs that differ only in credential case)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
+    authority = F.regexp_replace(
+        F.regexp_extract(u, _PREFIX_RE, 1),
+        r"^[a-zA-Z][a-zA-Z0-9+.\-]*://",
+        "",
+    )
+    userinfo = F.regexp_extract(authority, r"^([^/?#]*@)", 1)
+    hostport = F.lower(F.regexp_replace(authority, r"^[^/?#]*@", ""))
+    prefix = F.concat(scheme, F.lit("://"), userinfo, hostport)
     rest = F.regexp_replace(u, _PREFIX_RE, "")
     # 3. default ports (scheme is lowercase already)
     prefix = F.when(
@@ -62,10 +73,17 @@ def normalize_url(url: Column | str) -> Column:
 
 
 def host_of(url: Column | str) -> Column:
-    """Lowercased host (no port, no credentials) of a URL column."""
+    """Lowercased host (no port, no credentials) of a URL column.
+
+    Bracketed IPv6 hosts keep their full bracketed form: the plain rule
+    stops at ':' (the port separator), which would truncate
+    'http://[2001:db8::1]/x' to '[2001'."""
     u = F.col(url) if isinstance(url, str) else url
-    # userinfo may itself contain ':' (user:password@) — only '/?#@' end it
-    host = F.lower(
-        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#@]*@)?([^/?#:]*)", 2)
+    bracketed = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#@]*@)?(\[[^\]/?#]*\])", 2
     )
-    return host
+    # userinfo may itself contain ':' (user:password@) — only '/?#@' end it
+    plain = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#@]*@)?([^/?#:]*)", 2
+    )
+    return F.lower(F.when(bracketed != "", bracketed).otherwise(plain))

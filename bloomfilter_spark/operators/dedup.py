@@ -77,14 +77,11 @@ def shingles_of_toks(toks_col: str, n: int = 3):
 
 
 def _shingles_of(toks, n: int):
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    # sequence(1, x) DESCENDS when x < 1, so short docs need the guard
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    # ONE shingle rule library-wide (functions layer owns it; the
+    # repetition features import it downward instead of reaching up here)
+    from bloomfilter_spark.functions.textstats import distinct_shingles
+
+    return distinct_shingles(toks, n)
 
 
 def _tokenize_catalyst_rule(texts: pd.Series) -> pd.Series:

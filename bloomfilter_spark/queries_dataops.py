@@ -1106,15 +1106,33 @@ WITH messy AS (
   FROM documents
 ), s1 AS (
   SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM messy
+), auth AS (
+  -- authority split mirrors urls.py: lowercase ONLY scheme + host[:port],
+  -- userinfo passes through case-preserved; bracketed IPv6 hosts keep
+  -- their full bracketed form
+  SELECT doc_id, u,
+         regexp_replace(
+           regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1),
+           '^[a-zA-Z][a-zA-Z0-9+.\-]*://', '') AS authority
+  FROM s1
 ), parts AS (
   SELECT doc_id,
-         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1))
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1))
+           || '://'
+           || regexp_extract(authority, '^([^/?#]*@)', 1)
+           || lower(regexp_replace(authority, '^[^/?#]*@', ''))
            AS prefix,
          regexp_replace(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', '') AS rest,
-         lower(regexp_extract(
-           u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#@]*@)?([^/?#:]*)', 2))
-           AS host
-  FROM s1
+         lower(CASE
+           WHEN regexp_extract(u,
+             '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#@]*@)?(\[[^\]/?#]*\])', 2)
+             <> ''
+           THEN regexp_extract(u,
+             '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#@]*@)?(\[[^\]/?#]*\])', 2)
+           ELSE regexp_extract(u,
+             '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#@]*@)?([^/?#:]*)', 2)
+         END) AS host
+  FROM auth
 ), norm AS (
   SELECT doc_id, host,
          CASE WHEN prefix LIKE 'http://%'
@@ -1178,7 +1196,10 @@ _PII_PATTERNS_SQL = [
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
-    ("phone", "\\+\\d[\\d\\- ]{7,14}\\d", "[PHONE]"),
+    ("phone",
+     "(\\+\\d[\\d\\- ]{7,14}\\d|\\(\\d{3}\\) ?\\d{3}-\\d{4}"
+     "|\\b\\d{3}-\\d{3}-\\d{4}\\b)",
+     "[PHONE]"),
 ]
 
 
