@@ -643,7 +643,10 @@ _HLL_SET_OPS_SQL = """
 SELECT
   (SELECT COUNT(DISTINCT user_id) FROM events
     WHERE event_type IN ('click', 'purchase'))        AS exact_union,
-  (SELECT COUNT(*) FROM
+  -- COUNT(user_id), not COUNT(*): INTERSECT treats NULLs as equal and
+  -- would count a NULL user present on both sides, which the Spark
+  -- side's countDistinct / NULL-skipping sketch builds never do
+  (SELECT COUNT(user_id) FROM
      (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
       INTERSECT
       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
@@ -696,12 +699,14 @@ SELECT
     WHERE event_type = 'purchase')                    AS users_purchase,
   (SELECT COUNT(DISTINCT user_id) FROM events
     WHERE event_type IN ('click', 'purchase'))        AS users_union,
-  (SELECT COUNT(*) FROM
+  -- COUNT(user_id): set ops treat NULLs as equal, but the Spark side's
+  -- countDistinct / NULL-skipping sketch builds never count a NULL user
+  (SELECT COUNT(user_id) FROM
      (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
       INTERSECT
       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
                                                       AS users_intersect,
-  (SELECT COUNT(*) FROM
+  (SELECT COUNT(user_id) FROM
      (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
       EXCEPT
       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
@@ -885,7 +890,10 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercised on the self-join events ⋈ events ON user_id (many-to-many,
     true size = Σ_u f(u)²); the estimate must be ≥ the true size and
     within the ε·N_A·N_B bound."""
-    ev = _t(spark, sf_dir, "events")
+    # NULL user_ids are excluded from BOTH sides: a join on user_id never
+    # matches NULLs and the sketch build skips NULL keys, so counting the
+    # NULL group in the exact side would flip no_underestimate
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     # self-join ⇒ ONE distributed build serves both sides of the product
     sk = build_sketch(ev, "user_id", cms_factory(epsilon=0.0001, delta=0.001))
     est = sk.inner_product(sk)
@@ -903,10 +911,12 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CMS_JOIN_SIZE_SQL = """
+-- NULL user_ids excluded like the Spark side: a join never matches them
 SELECT CAST(SUM(c * c) AS BIGINT) AS true_join_size,
        TRUE AS no_underestimate,
        TRUE AS within_bound
-FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)
+FROM (SELECT COUNT(*) AS c FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id)
 """
 
 

@@ -631,8 +631,11 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
+        # strip ONLY the watermark-flush sentinel: != -1 is NULL for a
+        # NULL user_id and would silently drop NULL-user sessions the
+        # batch path and the shared oracle both emit
         out = spark.sql(f"SELECT * FROM {name}").filter(
-            F.col("user_id") != -1
+            ~F.col("user_id").eqNullSafe(-1)
         )
         order = Window.partitionBy("user_id").orderBy("session_start_us")
         result = out.select(
@@ -2428,23 +2431,31 @@ def _filter_top_quality_oracle_sql() -> str:
     bucket = f"({MD5_HASH60_SQL.format(expr='tok')} % 1024)"
     wkey = f"'w:0:' || CAST({bucket} AS VARCHAR)"
     weight = f"({MD5_HASH60_SQL.format(expr=wkey)} % 2097152) - 1048576"
+    # rid keying (same rationale as _classifier_oracle_sql): a join-back
+    # USING (doc_id) would score NULL-id docs 0.0 (join never matches) and
+    # merge duplicate-id docs, while the Spark scorer is map-only per row
     return f"""
-WITH toks AS (
-  SELECT doc_id, tok
+WITH docs AS (
+  SELECT doc_id, lang, text,
+         ROW_NUMBER() OVER (ORDER BY doc_id NULLS FIRST, text NULLS FIRST)
+           AS rid
+  FROM documents
+), toks AS (
+  SELECT rid, tok
   FROM (
-    SELECT doc_id,
+    SELECT rid,
            UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-    FROM documents
+    FROM docs
   ) WHERE tok <> ''
 ), s AS (
-  SELECT doc_id, COUNT(*) AS n_tokens, SUM({weight}) AS raw
-  FROM toks GROUP BY doc_id
+  SELECT rid, COUNT(*) AS n_tokens, SUM({weight}) AS raw
+  FROM toks GROUP BY rid
 ), scored AS (
   SELECT d.doc_id, d.lang,
          CASE WHEN s.n_tokens > 0
               THEN CAST(s.raw AS DOUBLE) / (s.n_tokens * 1048576.0)
               ELSE 0.0 END AS logit
-  FROM documents d LEFT JOIN s USING (doc_id)
+  FROM docs d LEFT JOIN s USING (rid)
 ), ranked AS (
   SELECT lang, logit,
          ROW_NUMBER() OVER (PARTITION BY lang
@@ -2751,7 +2762,10 @@ def q_streaming_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_grouped",
         cache_key=f"{sf_dir}|events|h3",
     )
-    final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
+    # dropna=False: the NULL event_type group's state row must survive
+    # (pandas groupby silently drops NULL keys by default, while the SQL
+    # oracle's GROUP BY emits the NULL group)
+    final = out.loc[out.groupby("event_type", dropna=False)["rows_total"].idxmax()]
     exact = (
         ev.groupBy("event_type")
         .agg(
@@ -2992,7 +3006,8 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_kll",
         cache_key=f"{sf_dir}|events|h3",
     )
-    final = out.loc[out.groupby("event_type")["rows_total"].idxmax()]
+    # dropna=False: keep the NULL event_type group (oracle's GROUP BY does)
+    final = out.loc[out.groupby("event_type", dropna=False)["rows_total"].idxmax()]
     exact = (
         ev.groupBy("event_type")
         .agg(F.percentile("value", F.lit(0.5)).alias("exact_median"))
