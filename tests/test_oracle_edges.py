@@ -100,6 +100,14 @@ def edge_events_dir(spark, tmp_path_factory):
         # them (equality semantics never match NULL keys); r3 ADVICE case
         (106, base + pd.Timedelta(hours=44), None, "error", 1.0, None),
         (107, base + pd.Timedelta(hours=45), None, "click", 2.0, None),
+        # NULL-user purchase + the NULL-user click above: set-algebra
+        # oracles must NOT count the NULL user in INTERSECT/EXCEPT (SQL
+        # set ops treat NULLs as equal; countDistinct and the sketch
+        # builds skip them) — plus real purchases so the sets are
+        # non-trivial (the r5 COUNT(user_id) fix's trigger shape)
+        (108, base + pd.Timedelta(hours=46), None, "purchase", 3.0, None),
+        (109, base + pd.Timedelta(hours=47), 1, "purchase", 4.0, None),
+        (110, base + pd.Timedelta(hours=48), 4, "purchase", 6.0, None),
     ]
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value",
@@ -132,7 +140,10 @@ def _compare(spark, edge_dir, qname, table="documents"):
      "hll_users_by_day", "hll_users_by_type_salted", "cms_event_type_counts",
      "heavy_hitters_event_types", "heavy_hitters_users",
      "tdigest_quantiles_value", "dds_quantiles_value",
-     "topk_users_freqitems", "hll_rollup_weekly"],
+     "topk_users_freqitems", "hll_rollup_weekly",
+     # r5: set algebra + join-size replayed on NULL-user click/purchase
+     # rows (the COUNT(user_id)-vs-COUNT(*) and NULL-group divergences)
+     "hll_set_ops", "theta_set_ops", "cms_join_size"],
 )
 def test_event_queries_match_oracle_on_adversarial_table(
     spark, edge_events_dir, qname
